@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the full query inventory: relational operators
+  * (q01-q18), text/MapReduce operators over documents (q19-q25),
+  * dedup (q26-q29), similarity search (q30-q31), multimodal plumbing
+  * (q32), and Structured Streaming (q33-q35). Every query with a
+  * DuckDB-expressible twin has an entry in [[oracleSql]]; the rest
+  * (probabilistic LSH methods) get the driver's rows-only check and are
+  * verified against exact ground truth in the ScalaTest suite instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.RelationalQueries.queries("q04_join_star")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.RelationalQueries.queries ++
+      functions.TextQueries.queries ++
+      functions.Dedup.queries ++
+      functions.Similarity.queries ++
+      operators.Multimodal.queries ++
+      streaming.StreamingQueries.queries ++
+      streaming.StatefulCounts.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (MinHash/SimHash/LSH-ANN) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    operators.RelationalQueries.oracles ++
+      functions.TextQueries.oracles ++
+      functions.Dedup.oracles ++
+      functions.Similarity.oracles ++
+      operators.Multimodal.oracles ++
+      streaming.StreamingQueries.oracles ++
+      streaming.StatefulCounts.oracles
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading helpers for the driver-generated parquet fixtures
+  * (see TESTDATA.md / FIXTURES.md). Every query in [[SparkEntry.queries]]
+  * receives `(spark, sfDir)` and resolves tables through here so the scan
+  * path is uniform (parquet → columnar scan with pushdown + pruning).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read it as raw nanos
+    * (legacy conf) and convert to a microsecond TimestampType — the same
+    * truncation DuckDB applies, so oracle comparisons line up. */
+  def nanosTs(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Convert a raw-nanos long column to TimestampType (micros). Integer
+    * `div` — double division would lose precision at 1.7e18 nanos. */
+  def nanosToTs(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"timestamp_micros($colName div 1000)")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = {
+    nanosTs(s)
+    t(s, d, "events").withColumn("ts", nanosToTs("ts"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,204 @@
+package graft.functions
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * surface: exact hash dedup, MinHash+LSH near-dedup, SimHash near-dedup,
+  * and exact n-gram-shingle Jaccard (the small-scale oracle the
+  * probabilistic methods are verified against).
+  *
+  * Everything is declarative DataFrame algebra — explode/groupBy/join —
+  * so Catalyst partial-aggregates the signature computation map-side and
+  * the only shuffles are keyed on (band, hash) buckets. At 100 TB the
+  * LSH band join touches only candidate buckets (linear in corpus + bucket
+  * collisions), never the O(n²) pair space that exact Jaccard needs.
+  * Skew note: degenerate buckets (e.g. boilerplate-heavy shingles) are the
+  * classic hot-key risk — AQE skew-join handles moderate cases; pathological
+  * corpora should pre-filter top-frequency shingles (stop-shingle list).
+  */
+object Dedup {
+
+  /** Tokens of a text column (reference tokenizer: unicode letters,
+    * case-sensitive — src/mrapps/wc.go:22-26). */
+  private def toks(c: Column): Column = filter(split(c, "[^\\p{L}]+"), x => x =!= "")
+
+  /** Word 3-gram shingle array (distinct), empty when < 3 tokens. */
+  private def shingleArr(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded distinct (doc_id, shingle) relation. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
+
+  // ---- MinHash parameters (fixed seed → fully deterministic plans) ----
+  private val MinhashPerms = 64
+  private val Bands = 16 // 16 bands x 4 rows
+  private val RowsPerBand = MinhashPerms / Bands
+  private val P = 2147483647L // 2^31 - 1, prime; a*x+b stays < 2^62
+  private val permAB: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(MinhashPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature per doc: sig_i = min over shingles of
+    * (a_i * h(shingle) + b_i) mod P — one groupBy with 64 codegen'd min
+    * aggregates (map-side partial), no UDFs.
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val x = pmod(xxhash64(col("shingle")), lit(P)).as("x")
+    val aggs = permAB.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(P))).as(s"sig_$i")
+    }
+    shingles(s, d).select(col("doc_id"), x)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: equal band-slices of the signature land in the
+    * same bucket; a self-join keyed on (band, bucket) yields candidates.
+    */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bandCols = (0 until Bands).map { j =>
+      val slice = (0 until RowsPerBand).map(r => col(s"sig_${j * RowsPerBand + r}"))
+      struct(lit(j).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    banded.alias("l")
+      .join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard for a set of (doc_a, doc_b) pairs: join each
+    * side back to its shingle set, count the intersection, divide by the
+    * union size. Integer/integer division → bit-identical doubles anywhere.
+    */
+  def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on whitespace-normalized lowercase content: one group
+    // per distinct normalized text, keeping the smallest doc_id.
+    "q26_dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("norm",
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .groupBy(md5(col("norm")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("content_hash"), col("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash+LSH near-dedup: banded signature buckets → candidate pairs →
+    // exact-Jaccard verification at threshold 0.8. (Rows-only driver check;
+    // DedupSpec verifies recall against exact Jaccard at small SF.)
+    "q27_dedup_minhash" -> ((s, d) => {
+      verifyJaccard(s, d, minhashCandidates(s, d))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dedup: 64-bit sign-aggregated token-frequency hash;
+    // 16-bit bands for candidates, Hamming distance <= 6 as near-dup.
+    "q28_dedup_simhash" -> ((s, d) => {
+      val tokenCounts = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"b$k")
+      }
+      val sigs = tokenCounts.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(k =>
+            when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)).as(s"bit$k"))
+            .reduce[Column](_ + _).as("simhash"))
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bucket"))
+      banded.alias("l")
+        .join(banded.alias("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact n-gram (3-shingle) Jaccard similarity join at threshold 0.8 —
+    // the quadratic ground truth (fine at fixture scale, superseded by
+    // q27's LSH at 100 TB), and the one the DuckDB oracle can replay.
+    "q29_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      verifyJaccard(s, d, allPairs)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+         count(*) AS n_dups
+         FROM documents GROUP BY content_hash ORDER BY keep_id""",
+    "q29_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+             FROM t WHERE len(toks) >= 3)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY doc_a, doc_b"""
+  )
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators over the `events` table, replayed
+  * through the file source so the REAL streaming machinery runs —
+  * readStream → event-time window aggregation → memory sink — then the
+  * final result is returned as a batch DataFrame for the correctness gate.
+  *
+  * The reference is batch-only with a hard map→reduce barrier (SURVEY.md
+  * §2.4 — no streaming anywhere), so semantics here are Structured
+  * Streaming's own contract: event-time tumbling/sliding/session windows.
+  * The driver replays a bounded fixture, so `complete` output mode +
+  * `Trigger.AvailableNow` gives the exact batch-equivalent answer (no
+  * windows withheld by watermark at end-of-stream); in production the same
+  * plans run unbounded with `withWatermark` + append mode.
+  *
+  * Scale: windowed aggregation state is keyed on (window, group) and
+  * partial-aggregated before the shuffle; session windows merge per key.
+  * State store size ∝ open windows × keys, bounded by the watermark in
+  * production.
+  */
+object StreamingQueries {
+
+  /** Replay a parquet table as a file-source stream, run `build`, collect
+    * the final complete-mode result from a memory sink. */
+  private def runStream(s: SparkSession, d: String, table: String, sinkName: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val path = s"$d/$table.parquet"
+    // events.ts is parquet TIMESTAMP(NANOS) — read as raw long nanos and
+    // convert (see Tables.nanosTs); same truncation DuckDB applies.
+    graft.Tables.nanosTs(s)
+    val schema = s.read.parquet(path).schema
+    // The fixture is a single parquet FILE. FileStreamSource derives its
+    // basePath from the path itself (ignoring the basePath option) and
+    // requires a directory — so stream via a glob that matches only this
+    // file; with a glob, the parent directory becomes the base.
+    val raw = s.readStream.schema(schema).parquet(s"$d/$table.parq*")
+    val src =
+      if (schema.fieldNames.contains("ts")) raw.withColumn("ts", graft.Tables.nanosToTs("ts"))
+      else raw
+    // Re-entrant: drop a stale sink table from a previous run in the
+    // same session (Bench runs queries repeatedly).
+    s.catalog.dropTempView(sinkName)
+    val q = build(src).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time windows per event type.
+    "q33_stream_tumbling" -> ((s, d) => {
+      runStream(s, d, "events", "sink_tumbling") { src =>
+        src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      }
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Sliding 1-hour windows advancing every 30 minutes (each event lands
+    // in two windows).
+    "q34_stream_sliding" -> ((s, d) => {
+      runStream(s, d, "events", "sink_sliding") { src =>
+        src.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n_events"))
+        .orderBy(col("win_start"))
+    }),
+
+    // Session windows per user with a 30-minute inactivity gap.
+    "q35_stream_session" -> ((s, d) => {
+      runStream(s, d, "events", "sink_session") { src =>
+        src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q34_stream_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, count(*) AS n_events
+         FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - (k * INTERVAL '30 minutes') AS ws
+           FROM events, (SELECT unnest([0, 1]) AS k))
+         GROUP BY ws ORDER BY win_start""",
+    "q35_stream_session" ->
+      """WITH gaps AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               >= INTERVAL '30 minutes' OR
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         islands AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM gaps)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           count(*) AS n_events
+         FROM islands GROUP BY user_id, sess_id
+         ORDER BY user_id, sess_start"""
+  )
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 hides the classic
+  * conversion helpers behind `private[sql]`; a subpackage of
+  * org.apache.spark.sql is the sanctioned-by-convention way for extension
+  * libraries to reach them (the alternative — registering every custom
+  * expression through SparkSessionExtensions — forces control of session
+  * construction, which the driver contract doesn't give us).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic dedup + ANN operators verified against their exact
+  * counterparts at small SF — the LSH methods have no SQL oracle, so this
+  * suite is their correctness gate.
+  */
+class DedupSimilaritySpec extends TestSpark {
+
+  test("minhash LSH finds (almost) all pairs the exact jaccard join finds") {
+    val exact = Dedup.queries("q29_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.queries("q27_dedup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    // LSH candidates are verified by exact jaccard, so no false positives:
+    assert(lsh.subsetOf(exact))
+    // 16 bands x 4 rows at j>=0.8 : P(miss) = (1-j^4)^16 <= 2.3% per pair.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val s1 = Dedup.minhashSignatures(spark, sf0001).orderBy(col("doc_id")).collect()
+    val s2 = Dedup.minhashSignatures(spark, sf0001).orderBy(col("doc_id")).collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("simhash near-dup pairs overlap heavily with exact near-dups") {
+    val exact = Dedup.queries("q29_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.queries("q28_dedup_simhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // SimHash measures token-frequency similarity, not shingle jaccard —
+    // expect strong but not perfect agreement.
+    val hits = exact.count(sim.contains)
+    assert(hits.toDouble / exact.size >= 0.5,
+      s"simhash found only $hits of ${exact.size} exact near-dup pairs")
+  }
+
+  test("exact dedup groups: every group keeps its minimum doc_id") {
+    val rows = Dedup.queries("q26_dedup_exact")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_dups")).sum
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(total == nDocs, "dup-group sizes must partition the corpus")
+  }
+
+  test("IVF ANN achieves decent recall@5 vs brute-force cosine") {
+    def pairs(name: String) =
+      Similarity.queries(name)(spark, sf0001)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q30_cosine_topk")
+    val ann = pairs("q31_ann_ivf")
+    assert(exact.size == 50) // 10 probes x top-5
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    // nProbe=4 of ~17 cells over weakly-clustered synthetic vectors:
+    // asserts the machinery works with meaningful recall, not SOTA quality.
+    assert(recall >= 0.3, s"ANN recall@5 = $recall")
+    info(s"IVF recall@5 = $recall")
+  }
+
+  test("cosine scores are in [-1, 1] and self-similarity excluded") {
+    val rows = Similarity.queries("q30_cosine_topk")(spark, sf0001).collect()
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos"); c >= -1.0001 && c <= 1.0001 })
+    assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("vec_id")))
+  }
+}

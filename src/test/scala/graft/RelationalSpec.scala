@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.RelationalQueries
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the relational inventory at sf0.001 (the
+  * value-exact check against DuckDB runs driver-side; these are the
+  * fast local guards).
+  */
+class RelationalSpec extends TestSpark {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("every declared query runs and returns rows at sf0.001") {
+    // streaming + heavy queries are exercised in their own suites; here
+    // cover the relational core cheaply.
+    val names = RelationalQueries.queries.keys.toSeq.sorted
+    val empty = names.filter(n => run(n).isEmpty)
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("every query key has matching oracle column names or is declared rows-only") {
+    val qs = SparkEntry.queries
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.keySet.subsetOf(qs.keySet),
+      s"oracle without query: ${oracles.keySet -- qs.keySet}")
+  }
+
+  test("q09 rollup grand-total row equals lineitem row count") {
+    val total = run("q09_rollup")
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .collect()
+    assert(total.length == 1)
+    assert(total(0).getAs[Long]("n_rows") == Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("q05 semi-join returns a subset of orders; q06 anti-join disjoint from orders") {
+    val semi = run("q05_semi_join").count()
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(semi > 0 && semi < nOrders)
+    val anti = run("q06_anti_join").select("c_custkey")
+    val urgentCustomers = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    assert(anti.intersect(urgentCustomers).isEmpty)
+  }
+
+  test("q11 set ops partition the nation space") {
+    val rows = run("q11_set_ops").collect()
+    val byTag = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).toSet)
+    val both = byTag.getOrElse("both", Set.empty[Int])
+    val cust = byTag.getOrElse("cust_only", Set.empty[Int])
+    val supp = byTag.getOrElse("supp_only", Set.empty[Int])
+    assert((both & cust).isEmpty && (both & supp).isEmpty && (cust & supp).isEmpty)
+  }
+
+  test("q12 top-k is ordered descending") {
+    val prices = run("q12_topk").collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q07 window rank: at most 3 rows per customer, ranks 1..3") {
+    val rows = run("q07_window_rank").collect()
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(_.length <= 3))
+    assert(perCust.values.forall(g => g.map(_.getAs[Int]("rk")).sorted
+      .sameElements(1 to g.length)))
+  }
+}
