@@ -20,7 +20,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.queries ++
+    operators.ExtendedQueries.queries ++
+      operators.RelationalQueries.queries ++
       functions.TextQueries.queries ++
       functions.Dedup.queries ++
       functions.Similarity.queries ++
@@ -33,7 +34,8 @@ object SparkEntry {
     * (MinHash/SimHash/LSH-ANN) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracles ++
+    operators.ExtendedQueries.oracles ++
+      operators.RelationalQueries.oracles ++
       functions.TextQueries.oracles ++
       functions.Dedup.oracles ++
       functions.Similarity.oracles ++

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * and exact n-gram-shingle Jaccard (the small-scale oracle the
   * probabilistic methods are verified against).
   *
-  * Everything is declarative DataFrame algebra — explode/groupBy/join —
-  * so Catalyst partial-aggregates the signature computation map-side and
-  * the only shuffles are keyed on (band, hash) buckets. At 100 TB the
-  * LSH band join touches only candidate buckets (linear in corpus + bucket
-  * collisions), never the O(n²) pair space that exact Jaccard needs.
-  * Skew note: degenerate buckets (e.g. boilerplate-heavy shingles) are the
-  * classic hot-key risk — AQE skew-join handles moderate cases; pathological
+  * Scale design: the MinHash signature (64 permutations) is computed
+  * entirely MAP-SIDE as nested array expressions over each document's
+  * shingle array — zero explode, zero shuffle, one codegen pass; the only
+  * shuffles in the LSH path are the (band, bucket) self-join (linear in
+  * corpus + bucket collisions, never the O(n²) pair space) and the
+  * candidate-pair verification join. Verification fetches each side's
+  * shingle ARRAY and intersects in-expression (`array_intersect`), so the
+  * pair space is never exploded either.
+  * Skew note: degenerate buckets (boilerplate shingles) are the classic
+  * hot-key risk — AQE skew-join handles moderate cases; pathological
   * corpora should pre-filter top-frequency shingles (stop-shingle list).
   */
 object Dedup {
@@ -24,18 +27,29 @@ object Dedup {
     * case-sensitive — src/mrapps/wc.go:22-26). */
   private def toks(c: Column): Column = filter(split(c, "[^\\p{L}]+"), x => x =!= "")
 
-  /** Word 3-gram shingle array (distinct), empty when < 3 tokens. */
-  private def shingleArr(c: Column): Column = {
-    val t = toks(c)
-    array_distinct(when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-      .otherwise(array().cast("array<string>")))
+  /** Distinct word 3-gram shingles of a text — plain Scala, shared by the
+    * typed signature/shingle passes (Catalyst higher-order functions are
+    * interpreted, so building ~100-element shingle arrays per row in
+    * expressions costs ms/row; this loop costs µs). */
+  def shingleSet(text: String): Array[String] = {
+    val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (t.length < 3) Array.empty
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + 2 < t.length) { out += (t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1 }
+      out.toArray
+    }
   }
 
-  /** Exploded distinct (doc_id, shingle) relation. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
+  /** (doc_id, shingles array) relation — the base for signatures and
+    * verification; one typed map pass. */
+  def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .toDF("doc_id", "shingles")
+  }
 
   // ---- MinHash parameters (fixed seed → fully deterministic plans) ----
   private val MinhashPerms = 64
@@ -48,18 +62,44 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature per doc: sig_i = min over shingles of
-    * (a_i * h(shingle) + b_i) mod P — one groupBy with 64 codegen'd min
-    * aggregates (map-side partial), no UDFs.
+  /** MinHash signature per doc as a single typed-map pass: tokenize,
+    * shingle, FNV-1a-64 hash each shingle once, fold the 64 permutation
+    * minima in a tight loop. One scan, no shuffle, no per-permutation
+    * expression trees.
+    *
+    * Why not pure Column expressions: Catalyst higher-order functions
+    * (`transform`/`array_min`) are interpreted (no codegen), and
+    * CollapseProject inlines the shingle construction into every
+    * permutation column — measured ~20 ms/row. This per-record loop is
+    * the documented last-resort tier (SURVEY §7.1) and is ~1000× faster;
+    * it scales as a map-only stage at any corpus size.
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val x = pmod(xxhash64(col("shingle")), lit(P)).as("x")
-    val aggs = permAB.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(P))).as(s"sig_$i")
-    }
-    shingles(s, d).select(col("doc_id"), x)
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    import s.implicits._
+    val perms = permAB.toArray
+    val p = P
+    documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val shingles = shingleSet(text)
+        if (shingles.isEmpty) Iterator.empty
+        else {
+          val sig = Array.fill(perms.length)(Long.MaxValue)
+          shingles.foreach { sh =>
+            val x = java.lang.Math.floorMod(Fnv1a.hash64(sh), p)
+            var j = 0
+            while (j < perms.length) {
+              val (a, b) = perms(j)
+              val v = java.lang.Math.floorMod(a * x + b, p)
+              if (v < sig(j)) sig(j) = v
+              j += 1
+            }
+          }
+          Iterator.single((id, sig))
+        }
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH candidate pairs: equal band-slices of the signature land in the
@@ -68,7 +108,8 @@ object Dedup {
   def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
     val bandCols = (0 until Bands).map { j =>
-      val slice = (0 until RowsPerBand).map(r => col(s"sig_${j * RowsPerBand + r}"))
+      val slice = (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), j * RowsPerBand + r + 1))
       struct(lit(j).as("band"), xxhash64(slice: _*).as("bucket"))
     }
     val banded = sig
@@ -82,23 +123,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact shingle-Jaccard for a set of (doc_a, doc_b) pairs: join each
-    * side back to its shingle set, count the intersection, divide by the
-    * union size. Integer/integer division → bit-identical doubles anywhere.
-    */
+  /** Exact shingle-Jaccard for (doc_a, doc_b) pairs: fetch both shingle
+    * arrays and intersect in-expression. Integer/integer division →
+    * bit-identical doubles anywhere. */
   def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
-    val sh = shingles(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val sh = docShingles(s, d)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("c") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+        round(size(array_intersect(col("sa"), col("sb")))
+          / (size(col("sa")) + size(col("sb"))
+            - size(array_intersect(col("sa"), col("sb")))).cast("double"), 6)
+          .as("jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,7 +198,8 @@ object Dedup {
     // the quadratic ground truth (fine at fixture scale, superseded by
     // q27's LSH at 100 TB), and the one the DuckDB oracle can replay.
     "q29_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
+      val sh = docShingles(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
         .filter(col("doc_a") < col("doc_b"))

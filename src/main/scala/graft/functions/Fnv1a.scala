@@ -41,6 +41,20 @@ case class Fnv1a(child: Expression) extends UnaryExpression {
 }
 
 object Fnv1a {
+  /** FNV-1a 64-bit over a string's UTF-8 bytes — the fast deterministic
+    * base hash for MinHash shingles (public FNV parameters). */
+  def hash64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = h ^ (bytes(i) & 0xffL)
+      h = h * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** FNV-1a 32-bit over raw UTF-8 bytes, sign bit cleared (matches Go's
     * `h.Sum32() & 0x7fffffff` on the same byte sequence). */
   def hash(bytes: Array[Byte]): Int = {

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of relational operators: explicit GROUPING SETS through the
+  * SQL surface, as-of join, pivot, and a banded range join — the temporal
+  * operators a training-data/event pipeline needs that plain equi-joins
+  * can't express.
+  */
+object ExtendedQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GROUPING SETS through spark.sql — exercises the SQL entry path of
+    // the engine (views + ANSI SQL), not just the DataFrame DSL.
+    "q37_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem_v
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // As-of join (backward): each purchase matched to the user's most
+    // recent strictly-prior click. Implemented as one pass over a
+    // (ts, event_id)-ordered per-user window — no join at all, so it
+    // scales as a single shuffle on user_id (the classic
+    // union-and-carry-forward as-of plan).
+    "q38_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("prev_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          date_format(col("prev_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("prev_click_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Pivot: per-user event-type counts as columns (fixed value list so
+    // the plan is a single pass, no value-discovery job).
+    "q39_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // Banded range join: same-user event pairs within 30 minutes. The
+    // scalable plan: band each event into 30-min buckets, equi-join on
+    // (user, bucket) and (user, bucket+1), then filter the exact range —
+    // shuffle is keyed, never the O(n²) theta-join. gap in exact micros.
+    "q40_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (unix_micros(col("ts")) / lit(1800000000L)).cast("long").as("bucket"))
+      val left = ev.select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"), col("bucket"))
+      val right = ev.select(col("user_id"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"), explode(array(col("bucket"), col("bucket") - 1))
+          .as("bucket"))
+      left.join(right, Seq("user_id", "bucket"))
+        .filter(col("b_ts") > col("a_ts")
+          && unix_micros(col("b_ts")) - unix_micros(col("a_ts")) <= 1800000000L)
+        // no distinct needed: a pair can only match one of b's two band
+        // rows (bucket == a.bucket xor bucket-1 == a.bucket)
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q38_asof_join" ->
+      """SELECT p.user_id, p.event_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         strftime((SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND (c.ts, c.event_id) < (p.ts, p.event_id)),
+           '%Y-%m-%d %H:%M:%S.%f') AS prev_click_ts
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.user_id, p.event_id""",
+    "q39_pivot" ->
+      """SELECT user_id,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q40_range_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+         epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND b.ts > a.ts
+           AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+         ORDER BY a.user_id, a_id, b_id"""
+  )
+}

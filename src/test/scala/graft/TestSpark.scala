@@ -6,8 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for the test suite (one per JVM). */
 trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
+  // local[4,2]: 4 threads, maxTaskFailures=2 — lets the crash-recovery
+  // test inject a task failure and observe Spark's re-execution (the
+  // reference's watchdog-requeue, coordinator.go:114-141, as config).
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
