@@ -25,6 +25,9 @@ object SparkEntry {
       functions.TextQueries.queries ++
       functions.Dedup.queries ++
       functions.Similarity.queries ++
+      functions.Embeddings.queries ++
+      functions.LangId.queries ++
+      operators.SaltedJoin.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries ++
       streaming.StatefulCounts.queries
@@ -39,6 +42,9 @@ object SparkEntry {
       functions.TextQueries.oracles ++
       functions.Dedup.oracles ++
       functions.Similarity.oracles ++
+      functions.Embeddings.oracles ++
+      functions.LangId.oracles ++
+      operators.SaltedJoin.oracles ++
       operators.Multimodal.oracles ++
       streaming.StreamingQueries.oracles ++
       streaming.StatefulCounts.oracles

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.SaltedJoin
+import org.apache.spark.sql.functions._
+
+/** Scale techniques that need explicit verification: bucketed co-located
+  * joins (no shuffle), salted skew joins (result parity), sketches
+  * (bounded error), and the fit+predict language ID (determinism).
+  */
+class ScaleTechniquesSpec extends TestSpark {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    try {
+      Tables.lineitem(spark, sf0001).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/l_b").mode("overwrite").saveAsTable("l_b")
+      Tables.orders(spark, sf0001).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("l_b")
+          .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus")).count()
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        // bucketing co-locates both sides: the join itself needs no
+        // Exchange (only the final tiny aggregation shuffles)
+        val joinPart = plan.split("SortMergeJoin")(1)
+        assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey")
+          && !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+          s"join inputs were shuffled despite bucketing:\n${plan.take(3000)}")
+        assert(plan.contains("SortMergeJoin"), plan.take(2000))
+        // and the result is right
+        val expected = Tables.lineitem(spark, sf0001)
+          .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == expected)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS l_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val salted = SaltedJoin.join(Tables.lineitem(spark, sf0001),
+      Tables.orders(spark, sf0001), "l_orderkey", "o_orderkey", salt = 8)
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+    assert(salted.count() == plain.count())
+    val sAgg = salted.agg(round(sum(col("l_extendedprice")), 2)).collect()(0).getDouble(0)
+    val pAgg = plain.agg(round(sum(col("l_extendedprice")), 2)).collect()(0).getDouble(0)
+    assert(math.abs(sAgg - pAgg) < 0.02)
+  }
+
+  test("approx_count_distinct within its error bound") {
+    val rows = functions.Embeddings.queries("q43_approx_distinct")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("trigram language ID is deterministic and emits known labels") {
+    val r1 = functions.LangId.queries("q42_lang_ngram")(spark, sf0001).collect()
+    val r2 = functions.LangId.queries("q42_lang_ngram")(spark, sf0001).collect()
+    assert(r1.sameElements(r2))
+    val langs = Tables.documents(spark, sf0001)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(r1.map(_.getAs[String]("predicted")).toSet.subsetOf(langs))
+    assert(r1.length == Tables.documents(spark, sf0001).count())
+  }
+
+  test("centroid dimensions: 64 per label") {
+    val rows = functions.Embeddings.queries("q41_centroids")(spark, sf0001).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    assert(byLabel.values.forall(_.length == 64))
+  }
+}
