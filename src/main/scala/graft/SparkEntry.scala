@@ -28,6 +28,7 @@ object SparkEntry {
       functions.Embeddings.queries ++
       functions.LangId.queries ++
       operators.SaltedJoin.queries ++
+      plans.TopKPerGroup.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries ++
       streaming.StatefulCounts.queries
@@ -45,6 +46,7 @@ object SparkEntry {
       functions.Embeddings.oracles ++
       functions.LangId.oracles ++
       operators.SaltedJoin.oracles ++
+      plans.TopKPerGroup.oracles ++
       operators.Multimodal.oracles ++
       streaming.StreamingQueries.oracles ++
       streaming.StatefulCounts.oracles

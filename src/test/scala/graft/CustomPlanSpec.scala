@@ -1,0 +1,55 @@
+package graft
+
+import graft.plans.TopKPerGroup
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerGroup operator must (a) produce exactly the window
+  * formulation's rows, (b) appear in the physical plan as its own exec
+  * node behind one hash exchange on the group key.
+  */
+class CustomPlanSpec extends TestSpark {
+
+  test("custom top-k operator matches the window formulation") {
+    val custom = TopKPerGroup(Tables.orders(spark, sf0001),
+      "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = Tables.orders(spark, sf0001)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(custom == windowed)
+    assert(custom.nonEmpty)
+  }
+
+  test("plans as TopKPerGroupExec behind a single hash exchange") {
+    val df = TopKPerGroup(Tables.orders(spark, sf0001),
+      "o_custkey", "o_totalprice", "o_orderkey", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("TopKPerGroup "), plan.take(2000))
+    assert(plan.contains("hashpartitioning(o_custkey"), plan.take(2000))
+    // no sort: that's the point of the operator
+    assert(!plan.contains("Sort ["), plan.take(2000))
+  }
+
+  test("works for k larger than every group (returns all rows)") {
+    val all = TopKPerGroup(Tables.orders(spark, sf0001),
+      "o_custkey", "o_totalprice", "o_orderkey", 1000000)
+    assert(all.count() == Tables.orders(spark, sf0001).count())
+  }
+
+  test("string group keys are copied safely out of reused row buffers") {
+    val top = TopKPerGroup(Tables.orders(spark, sf0001),
+      "o_orderstatus", "o_totalprice", "o_orderkey", 2)
+      .select(col("o_orderstatus"), col("o_orderkey")).collect()
+    val statuses = top.map(_.getString(0)).toSet
+    assert(statuses == Set("F", "O", "P") && top.length == 6)
+  }
+}
