@@ -78,6 +78,21 @@ object StreamingQueries {
         .orderBy(col("win_start"))
     }),
 
+    // Stateful streaming dedup: dropDuplicates keeps one row per
+    // (user_id, event_type) across the stream (state keyed on the dedup
+    // key — at scale bounded with withWatermark + dropDuplicatesWithinWatermark),
+    // then counts per type. Count is deterministic even though WHICH
+    // duplicate survives is not.
+    "q46_stream_dedup" -> ((s, d) => {
+      runStream(s, d, "events", "sink_dedup") { src =>
+        src.dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+      }
+        .select(col("event_type"), col("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Session windows per user with a 30-minute inactivity gap.
     "q35_stream_session" -> ((s, d) => {
       runStream(s, d, "events", "sink_session") { src =>
@@ -92,6 +107,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q33_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
          event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
