@@ -59,6 +59,41 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Analytic window functions: lag/lead/ntile/first_value over the
+    // per-user event ordering.
+    "q47_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(
+          col("user_id"),
+          row_number().over(w).as("rn"),
+          round(col("value"), 6).as("value"),
+          round(lag(col("value"), 1).over(w), 6).as("prev_value"),
+          round(lead(col("value"), 1).over(w), 6).as("next_value"),
+          round(col("value") - lag(col("value"), 1).over(w), 6).as("delta"),
+          ntile(4).over(w).as("quartile"),
+          round(first_value(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+            .as("first_val"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // Interval RANGE frame: orders placed by the same customer in the 30
+    // days up to (and including) each order. Spark range frames need a
+    // numeric ordering — epoch seconds; the oracle uses the equivalent
+    // INTERVAL frame over the timestamp.
+    "q48_window_range_frame" -> ((s, d) => {
+      // o_orderdate reads as TIMESTAMP_NTZ which can't cast straight to
+      // long — go via session-UTC timestamp first
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000L, 0L) // 30 days in seconds
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_orders_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Banded range join: same-user event pairs within 30 minutes. The
     // scalable plan: band each event into 30-min buckets, equi-join on
     // (user, bucket) and (user, bucket+1), then filter the exact range —
@@ -107,6 +142,26 @@ object ExtendedQueries {
          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
          count(CASE WHEN event_type = 'view' THEN 1 END) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q47_window_analytics" ->
+      """SELECT user_id,
+         row_number() OVER w AS rn,
+         round(value, 6) AS value,
+         round(lag(value, 1) OVER w, 6) AS prev_value,
+         round(lead(value, 1) OVER w, 6) AS next_value,
+         round(value - lag(value, 1) OVER w, 6) AS delta,
+         ntile(4) OVER w AS quartile,
+         round(first_value(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS first_val
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, rn""",
+    "q48_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+           AS n_orders_30d
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "q40_range_join" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
          epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
