@@ -27,6 +27,7 @@ object SparkEntry {
       functions.Similarity.queries ++
       functions.Embeddings.queries ++
       functions.LangId.queries ++
+      functions.CustomAgg.queries ++
       operators.SaltedJoin.queries ++
       plans.TopKPerGroup.queries ++
       operators.Multimodal.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       functions.Similarity.oracles ++
       functions.Embeddings.oracles ++
       functions.LangId.oracles ++
+      functions.CustomAgg.oracles ++
       operators.SaltedJoin.oracles ++
       plans.TopKPerGroup.oracles ++
       operators.Multimodal.oracles ++
