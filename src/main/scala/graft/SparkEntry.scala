@@ -21,6 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.ExtendedQueries.queries ++
+      operators.PipelineOps.queries ++
       operators.RelationalQueries.queries ++
       functions.TextQueries.queries ++
       functions.Dedup.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.ExtendedQueries.oracles ++
+      operators.PipelineOps.oracles ++
       operators.RelationalQueries.oracles ++
       functions.TextQueries.oracles ++
       functions.Dedup.oracles ++

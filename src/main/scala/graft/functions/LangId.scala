@@ -46,8 +46,11 @@ object LangId {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Fit trigram profiles, classify every document by profile overlap
-    // (deterministic argmax, lexicographic tiebreak). Rows-only driver
-    // check; TextAnalysisSpec asserts determinism + output shape.
+    // (deterministic argmax: overlap count desc, then lexicographic lang).
+    // Output is integer-exact — overlap and trigram COUNTS, not a rounded
+    // ratio — so the whole fit+predict pipeline replays hash-exactly in
+    // the DuckDB oracle below (the per-doc ratio shares a denominator, so
+    // count-argmax ≡ ratio-argmax).
     "q42_lang_ngram" -> ((s, d) => {
       import s.implicits._
       val profiles = fitProfiles(s, d)
@@ -57,16 +60,54 @@ object LangId {
         .map { case (id, lang, text) =>
           val tg = trigrams(text)
           val scored = bc.value.toSeq.map { case (l, prof) =>
-            val overlap = if (tg.isEmpty) 0.0
-              else tg.count(prof.contains).toDouble / tg.size
-            (l, overlap)
-          }.sortBy { case (l, sc) => (-sc, l) }
-          (id, lang, scored.head._1, math.rint(scored.head._2 * 1e6) / 1e6)
+            (l, tg.count(prof.contains))
+          }.sortBy { case (l, c) => (-c, l) }
+          (id, lang, scored.head._1, scored.head._2.toLong, tg.size.toLong)
         }
-        .toDF("doc_id", "lang", "predicted", "score")
+        .toDF("doc_id", "lang", "predicted", "n_overlap", "n_trigrams")
         .orderBy(col("doc_id"))
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB replay of fit+predict: same cleaning (lowercase, non-letters →
+    * space), same distinct char-trigram extraction (all-space trigrams
+    * excluded), same top-100-per-lang profile (doc-frequency desc, trigram
+    * asc), same argmax (overlap desc, lang asc). */
+  val oracles: Map[String, String] = Map(
+    "q42_lang_ngram" ->
+      """WITH cleaned AS (
+           SELECT doc_id, lang,
+             regexp_replace(lower(text), '[^\p{L} ]', ' ', 'g') AS t
+           FROM documents),
+         tg AS (
+           SELECT DISTINCT doc_id, lang, g FROM (
+             SELECT doc_id, lang,
+               unnest(list_transform(range(len(t) - 2),
+                 i -> substr(t, i + 1, 3))) AS g
+             FROM cleaned WHERE len(t) >= 3)
+           WHERE g <> '   '),
+         prof AS (
+           SELECT lang, g FROM (
+             SELECT lang, g,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY count(*) DESC, g ASC) AS rk
+             FROM tg GROUP BY lang, g) WHERE rk <= 100),
+         langs AS (SELECT DISTINCT lang FROM documents),
+         doc_tg AS (SELECT doc_id, count(*) AS n_tg FROM tg GROUP BY doc_id),
+         ovl AS (
+           SELECT t.doc_id, p.lang AS cand, count(*) AS c
+           FROM tg t JOIN prof p ON t.g = p.g
+           GROUP BY 1, 2),
+         best AS (
+           SELECT d.doc_id, d.lang, l.lang AS predicted,
+             coalesce(o.c, 0) AS n_overlap,
+             row_number() OVER (PARTITION BY d.doc_id
+               ORDER BY coalesce(o.c, 0) DESC, l.lang ASC) AS rk
+           FROM documents d CROSS JOIN langs l
+           LEFT JOIN ovl o ON o.doc_id = d.doc_id AND o.cand = l.lang)
+         SELECT b.doc_id, b.lang, b.predicted, b.n_overlap,
+           coalesce(dt.n_tg, 0) AS n_trigrams
+         FROM best b LEFT JOIN doc_tg dt ON b.doc_id = dt.doc_id
+         WHERE b.rk = 1 ORDER BY b.doc_id"""
+  )
 }

@@ -71,39 +71,51 @@ object Similarity {
 
     // IVF-style ANN (the scale path): a deterministic sample of corpus
     // vectors acts as the coarse quantizer (k-means++-style seeding without
-    // the iterations); every vector is assigned to its nearest centroid
-    // cell (broadcast centroids — one codegen pass, no corpus shuffle
-    // beyond the cell key), probes search their nProbe=4 nearest cells and
-    // exact cosine re-ranks candidates only. Cost per probe ≈ nProbe/k of
-    // the corpus vs all of it for q30. Approximate by design —
-    // SimilaritySpec measures recall against q30 instead of an oracle.
+    // the iterations). The tiny centroid set is COLLECTED to the driver
+    // (the broadcast-model pattern, like LangId's profile) and embedded as
+    // literals, so nearest-cell assignment is a pure map-side argmax over
+    // ≤17 struct(ccos, centroid_id) literals — the corpus never passes
+    // through an Exchange before assignment (round-1 used a
+    // groupBy(vec_id, embedding) that shuffled every vector). Probes
+    // search their nProbe=4 nearest cells; the probe-cells relation
+    // (10×4 rows) is broadcast into the candidate join, so the corpus
+    // side stays shuffle-free there too; exact cosine re-ranks candidates
+    // only. Fully deterministic → full DuckDB oracle below.
     "q31_ann_ivf" -> ((s, d) => {
       val emb = embeddings(s, d)
       // k ≈ 17 deterministic centroids from the corpus itself
-      val centroids = emb.filter(col("vec_id") % 29 === 3)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-      def cosTo(v: Column, c: Column): Column =
+      val cents: Array[(Long, Array[Float])] =
+        emb.filter(col("vec_id") % 29 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+      def cos(v: Column, c: Column): Column =
         round(dot(v, c) / (l2norm(v) * l2norm(c)), 6)
-      val scored = emb.join(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          cosTo(col("embedding"), col("c_emb")).as("ccos"))
-      // nearest centroid per corpus vector (max struct → deterministic)
-      val assigned = scored
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(max(struct(col("ccos"), col("centroid_id"))).as("m"))
-        .select(col("vec_id"), col("embedding"), col("m.centroid_id").as("cell"))
-      // probes search their 4 nearest cells
-      val probeCells = scored.filter(col("vec_id") < 10)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))))
-        .filter(col("rk") <= 4)
+      // one struct per centroid, scored against the row's vector
+      def cellScores(vec: Column): Column = array(cents.map { case (cid, arr) =>
+        struct(cos(vec, array(arr.map(lit(_)): _*)).as("ccos"),
+          lit(cid).as("centroid_id"))
+      }: _*)
+      // map-side nearest cell: array_max over the struct array (max ccos,
+      // ties → max centroid_id) — no Exchange before assignment
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        array_max(cellScores(col("embedding"))).getField("centroid_id").as("cell"))
+      // probes (tiny) explode all cells and keep their 4 nearest
+      val probeCells = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-          col("centroid_id").as("cell"))
-      val cands = probeCells
-        .join(assigned.select(col("vec_id"), col("embedding"), col("cell")), Seq("cell"))
+          explode(cellScores(col("embedding"))).as("cs"))
+        .select(col("probe_id"), col("p_emb"),
+          col("cs.ccos").as("ccos"), col("cs.centroid_id").as("centroid_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("centroid_id"))))
+        .filter(col("rk") <= 4)
+        .select(col("probe_id"), col("p_emb"), col("centroid_id").as("cell"))
+      val cands = assigned
+        .join(broadcast(probeCells), Seq("cell"))
         .filter(col("probe_id") =!= col("vec_id"))
         .select(col("probe_id"), col("vec_id"),
-          cosTo(col("p_emb"), col("embedding")).as("cos"))
+          cos(col("p_emb"), col("embedding")).as("cos"))
         .distinct()
       cands
         .withColumn("rk", row_number().over(
@@ -129,6 +141,50 @@ object Similarity {
              row_number() OVER (PARTITION BY probe_id
                ORDER BY cos DESC, vec_id) AS rk
            FROM scored)
+         SELECT probe_id, rk, vec_id, cos FROM ranked
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // Full replay of the IVF algorithm: same centroid seed rule, same
+    // rounded-cosine assignment (ties → larger centroid_id, mirroring
+    // Spark's array_max over struct(ccos, centroid_id)), same nProbe=4
+    // probe cells (ties → smaller centroid_id, mirroring the row_number
+    // ordering), same candidate re-rank.
+    "q31_ann_ivf" ->
+      """WITH cents AS (
+           SELECT vec_id AS centroid_id, embedding AS c_emb
+           FROM embeddings WHERE vec_id % 29 = 3),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+             round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))),
+               6) AS ccos
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id AS cell FROM (
+             SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id DESC) AS rk
+             FROM scored) WHERE rk = 1),
+         probe_cells AS (
+           SELECT vec_id AS probe_id, embedding AS p_emb, centroid_id AS cell FROM (
+             SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id ASC) AS rk
+             FROM scored WHERE vec_id < 10) WHERE rk <= 4),
+         cands AS (
+           SELECT DISTINCT p.probe_id, a.vec_id,
+             round(list_dot_product(p.p_emb::DOUBLE[], a.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.p_emb::DOUBLE[], p.p_emb::DOUBLE[]))
+                * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+               6) AS cos
+           FROM probe_cells p JOIN assigned a USING (cell)
+           WHERE p.probe_id <> a.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM cands)
          SELECT probe_id, rk, vec_id, cos FROM ranked
          WHERE rk <= 5 ORDER BY probe_id, rk"""
   )

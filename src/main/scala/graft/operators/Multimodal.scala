@@ -5,64 +5,142 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque `binary` payload columns with typed
-  * metadata, plus a deterministic decode/feature-extract stub.
+  * metadata, decoded by REAL byte-level parsers.
   *
-  * The container has no image/audio codecs, so — per the task contract —
-  * the decode step is a STUB: a deterministic function of the bytes
-  * (dimensions derived from byte length, content digest as the "feature").
-  * Everything Spark-side is real: binary column construction, metadata
-  * struct schema, per-row batch-friendly codegen expressions, and the
-  * output contract a real decoder (swapped in behind [[decodeStub]])
-  * would keep. At 100 TB, payloads stay opaque binary end-to-end — only
-  * metadata and extracted features shuffle, never the blobs.
+  * The container has no image/audio codec libraries, so payloads are
+  * synthesized in trivial real formats a pure-JVM parser can decode:
+  * a 24-bpp uncompressed BMP (54-byte header + padded pixel rows) and a
+  * PCM WAV (44-byte RIFF header + 8-bit samples), both deterministic
+  * functions of the document text. The decode step then parses actual
+  * little-endian header fields back out of the bytes — exercising the
+  * binary-column path end-to-end (construct → store → parse), with the
+  * same signature a libjpeg/ffmpeg-backed decoder would keep.
+  *
+  * Scale: payloads stay opaque binary end-to-end — construction and
+  * decoding are both map-side typed passes; only ids, metadata, and
+  * extracted features ever shuffle, never the blobs.
   */
 object Multimodal {
 
-  /** Attach a binary payload + metadata struct to the documents table —
-    * the canonical "media table" shape: (id, payload binary, meta struct).
-    */
-  def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit("text/plain").as("mime"),
-        octet_length(col("text")).as("n_bytes"),
-        col("source").as("origin")).as("meta"))
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
 
-  /** STUB decode: deterministic fake dimensions + digest from the payload
-    * bytes. A real implementation would decode image/audio frames here;
-    * the signature (binary in → struct of features out) is the real
-    * contract. */
-  def decodeStub(df: DataFrame): DataFrame =
-    df.withColumn("decoded", struct(
-      (col("meta.n_bytes") % 64 + 1).as("width"),
-      // `/` is double division in Spark — use explicit floor for the
-      // integer division the oracle's `//` does.
-      (floor(col("meta.n_bytes") / 64).cast("int") % 64 + 1).as("height"),
-      upper(md5(col("payload"))).as("digest")))
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** A real 24-bpp BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B)
+    * + bottom-up pixel rows padded to 4-byte alignment. Dimensions derive
+    * from the text length; pixel bytes cycle through the text bytes. */
+  def synthesizeBmp(text: Array[Byte]): Array[Byte] = {
+    val width = text.length % 64 + 1
+    val height = (text.length / 64) % 64 + 1
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val pixelBytes = rowSize * height
+    val fileSize = 54 + pixelBytes
+    val out = new java.io.ByteArrayOutputStream(fileSize)
+    out.write('B'); out.write('M')
+    out.write(le32(fileSize)); out.write(le32(0)); out.write(le32(54))
+    out.write(le32(40)); out.write(le32(width)); out.write(le32(height))
+    out.write(le16(1)); out.write(le16(24)) // planes, bpp
+    out.write(le32(0)); out.write(le32(pixelBytes)) // BI_RGB, image size
+    out.write(le32(2835)); out.write(le32(2835)) // 72 dpi
+    out.write(le32(0)); out.write(le32(0))
+    var i = 0
+    while (i < pixelBytes) {
+      out.write(if (text.isEmpty) 0 else text(i % text.length) & 0xFF)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** A real PCM WAV: 44-byte RIFF/fmt/data header + the text bytes as
+    * 8-bit mono samples at 16 kHz. */
+  def synthesizeWav(text: Array[Byte]): Array[Byte] = {
+    val sampleRate = 16000
+    val dataSize = text.length
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(1)) // PCM, mono
+    out.write(le32(sampleRate)); out.write(le32(sampleRate)) // byte rate = rate × 1 × 1
+    out.write(le16(1)); out.write(le16(8)) // block align, bits/sample
+    out.write("data".getBytes("US-ASCII")); out.write(le32(dataSize))
+    out.write(text, 0, dataSize)
+    out.toByteArray
+  }
+
+  /** Parse (width, height) out of a BMP's BITMAPINFOHEADER. */
+  def parseBmp(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    (readLe32(b, 18), readLe32(b, 22))
+  }
+
+  /** Parse (sampleRate, nSamples) out of a WAV's RIFF header. */
+  def parseWav(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 44 && new String(b, 0, 4, "US-ASCII") == "RIFF", "not a WAV")
+    (readLe32(b, 24), readLe32(b, 40) / 1) // 8-bit mono → 1 byte/sample
+  }
+
+  /** The canonical "media table" shape: (id, image payload, audio payload,
+    * meta struct) — payload construction is one map-side typed pass. */
+  def asMediaTable(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"), col("source")).as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val tb = text.getBytes("UTF-8")
+        (id, synthesizeBmp(tb), synthesizeWav(tb), tb.length.toLong, source)
+      }
+      .toDF("doc_id", "img", "wav", "text_bytes", "origin")
+      .select(col("doc_id"), col("img"), col("wav"),
+        struct(lit("image/bmp").as("mime"), col("text_bytes").as("n_text_bytes"),
+          col("origin")).as("meta"))
+  }
+
+  /** Decode = parse real header bytes back out of the payloads (map-side
+    * typed pass; blobs never shuffle). */
+  def decode(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("img"), col("wav"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .map { case (id, img, wav) =>
+        val (w, h) = parseBmp(img)
+        val (rate, n) = parseWav(wav)
+        (id, img.length.toLong, w, h, rate, n.toLong)
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "sample_rate", "n_samples")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Binary payload + metadata + stub decode, flattened to an
-    // oracle-comparable projection.
+    // Binary payloads synthesized in real formats, then decoded by
+    // parsing actual header bytes — flattened to an oracle-comparable
+    // projection (the oracle recomputes the header arithmetic from the
+    // text the payloads were derived from).
     "q32_multimodal_stub" -> ((s, d) => {
-      decodeStub(asMediaTable(documents(s, d)))
-        .select(
-          col("doc_id"),
-          col("meta.mime").as("mime"),
-          col("meta.n_bytes").as("n_bytes"),
-          col("decoded.width").as("width"),
-          col("decoded.height").as("height"))
+      decode(s, asMediaTable(s, documents(s, d)))
+        .select(col("doc_id"), lit("image/bmp").as("mime"), col("n_bytes"),
+          col("width"), col("height"), col("sample_rate"), col("n_samples"))
         .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the synthesis arithmetic: BMP dims from text length, file
+    // size = 54-byte header + 4-byte-aligned rows × height; WAV samples =
+    // one byte per UTF-8 text byte at 16 kHz.
     "q32_multimodal_stub" ->
-      """SELECT doc_id, 'text/plain' AS mime,
-         octet_length(encode(text)) AS n_bytes,
+      """SELECT doc_id, 'image/bmp' AS mime,
+         54 + ((octet_length(encode(text)) % 64 + 1) * 3 + 3) // 4 * 4
+            * ((octet_length(encode(text)) // 64) % 64 + 1) AS n_bytes,
          octet_length(encode(text)) % 64 + 1 AS width,
-         (octet_length(encode(text)) // 64) % 64 + 1 AS height
+         (octet_length(encode(text)) // 64) % 64 + 1 AS height,
+         16000 AS sample_rate,
+         octet_length(encode(text)) AS n_samples
          FROM documents ORDER BY doc_id"""
   )
 }

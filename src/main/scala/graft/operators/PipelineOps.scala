@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third wave of pipeline operators a production lakehouse engine needs:
+  * MERGE-style upsert, bloom-filter-prunable selective joins, exact and
+  * sketch-based quantiles, and date-spine gap filling.
+  */
+object PipelineOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGE INTO analog (Delta/Iceberg-style upsert) without a table
+    // format: changeset = updates (price bump on matched keys) + inserts
+    // (new negative keys). Implemented as a full-outer join on the merge
+    // key + per-column coalesce — the exact shape MERGE compiles to. At
+    // scale the join shuffles on the merge key; with a bucketed base
+    // table the shuffle drops to the (small) changeset side only.
+    "q55_merge_upsert" -> ((s, d) => {
+      val base = orders(s, d)
+      // bit-exact double arithmetic (+ and /2) so Spark and the oracle
+      // agree without decimal-rounding half-way hazards
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("key"),
+          (col("o_totalprice") + 1000.0).as("new_price"))
+      val inserts = base.filter(col("o_orderkey") % 997 === 1)
+        .select((-col("o_orderkey")).as("key"),
+          (col("o_totalprice") / 2).as("new_price"))
+      val changes = updates.unionByName(inserts)
+      base.join(changes, col("o_orderkey") === col("key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("key")).as("merge_key"),
+          when(col("o_orderkey").isNull, lit("INSERT"))
+            .when(col("key").isNull, lit("KEEP"))
+            .otherwise(lit("UPDATE")).as("op"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"),
+          coalesce(col("o_orderstatus"), lit("N")).as("status"))
+        .orderBy(col("merge_key"))
+    }),
+
+    // Selective dimension-filtered fact join — the classic shape Spark's
+    // runtime bloom-filter pruning accelerates: the filtered orders side
+    // seeds a bloom filter that prunes lineitem rows BEFORE the shuffle
+    // (PlanSpec asserts the BloomFilterMightContain injection). Result is
+    // exact regardless — the bloom is a pre-filter, not an approximation.
+    "q56_bloom_join" -> ((s, d) => {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      lineitem(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Exact multi-quantile per group: Spark's `percentile` (exact,
+    // linear-interpolation) — the ground truth the sketch in q59 is
+    // checked against. Exact percentile sorts each group's values; at
+    // 100 TB use q59's sketch instead.
+    "q57_percentiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Date-spine gap filling: generate the full month × status grid and
+    // left-join the real monthly aggregates, so downstream time series
+    // see explicit zeros instead of missing rows. The spine is a
+    // single-row sequence explode (tiny); the only real shuffle is the
+    // monthly aggregation's.
+    "q58_date_spine" -> ((s, d) => {
+      val o = orders(s, d)
+      val bounds = o.agg(
+        date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month")))
+          .as("month_ts"))
+        .select(to_date(col("month_ts")).as("month"))
+      val statuses = o.select(col("o_orderstatus")).distinct()
+      val counts = o
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      spine.crossJoin(statuses)
+        .join(counts, Seq("month", "o_orderstatus"), "left")
+        .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+          col("o_orderstatus"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+        .orderBy(col("month"), col("o_orderstatus"))
+    }),
+
+    // Sketch quantile (t-digest-style percentile_approx) next to the
+    // exact value, with the error bound asserted IN-QUERY (same pattern
+    // as q43): the boolean is deterministic-by-contract and hashable,
+    // while the raw sketch value (which DuckDB can't replay) stays out
+    // of the hash.
+    "q59_approx_quantile" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("ap"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("ap") - col("exact_p50")) <= col("exact_p50") * 0.01)
+            .as("approx_within_1pct"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q55_merge_upsert" ->
+      """WITH updates AS (
+           SELECT o_orderkey AS key, o_totalprice + 1000.0 AS new_price
+           FROM orders WHERE o_orderkey % 7 = 0),
+         inserts AS (
+           SELECT -o_orderkey AS key, o_totalprice / 2 AS new_price
+           FROM orders WHERE o_orderkey % 997 = 1),
+         changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+         SELECT
+           coalesce(o.o_orderkey, c.key) AS merge_key,
+           CASE WHEN o.o_orderkey IS NULL THEN 'INSERT'
+                WHEN c.key IS NULL THEN 'KEEP'
+                ELSE 'UPDATE' END AS op,
+           coalesce(c.new_price, o.o_totalprice) AS price,
+           coalesce(o.o_orderstatus, 'N') AS status
+         FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.key
+         ORDER BY merge_key""",
+    "q56_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q57_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+         round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q58_date_spine" ->
+      """WITH bounds AS (
+           SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                  date_trunc('month', max(o_orderdate)) AS hi
+           FROM orders),
+         spine AS (
+           SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+             INTERVAL '1 month'))::DATE AS month
+           FROM bounds),
+         statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
+         counts AS (
+           SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price
+           FROM orders GROUP BY 1, 2)
+         SELECT strftime(s.month, '%Y-%m-%d') AS month,
+           st.o_orderstatus AS o_orderstatus,
+           coalesce(c.n_orders, 0) AS n_orders,
+           coalesce(c.sum_price, 0) AS sum_price
+         FROM spine s CROSS JOIN statuses st
+         LEFT JOIN counts c ON c.month = s.month
+           AND c.o_orderstatus = st.o_orderstatus
+         ORDER BY month, st.o_orderstatus""",
+    "q59_approx_quantile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+         TRUE AS approx_within_1pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

@@ -25,8 +25,13 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingQueries {
 
   /** Replay a parquet table as a file-source stream, run `build`, collect
-    * the final complete-mode result from a memory sink. */
-  private def runStream(s: SparkSession, d: String, table: String, sinkName: String)(
+    * the final result from a memory sink. `outputMode` "complete" gives
+    * the batch-equivalent answer for bounded replay; "append" (with a
+    * watermark inside `build`) exercises the PRODUCTION path — only
+    * windows finalized by the watermark are emitted, state is evicted as
+    * the watermark advances, and late rows beyond the delay are dropped. */
+  private def runStream(s: SparkSession, d: String, table: String, sinkName: String,
+      outputMode: String = "complete")(
       build: DataFrame => DataFrame): DataFrame = {
     val path = s"$d/$table.parquet"
     // events.ts is parquet TIMESTAMP(NANOS) — read as raw long nanos and
@@ -47,7 +52,7 @@ object StreamingQueries {
     val q = build(src).writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -93,6 +98,71 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // PRODUCTION streaming path: tumbling windows with a 30-minute
+    // WATERMARK in APPEND mode — only windows the watermark has finalized
+    // are emitted, and their state is evicted (bounded state at scale; the
+    // complete-mode q33 is the bounded-replay twin). Deterministic on the
+    // bounded fixture: after the last batch the watermark settles at
+    // max(ts) - 30min, so exactly the windows ending at or before it are
+    // in the sink — which is what the DuckDB oracle computes.
+    "q52_stream_append" -> ((s, d) => {
+      runStream(s, d, "events", "sink_append", outputMode = "append") { src =>
+        src.withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      }
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Watermarked session windows in append mode: sessions whose end
+    // (last event + 30-minute gap) precedes the final watermark are
+    // emitted and their state dropped — the unbounded-stream contract.
+    "q53_stream_session_append" -> ((s, d) => {
+      runStream(s, d, "events", "sink_session_append", outputMode = "append") { src =>
+        src.withWatermark("ts", "30 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // Stream-stream inner join: clicks joined to purchases by the same
+    // user within [click, click + 30min]. Both sides carry watermarks so
+    // the symmetric-hash-join state is evicted as event time advances —
+    // without the time bound + watermark the join state would grow
+    // without limit on an unbounded stream. Inner-join matches are
+    // emitted as both sides arrive, so bounded replay equals the batch
+    // join (the oracle).
+    "q54_stream_stream_join" -> ((s, d) => {
+      val path = s"$d/events.parq*"
+      graft.Tables.nanosTs(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def side(tpe: String, alias: String) =
+        s.readStream.schema(schema).parquet(path)
+          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+            col("ts").as(s"${alias}_ts"))
+          .withWatermark(s"${alias}_ts", "30 minutes")
+      s.catalog.dropTempView("sink_ss_join")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""))
+      val q = joined.writeStream.format("memory").queryName("sink_ss_join")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("sink_ss_join")
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // Session windows per user with a 30-minute inactivity gap.
     "q35_stream_session" -> ((s, d) => {
       runStream(s, d, "events", "sink_session") { src =>
@@ -107,6 +177,51 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Append mode emits exactly the windows whose end precedes the final
+    // watermark = max(event time at ms precision) - 30min. Spark tracks
+    // the watermark in milliseconds, hence the ms truncation of max(ts).
+    "q52_stream_append" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+         FROM events
+         WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <=
+           (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes'
+            FROM events)
+         GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q53_stream_session_append" ->
+      """WITH gaps AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               >= INTERVAL '30 minutes' OR
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         islands AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM gaps),
+         sess AS (
+           SELECT user_id, min(ts) AS s_start, max(ts) AS s_end, count(*) AS n_events
+           FROM islands GROUP BY user_id, sess_id)
+         SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS sess_start,
+           n_events
+         FROM sess
+         WHERE s_end + INTERVAL '30 minutes' <=
+           (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes'
+            FROM events)
+         ORDER BY user_id, sess_start""",
+    // Inner stream-stream join emits every match once both sides arrive,
+    // so bounded replay equals the batch interval join.
+    "q54_stream_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+         p.event_id AS purchase_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+         ORDER BY user_id, click_id, purchase_id""",
     "q46_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",

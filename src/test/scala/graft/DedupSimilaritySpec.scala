@@ -17,9 +17,10 @@ class DedupSimilaritySpec extends TestSpark {
     assert(exact.nonEmpty, "fixture should contain near-duplicates")
     // LSH candidates are verified by exact jaccard, so no false positives:
     assert(lsh.subsetOf(exact))
-    // 16 bands x 4 rows at j>=0.8 : P(miss) = (1-j^4)^16 <= 2.3% per pair.
-    val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+    // 16 bands x 4 rows at j>=0.8 : P(miss) = (1-j^4)^16 <= 2.3e-4 per
+    // pair — q27's DuckDB oracle assumes full recall on the fixture;
+    // pin exact equality here (deterministic: fixed permutation seed).
+    assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
   }
 
   test("minhash signatures are deterministic across runs") {
@@ -28,17 +29,29 @@ class DedupSimilaritySpec extends TestSpark {
     assert(s1.sameElements(s2))
   }
 
-  test("simhash near-dup pairs overlap heavily with exact near-dups") {
+  test("simhash hamming candidates overlap heavily with exact near-dups") {
     val exact = Dedup.queries("q29_ngram_jaccard")(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.queries("q28_dedup_simhash")(spark, sf0001)
+    val sim = Dedup.simhashPairs(spark, sf0001).filter(col("hamming") <= 6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sim.nonEmpty)
     // SimHash measures token-frequency similarity, not shingle jaccard —
-    // expect strong but not perfect agreement.
+    // expect strong but not perfect agreement on the raw candidates.
     val hits = exact.count(sim.contains)
     assert(hits.toDouble / exact.size >= 0.5,
       s"simhash found only $hits of ${exact.size} exact near-dup pairs")
+  }
+
+  test("q28 (simhash candidates + exact-jaccard verify) matches the exact join") {
+    // q28's DuckDB oracle is the exact all-pairs join; that holds because
+    // verification kills false positives and Hamming<=6 banding has full
+    // recall on the fixture's heavy-copy near-dups. Pin it here.
+    val exact = Dedup.queries("q29_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.queries("q28_dedup_simhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exact,
+      s"missed: ${exact -- verified}; extra: ${verified -- exact}")
   }
 
   test("exact dedup groups: every group keeps its minimum doc_id") {

@@ -89,6 +89,31 @@ class MapReduceParitySpec extends TestSpark {
     assert(dfCounts == oracle)
   }
 
+  test("text sink: written part files sorted-compare to the oracle (test-mr.sh:90)") {
+    // The reference's harness compares ACTUAL output files after
+    // `sort mr-out* | grep .` (reference: src/main/test-mr.sh:90) — do the
+    // same at file level: run distributed, writeText, read the part files
+    // back as plain text, and sorted-diff against the sequential oracle.
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mrout").toString
+    try {
+      val result = MapReduceJob.run(spark, pgGlob, RefApps.WordCount, numReduce = 10)
+      MapReduceJob.writeText(result, outDir)
+      val partFiles = new java.io.File(outDir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      assert(partFiles.nonEmpty, s"no part files written to $outDir")
+      val written = partFiles.flatMap { f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq
+      }.toSeq.sorted
+      val oracle = sortedLines(SequentialOracle.runOnFiles(RefApps.WordCount, pgFiles))
+      assert(written == oracle, {
+        val diff = written.diff(oracle) ++ oracle.diff(written)
+        s"file-level output differs from oracle; first diffs: ${diff.take(5)}"
+      })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outDir))
+    }
+  }
+
   test("values order within a key is reducer-sorted, not shuffle-dependent") {
     // CrashShape.reduce sorts its values (as the reference's order-sensitive
     // reducers do — indexer.go:37, crash.go:50); two runs must agree.

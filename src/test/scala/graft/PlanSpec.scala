@@ -44,6 +44,75 @@ class PlanSpec extends TestSpark {
       "expected partial + final HashAggregate")
   }
 
+  test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
+    // round-1 regression: assignment used groupBy(vec_id, embedding) and
+    // shuffled every vector. Now assignment is a map-side argmax over
+    // broadcast-collected centroid literals — the streamed (corpus) side
+    // of the candidate BroadcastHashJoin must contain no Exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.functions.Similarity.queries("q31_ann_ivf")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // descend through AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec
+    // hide their materialized subtrees from .children)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(allNodes)) ++ p.subqueries.flatMap(allNodes)
+    }
+    val joins = allNodes(plan).collect { case b: BroadcastHashJoinExec => b }
+    assert(joins.nonEmpty, s"expected a BroadcastHashJoin:\n${plan.toString.take(3000)}")
+    joins.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case _ => j.left
+      }
+      val s = streamed.toString
+      assert(!s.contains("Exchange hashpartitioning") && !s.contains("ShuffleQueryStage"),
+        s"corpus side was shuffled before the candidate join:\n${s.take(3000)}")
+    }
+  }
+
+  test("q56-shaped selective join gets a runtime bloom filter injected") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        s"no bloom filter injected into the selective shuffle join:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q27 minhash reuses ONE cached shingle scan across its consumers") {
+    val df = graft.functions.Dedup.queries("q27_dedup_minhash")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // signatures + both verification joins must read the persisted shingle
+    // relation (InMemoryTableScan), not re-run the tokenize+shingle pass.
+    val cachedScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cachedScans >= 3,
+      s"expected >=3 InMemoryTableScans of the shared shingle relation, " +
+        s"found $cachedScans:\n${plan.take(3000)}")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     // AQE shows isFinalPlan=false pre-execution with no codegen spans —
     // execute first, then inspect the final plan.

@@ -27,6 +27,100 @@ class StreamingSpec extends TestSpark {
     assert(total == 2 * nEvents)
   }
 
+  test("append mode with watermark emits only finalized windows (q52 vs q33)") {
+    val appended = StreamingQueries.queries("q52_stream_append")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val complete = StreamingQueries.queries("q33_stream_tumbling")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // append emits a strict subset: finalized windows agree exactly with
+    // the complete-mode answer; the trailing windows (within the 30-min
+    // watermark delay of max event time) are withheld.
+    assert(appended.subsetOf(complete))
+    assert(appended.nonEmpty && appended.size < complete.size)
+    val withheld = complete -- appended
+    val maxStart = withheld.map(_._1).max
+    assert(complete.filter(_._1 == maxStart).subsetOf(withheld),
+      "the latest window must be among the withheld ones")
+  }
+
+  test("late data beyond the watermark is dropped (production path + checkpoint recovery)") {
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
+    new java.io.File(inDir).mkdirs()
+    import spark.implicits._
+    def write(name: String, rows: Seq[(java.sql.Timestamp, String)]): Unit = {
+      rows.toDF("ts", "k").repartition(1).write.parquet(s"$base/stage_$name")
+      // move the single part file in atomically, as a file source expects
+      val part = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+      ()
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a fault-tolerant FILE sink (memory sink cannot restart from a
+    // checkpoint): emitted rows accumulate in outDir across restarts
+    def runBatch(): Unit = {
+      val src = spark.readStream
+        .schema("ts timestamp, k string").parquet(inDir)
+      val q = src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("date_format(window.start, 'HH:mm') as w", "k", "n")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Set[(String, String, Long)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      // run 1: two on-time rows in the 10:00 window, then 11:00 advances
+      // the watermark to 10:50 → the 10:00-10:10 window is finalized.
+      write("f1", Seq((ts("2024-01-01 10:00:30"), "a"),
+        (ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 11:00:00"), "a")))
+      runBatch()
+      val run1 = emitted()
+      assert(run1 == Set(("10:00", "a", 2L)), s"run1 emitted $run1")
+      // run 2 (same checkpoint → watermark restored at 10:50): a LATE row
+      // at 10:02 must be dropped, not re-open the finalized window; 12:00
+      // advances the watermark past the 11:00 window.
+      write("f2", Seq((ts("2024-01-01 10:02:00"), "a"),
+        (ts("2024-01-01 12:00:00"), "a")))
+      runBatch()
+      val run2 = emitted()
+      // the finalized 10:00 window is NOT re-emitted or amended (the late
+      // row was dropped), and the 11:00 window appears exactly once with
+      // only its on-time row
+      assert(run2 == Set(("10:00", "a", 2L), ("11:00", "a", 1L)),
+        s"late row changed the output: $run2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("stream-stream join equals the batch interval join (q54)") {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val streamed = StreamingQueries.queries("q54_stream_stream_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        expr("p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("c_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("session windows partition each user's events") {
     val sessions = StreamingQueries.queries("q35_stream_session")(spark, sf0001)
     val perUser = sessions.groupBy(col("user_id"))
