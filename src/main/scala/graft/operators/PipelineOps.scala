@@ -99,6 +99,66 @@ object PipelineOps {
         .orderBy(col("month"), col("o_orderstatus"))
     }),
 
+    // Token-budget sequence packing — the LLM-training preprocessing step
+    // that assigns documents to fixed-budget training sequences. Greedy
+    // start-offset packing: a doc joins the sequence its preceding
+    // cumulative token count falls into. Packing is per-SHARD (32 shards
+    // by doc_id) so at 100 TB the running sum is 32 independent window
+    // partitions, not one global single-partition sort.
+    "q60_token_packing" -> ((s, d) => {
+      val budget = 2048
+      val shards = 32
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+            .as("n_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+        .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          floor(col("prev_tokens") / budget).cast("long").as("seq_in_shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic content-hash sampling (stratified report): sampling by
+    // md5-prefix is reproducible across engines and runs — no RNG state,
+    // no seed coordination; any worker can decide membership locally.
+    // Keeps docs whose md5(text) starts with 0 or 1 (2/16 = 12.5%).
+    "q61_hash_sample" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(substring(md5(col("text")), 1, 1).isin("0", "1"), 1L)
+            .otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // TF-IDF top terms per document: tokenize → per-doc term frequency →
+    // document frequency → tf·ln(N/df), top-3 terms per doc. The df
+    // relation is vocabulary-sized (partial-aggregated); the per-doc
+    // top-k is a WindowGroupLimit, not a full sort.
+    "q62_tfidf_top_terms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.count()
+      val toks = docs
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= "")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Sketch quantile (t-digest-style percentile_approx) next to the
     // exact value, with the error bound asserted IN-QUERY (same pattern
     // as q43): the boolean is deterministic-by-contract and hashable,
@@ -175,6 +235,45 @@ object PipelineOps {
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
          TRUE AS approx_within_1pct
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q60_token_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_tokens,
+             doc_id % 32 AS shard
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+           FROM t)
+         SELECT doc_id, n_tokens, shard,
+           CAST(floor(prev_tokens / 2048.0) AS BIGINT) AS seq_in_shard
+         FROM c ORDER BY doc_id""",
+    "q61_hash_sample" ->
+      """SELECT lang, count(*) AS n_total,
+         count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0', '1'))
+           AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q62_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(text, '[^\p{L}]+'), x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
+           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, tok ASC) AS rk
+           FROM scored)
+         SELECT doc_id, rk, tok, score FROM ranked
+         WHERE rk <= 3 ORDER BY doc_id, rk"""
   )
 }

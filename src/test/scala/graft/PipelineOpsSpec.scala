@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.PipelineOps
+import org.apache.spark.sql.functions._
+
+/** Sanity/property checks for the third-wave pipeline operators (the
+  * value-exact check is the DuckDB oracle; these pin the semantic
+  * contracts the oracle can't express).
+  */
+class PipelineOpsSpec extends TestSpark {
+
+  test("merge upsert: every base row survives, changeset applied exactly") {
+    val merged = PipelineOps.queries("q55_merge_upsert")(spark, sf0001)
+    val byOp = merged.groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.orders(spark, sf0001)
+    val nBase = base.count()
+    val nUpd = base.filter(col("o_orderkey") % 7 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 997 === 1).count()
+    assert(byOp.getOrElse("UPDATE", 0L) == nUpd)
+    assert(byOp.getOrElse("INSERT", 0L) == nIns)
+    assert(byOp.getOrElse("KEEP", 0L) == nBase - nUpd)
+    assert(merged.count() == nBase + nIns)
+  }
+
+  test("token packing: a sequence never starts past its shard's token stream") {
+    // start-offset packing property: within a (shard, seq) bucket, every
+    // doc's preceding cumulative count lies inside the bucket's window —
+    // so sequence ids are contiguous from 0 per shard.
+    val packed = PipelineOps.queries("q60_token_packing")(spark, sf0001)
+    val perShard = packed.groupBy(col("shard"))
+      .agg(min(col("seq_in_shard")).as("lo"),
+        max(col("seq_in_shard")).as("hi"),
+        countDistinct(col("seq_in_shard")).as("n"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L, s"shard ${r.get(0)} does not start at seq 0")
+      assert(r.getAs[Long]("n") == r.getAs[Long]("hi") + 1,
+        s"shard ${r.get(0)} has gaps in its sequence ids")
+    }
+    // and no doc is split: every doc appears exactly once
+    assert(packed.count() == Tables.documents(spark, sf0001).count())
+  }
+
+  test("hash sampling is deterministic and lands near the 12.5% design rate") {
+    val s1 = PipelineOps.queries("q61_hash_sample")(spark, sf0001).collect()
+    val s2 = PipelineOps.queries("q61_hash_sample")(spark, sf0001).collect()
+    assert(s1.sameElements(s2))
+    val total = s1.map(_.getAs[Long]("n_total")).sum
+    val sampled = s1.map(_.getAs[Long]("n_sampled")).sum
+    val rate = sampled.toDouble / total
+    assert(rate > 0.05 && rate < 0.25, s"sample rate $rate far from 2/16")
+  }
+
+  test("tf-idf: top terms are per-doc distinct and scores non-increasing") {
+    val rows = PipelineOps.queries("q62_tfidf_top_terms")(spark, sf0001).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[String]("tok")).distinct.length == byRank.length)
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"doc $id scores not non-increasing: ${scores.mkString(",")}")
+    }
+  }
+
+  test("exact percentiles are ordered p25 <= p50 <= p75 <= p95") {
+    PipelineOps.queries("q57_percentiles")(spark, sf0001).collect().foreach { r =>
+      val Seq(p25, p50, p75, p95) =
+        Seq("p25", "p50", "p75", "p95").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+  }
+
+  test("date spine has no gaps: every month x status present") {
+    val rows = PipelineOps.queries("q58_date_spine")(spark, sf0001).collect()
+    val months = rows.map(_.getAs[String]("month")).distinct
+    val statuses = rows.map(_.getAs[String]("o_orderstatus")).distinct
+    assert(rows.length == months.length * statuses.length,
+      "spine must be the full cross product")
+    // gap filling is the point: some (month, status) cells must be zeros
+    assert(rows.exists(_.getAs[Long]("n_orders") == 0L))
+  }
+}
