@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Aggregates the full query inventory: relational operators
-  * (q01-q18), text/MapReduce operators over documents (q19-q25),
-  * dedup (q26-q29), similarity search (q30-q31), multimodal plumbing
-  * (q32), and Structured Streaming (q33-q35). Every query with a
-  * DuckDB-expressible twin has an entry in [[oracleSql]]; the rest
-  * (probabilistic LSH methods) get the driver's rows-only check and are
-  * verified against exact ground truth in the ScalaTest suite instead.
+  * Aggregates the full query inventory: relational operators (q01-q18,
+  * q37-q40, q45, q47-q51, q55-q59), text/MapReduce operators over
+  * documents (q19-q25, q60-q62), dedup (q26-q29), similarity search and
+  * embedding ops (q30-q31, q41, q63), multimodal decode (q32), and
+  * Structured Streaming incl. the watermark+append production path and
+  * stream-stream joins (q33-q36, q46, q52-q54, q64). EVERY query has a
+  * DuckDB oracle in [[oracleSql]] — the probabilistic paths (MinHash,
+  * SimHash, IVF) verify their candidates with exact deterministic math
+  * so the exact result is their oracle too, with recall additionally
+  * pinned in the ScalaTest suite.
   */
 object SparkEntry {
 
@@ -27,6 +30,7 @@ object SparkEntry {
       functions.Dedup.queries ++
       functions.Similarity.queries ++
       functions.Embeddings.queries ++
+      functions.Embeddings.quantizeQueries ++
       functions.LangId.queries ++
       functions.CustomAgg.queries ++
       operators.SaltedJoin.queries ++

@@ -42,7 +42,44 @@ object Embeddings {
     })
   )
 
+  /** Max-abs int8 quantization of the embedding column — the standard
+    * pre-ANN compression (scale = max|x|, q_i = floor(x_i·127/scale)).
+    * Map-side only; the oracle compares per-vector integer aggregates of
+    * the quantized values (sum/min/max), which pin every element through
+    * the deterministic floor. */
+  val quantizeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_embedding_quantize" -> ((s, d) => {
+      val mx = array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+      val quant = transform(col("embedding"),
+        v => when(col("scale") > 0,
+          floor(v.cast("double") * 127.0 / col("scale")).cast("long"))
+          .otherwise(lit(0L)))
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), mx.as("scale"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          quant.as("q"))
+        .select(col("vec_id"), col("scale_r"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "q63_embedding_quantize" ->
+      """WITH t AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, round(scale, 6) AS scale_r,
+             list_transform(e, x -> CASE WHEN scale > 0
+               THEN CAST(floor(x * 127.0 / scale) AS BIGINT) ELSE 0 END) AS qv
+           FROM t)
+         SELECT vec_id, scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min, list_max(qv) AS q_max
+         FROM q ORDER BY vec_id""",
     "q41_centroids" ->
       """SELECT label, i AS pos,
          round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS avg_val

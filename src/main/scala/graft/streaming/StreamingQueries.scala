@@ -163,6 +163,39 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // LEFT-OUTER stream-stream join — the production semantics where an
+    // unmatched left row is emitted (with nulls) only once the watermark
+    // proves no match can still arrive. On bounded replay that means:
+    // matched pairs always emit; unmatched clicks emit iff their match
+    // window (click + 30min) closed under the final global watermark
+    // (min of both sides' max event time, minus the 30-min delay) —
+    // exactly what the oracle computes.
+    "q64_stream_outer_join" -> ((s, d) => {
+      val path = s"$d/events.parq*"
+      graft.Tables.nanosTs(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def side(tpe: String, alias: String) =
+        s.readStream.schema(schema).parquet(path)
+          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+            col("ts").as(s"${alias}_ts"))
+          .withWatermark(s"${alias}_ts", "30 minutes")
+      s.catalog.dropTempView("sink_outer_join")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+      val q = joined.writeStream.format("memory").queryName("sink_outer_join")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("sink_outer_join")
+        .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // Session windows per user with a 30-minute inactivity gap.
     "q35_stream_session" -> ((s, d) => {
       runStream(s, d, "events", "sink_session") { src =>
@@ -221,6 +254,37 @@ object StreamingQueries {
            ON c.user_id = p.user_id
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+         ORDER BY user_id, click_id, purchase_id""",
+    // Matched pairs = the batch interval join; unmatched clicks appear
+    // (null purchase) iff click_ts + 30min closed under the final global
+    // watermark = min(max click ts, max purchase ts at ms precision) - 30min.
+    "q64_stream_outer_join" ->
+      """WITH wm AS (
+           SELECT least(
+             (SELECT date_trunc('milliseconds', max(ts)) FROM events
+              WHERE event_type = 'click'),
+             (SELECT date_trunc('milliseconds', max(ts)) FROM events
+              WHERE event_type = 'purchase'))
+             - INTERVAL '30 minutes' AS w),
+         matches AS (
+           SELECT c.user_id AS user_id, c.event_id AS click_id,
+             p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+           FROM events c JOIN events p
+             ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'),
+         unmatched AS (
+           SELECT c.user_id AS user_id, c.event_id AS click_id,
+             NULL::BIGINT AS purchase_id, NULL::BIGINT AS gap_us
+           FROM events c, wm
+           WHERE c.event_type = 'click'
+             AND c.ts + INTERVAL '30 minutes' <= wm.w
+             AND NOT EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'))
+         SELECT * FROM (SELECT * FROM matches UNION ALL SELECT * FROM unmatched)
          ORDER BY user_id, click_id, purchase_id""",
     "q46_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
