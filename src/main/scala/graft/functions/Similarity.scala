@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two array columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-fold dot product of two array columns in double precision —
+    * a codegen'd native expression (see [[VecDot]]); numerically identical
+    * to the interpreted `aggregate(zip_with(...))` formulation it
+    * replaced, but it stays inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = VecDot.vecDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
