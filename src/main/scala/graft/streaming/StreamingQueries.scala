@@ -49,13 +49,24 @@ object StreamingQueries {
     // Re-entrant: drop a stale sink table from a previous run in the
     // same session (Bench runs queries repeatedly).
     s.catalog.dropTempView(sinkName)
-    val q = build(src).writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store parallelism: each shuffle partition materializes a
+    // state-store instance per micro-batch (checkpoint dir + provider);
+    // at fixture scale that fixed cost dominates the runtime, so size the
+    // streaming shuffle down — a production deployment sizes this to
+    // state volume, not to the session's batch shuffle width. The query
+    // pins its partition count at start, so restoring the conf after
+    // start() doesn't affect the running stream.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build(src).writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sinkName)
   }
 
