@@ -37,7 +37,8 @@ object SparkEntry {
       plans.TopKPerGroup.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries ++
-      streaming.StatefulCounts.queries
+      streaming.StatefulCounts.queries ++
+      streaming.StatefulCounts.rocksDbQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
