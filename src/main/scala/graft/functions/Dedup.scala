@@ -189,14 +189,12 @@ object Dedup {
     // SimHash near-dedup: candidates from 64-bit sign-aggregated
     // token-frequency hashes (block-pair banding, Hamming ≤ 12 cutoff),
     // then — like the production pipeline and q27 — exact-Jaccard
-    // verification of the candidate set at threshold 0.8. Verification
-    // removes SimHash's false positives, so a LOOSE recall-oriented
-    // Hamming cutoff costs only verification work (candidates are still
-    // bucket-limited), never precision — measured: shingle-Jaccard-0.8
-    // pairs reach SimHash distance 9 on the fixture. Output is
-    // oracle-checkable against the exact join; raw Hamming pairs stay
-    // available via [[simhashPairs]] and are covered by
-    // DedupSimilaritySpec.
+    // verification of the candidate set at threshold 0.8. The token hash
+    // is md5-derived, so the DuckDB oracle REPLAYS the whole algorithm
+    // (signatures → banding → Hamming → Jaccard) — the check is exact by
+    // construction at any scale, with no recall assumption (verified at
+    // sf0.1 where xxhash-era full-recall luck ran out). Raw Hamming pairs
+    // stay available via [[simhashPairs]] for DedupSimilaritySpec.
     "q28_dedup_simhash" -> ((s, d) => {
       verifyJaccardWith(sharedShingles(s, d),
         simhashPairs(s, d).filter(col("hamming") <= 12)
@@ -233,6 +231,18 @@ object Dedup {
     * token-frequency hash, 16-bit bands for candidate generation, exact
     * Hamming distance on candidates. The raw (doc_a, doc_b, hamming)
     * relation — q28 verifies these candidates with exact Jaccard. */
+  /** 64-bit token hash assembled from the first 16 hex chars of md5 —
+    * chosen over xxhash64 because BOTH engines compute md5 identically,
+    * which lets the DuckDB oracle replay the entire SimHash algorithm
+    * instead of trusting recall. The signed-adjust + multiply form stays
+    * inside BIGINT range on both sides (DuckDB rejects overflowing
+    * shifts); bits are identical to (hi << 32) | lo. */
+  private def tokHash(c: Column): Column = {
+    val hi = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+    (hi - when(hi >= 2147483648L, 4294967296L).otherwise(0L)) * 4294967296L + lo
+  }
+
   /** 64-bit SimHash signature per document: sign-aggregated
     * token-frequency hash (one aggregation, vocabulary-sized shuffle). */
   def simhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -240,7 +250,7 @@ object Dedup {
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("h", xxhash64(col("tok")))
+        .withColumn("h", tokHash(col("tok")))
       val bitSums = (0 until 64).map { k =>
         sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, col("cnt"))
           .otherwise(-col("cnt"))).as(s"b$k")
@@ -317,7 +327,74 @@ object Dedup {
          count(*) AS n_dups
          FROM documents GROUP BY content_hash ORDER BY keep_id""",
     "q27_dedup_minhash" -> exactJaccardSql,
-    "q28_dedup_simhash" -> exactJaccardSql,
+    // Full algorithmic replay of q28: md5-derived 64-bit token hash,
+    // sign-aggregated signature, C(8,2) block-pair banding, Hamming ≤ 12,
+    // exact shingle-Jaccard ≥ 0.8 on the candidates. Shift semantics:
+    // (x >> k) & mask is identical for arithmetic and logical shifts, and
+    // summing distinct bit values (with bit 63 as Long.MinValue) equals
+    // the bitwise OR on both engines.
+    "q28_dedup_simhash" ->
+      """WITH tokcnt AS (
+           SELECT doc_id, tok, count(*) AS cnt FROM (
+             SELECT doc_id, unnest(list_filter(
+               string_split_regex(text, '[^\p{L}]+'), x -> x <> '')) AS tok
+             FROM documents)
+           GROUP BY doc_id, tok),
+         hashed AS (
+           SELECT doc_id, cnt,
+             (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+               - CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296
+               + CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h
+           FROM tokcnt),
+         bits AS (
+           SELECT doc_id, k,
+             CASE WHEN sum(CASE WHEN ((h >> k) & 1) = 1 THEN cnt ELSE -cnt END) >= 0
+               THEN CASE WHEN k = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+               ELSE 0 END AS bit
+           FROM hashed, range(64) t(k)
+           GROUP BY doc_id, k),
+         sigs AS (
+           SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, simhash, i, j,
+             ((simhash >> CAST(i * 8 AS INTEGER)) & 255) * 256
+               + ((simhash >> CAST(j * 8 AS INTEGER)) & 255) AS bucket
+           FROM sigs, (SELECT a.i AS i, b.j AS j
+                       FROM range(8) a(i), range(8) b(j) WHERE a.i < b.j)),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             l.simhash AS sa, r.simhash AS sb
+           FROM banded l JOIN banded r
+             ON l.i = r.i AND l.j = r.j AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id),
+         ham AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE bit_count(xor(sa, sb)) <= 12),
+         t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+             FROM t WHERE len(toks) >= 3)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           JOIN ham ON ham.doc_a = a.doc_id AND ham.doc_b = b.doc_id
+           GROUP BY 1, 2)
+         SELECT common.doc_a, common.doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON common.doc_a = sa.doc_id
+         JOIN sizes sb ON common.doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY doc_a, doc_b""",
     "q29_ngram_jaccard" -> exactJaccardSql
   )
 }
