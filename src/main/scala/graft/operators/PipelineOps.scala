@@ -159,6 +159,41 @@ object PipelineOps {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Latest-record-per-key (CDC-style dedup-by-recency): one windowed
+    // pass keyed on user — the canonical "current state of every entity"
+    // query over an event log. WindowGroupLimit prunes to 1 row per key
+    // before the final sort; shuffle is one exchange on the key.
+    "q67_latest_per_key" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Banded fuzzy string match (entity-resolution shape): block part
+    // names on their final word (the blocking key), verify candidates
+    // with exact Levenshtein ≤ 3. Candidates ∝ bucket sizes, never the
+    // n² pair space; both the blocking rule and the distance are
+    // replayed exactly by the oracle — no recall assumption.
+    "q68_fuzzy_match" -> ((s, d) => {
+      val named = part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+      named.alias("a")
+        .join(named.alias("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // Sketch quantile (t-digest-style percentile_approx) next to the
     // exact value, with the error bound asserted IN-QUERY (same pattern
     // as q43): the boolean is deterministic-by-contract and hashable,
@@ -256,6 +291,26 @@ object PipelineOps {
          count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0', '1'))
            AS n_sampled
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q67_latest_per_key" ->
+      """SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+         FROM (
+           SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         WHERE rk = 1 ORDER BY user_id""",
+    "q68_fuzzy_match" ->
+      """WITH named AS (
+           SELECT p_partkey, p_name,
+             list_extract(string_split(p_name, ' '), -1) AS blk
+           FROM part)
+         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+         FROM named a JOIN named b
+           ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3
+         ORDER BY key_a, key_b""",
     "q62_tfidf_top_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(
