@@ -62,8 +62,13 @@ object Dedup {
     docShingles(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   // ---- MinHash parameters (fixed seed → fully deterministic plans) ----
-  private val MinhashPerms = 64
-  private val Bands = 16 // 16 bands x 4 rows
+  // 32 bands × 4 rows: P(miss) at j≥0.8 is (1-0.8⁴)³² ≈ 5e-8 per pair —
+  // the exact-join oracle's full-recall assumption holds with margin at
+  // any fixture scale (16×4 was ≈2.3e-4/pair ⇒ ~5% odds of one miss per
+  // regenerated fixture). Row width 4 keeps the S-curve sharp: a j=0.1
+  // pair still collides in <0.4% of bands, so candidates stay linear.
+  private val MinhashPerms = 128
+  private val Bands = 32
   private val RowsPerBand = MinhashPerms / Bands
   private val P = 2147483647L // 2^31 - 1, prime; a*x+b stays < 2^62
   private val permAB: Seq[(Long, Long)] = {
