@@ -41,11 +41,10 @@ object Bench {
 
     // Min-of-3 per query: a single run is load-fragile (round-1 driver
     // numbers were inflated 12-90x by machine contention); the minimum of
-    // three back-to-back runs measures the plan, not the neighbors.
-    def best(name: String): Double = {
-      val runs = (1 to 3).map(_ => once(name))
-      if (runs.exists(_ < 0)) -1.0 else runs.min
-    }
+    // three back-to-back runs measures the plan, not the neighbors. ALL
+    // three times are emitted too, so a contended run is identifiable
+    // from the artifact alone (min ≪ max ⇒ the machine, not the plan).
+    def runs3(name: String): Seq[Double] = (1 to 3).map(_ => once(name))
 
     // JVM/codegen warmup on the smallest SF so headline numbers measure
     // the plan, not first-run compilation.
@@ -58,11 +57,29 @@ object Bench {
       }
     }
 
-    val results = headline.map(n => n -> best(n))
+    // System load BEFORE and AFTER the timed section: a loadavg far above
+    // the core count means neighbors were stealing the CPUs and the wall
+    // times below overstate the plans' cost.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+
+    val loadBefore = loadavg()
+    val allRuns = headline.map(n => n -> runs3(n))
+    val loadAfter = loadavg()
+    val results = allRuns.map { case (k, rs) =>
+      k -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

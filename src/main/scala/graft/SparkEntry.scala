@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Aggregates the full query inventory: relational operators (q01-q18,
   * q37-q40, q45, q47-q51, q55-q59), text/MapReduce operators over
-  * documents (q19-q25, q60-q62), dedup (q26-q29), similarity search and
-  * embedding ops (q30-q31, q41, q63), multimodal decode (q32), and
-  * Structured Streaming incl. the watermark+append production path and
-  * stream-stream joins (q33-q36, q46, q52-q54, q64). EVERY query has a
+  * documents (q19-q25, q60-q62), dedup (q26-q29, q67-q68), similarity
+  * search and embedding ops (q30-q31, q41, q63), multimodal decode (q32),
+  * SQL-registered native expressions (q71), and Structured Streaming
+  * incl. the watermark+append production path, stream-stream joins,
+  * bounded-state dedup, and event-time-timer sessions (q33-q36, q46,
+  * q52-q54, q64-q66, q69-q70). EVERY query has a
   * DuckDB oracle in [[oracleSql]] — the probabilistic paths (MinHash,
   * SimHash, IVF) verify their candidates with exact deterministic math
   * so the exact result is their oracle too, with recall additionally
@@ -33,6 +35,7 @@ object SparkEntry {
       functions.Embeddings.quantizeQueries ++
       functions.LangId.queries ++
       functions.CustomAgg.queries ++
+      functions.SqlFunctions.queries ++
       operators.SaltedJoin.queries ++
       plans.TopKPerGroup.queries ++
       operators.Multimodal.queries ++
@@ -54,6 +57,7 @@ object SparkEntry {
       functions.Embeddings.oracles ++
       functions.LangId.oracles ++
       functions.CustomAgg.oracles ++
+      functions.SqlFunctions.oracles ++
       operators.SaltedJoin.oracles ++
       plans.TopKPerGroup.oracles ++
       operators.Multimodal.oracles ++

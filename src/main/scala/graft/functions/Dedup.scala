@@ -64,7 +64,7 @@ object Dedup {
   // ---- MinHash parameters (fixed seed → fully deterministic plans) ----
   // 32 bands × 4 rows: P(miss) at j≥0.8 is (1-0.8⁴)³² ≈ 5e-8 per pair —
   // the exact-join oracle's full-recall assumption holds with margin at
-  // any fixture scale (16×4 was ≈2.3e-4/pair ⇒ ~5% odds of one miss per
+  // any fixture scale (a narrower banding left ~5% odds of one miss per
   // regenerated fixture). Row width 4 keeps the S-curve sharp: a j=0.1
   // pair still collides in <0.4% of bands, so candidates stay linear.
   private val MinhashPerms = 128
@@ -180,8 +180,8 @@ object Dedup {
     // exact-Jaccard verification at threshold 0.8. ONE shared shingle scan
     // feeds signatures and both verification joins (persisted for the
     // query's lifetime). Because every candidate is verified against exact
-    // Jaccard there are no false positives, and at 16 bands × 4 rows the
-    // per-pair miss probability at j≥0.8 is ≤(1-0.8^4)^16 ≈ 2.3e-4 — so
+    // Jaccard there are no false positives, and at 32 bands × 4 rows the
+    // per-pair miss probability at j≥0.8 is ≤(1-0.8^4)^32 ≈ 5e-8 — so
     // the result equals the exact q29 join (the DuckDB oracle) with
     // overwhelming probability; DedupSimilaritySpec pins recall too.
     "q27_dedup_minhash" -> ((s, d) => {
@@ -298,8 +298,8 @@ object Dedup {
   /** Exact all-pairs shingle-Jaccard in DuckDB — the ground truth the
     * probabilistic paths converge to. q27 and q28 verify every candidate
     * with exact Jaccard (zero false positives) and their candidate
-    * generators have near-total recall at j≥0.8 (MinHash 16×4 banding:
-    * per-pair miss ≤ 2.3e-4; SimHash Hamming≤6 on heavy-copy near-dups),
+    * generators have near-total recall at j≥0.8 (MinHash 32×4 banding:
+    * per-pair miss ≈ 5e-8; SimHash Hamming≤6 on heavy-copy near-dups),
     * so all three queries share this oracle; DedupSimilaritySpec
     * additionally pins recall at fixture scale. */
   private val exactJaccardSql: String =

@@ -46,6 +46,29 @@ object Similarity {
       when(dot(vec, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce[Column](_ + _)
 
+  /** IVF coarse-quantizer size — FIXED: independent of corpus size, so the
+    * driver collect, broadcast payload, and O(k) per-row assignment cost
+    * never grow with the data. */
+  val IvfK = 64
+
+  /** Rounded cosine between two float vectors, bit-identical to the
+    * Column formulation `round(vec_dot(a,b)/(l2norm(a)*l2norm(b)), 6)`:
+    * widen-to-double-then-multiply, left-to-right fold, and Spark's
+    * HALF_UP decimal rounding (BigDecimal.valueOf — what Catalyst's Round
+    * does for doubles, and what DuckDB's round matches). */
+  def roundedCosine(a: Array[Float], b: Array[Float]): Double = {
+    def d(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    val c = d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** Exact cosine top-k of `corpus` rows for each probe row (probe side is
     * broadcast). Ranking uses the ROUNDED score + vec_id tiebreak so order
     * is stable under float summation noise. */
@@ -70,48 +93,67 @@ object Similarity {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
-    // IVF-style ANN (the scale path): a deterministic sample of corpus
-    // vectors acts as the coarse quantizer (k-means++-style seeding without
-    // the iterations). The tiny centroid set is COLLECTED to the driver
-    // (the broadcast-model pattern, like LangId's profile) and embedded as
-    // literals, so nearest-cell assignment is a pure map-side argmax over
-    // ≤17 struct(ccos, centroid_id) literals — the corpus never passes
-    // through an Exchange before assignment (round-1 used a
-    // groupBy(vec_id, embedding) that shuffled every vector). Probes
-    // search their nProbe=4 nearest cells; the probe-cells relation
-    // (10×4 rows) is broadcast into the candidate join, so the corpus
-    // side stays shuffle-free there too; exact cosine re-ranks candidates
-    // only. Fully deterministic → full DuckDB oracle below.
+    // IVF-style ANN (the scale path): a FIXED-k deterministic sample of
+    // corpus vectors acts as the coarse quantizer (k-means-style seeding
+    // without the iterations; the sample rule is a multiplicative hash of
+    // vec_id so it is order-free and replayable in SQL). k = 64 regardless
+    // of corpus size, so the driver collect, the broadcast payload, and
+    // the per-row O(k) assignment cost are all corpus-size-INDEPENDENT —
+    // the round-2 form grew k ∝ n/29 and embedded every centroid as a
+    // plan literal. Centroids travel as a BROADCAST VARIABLE consumed by
+    // typed map passes: nearest-cell assignment is a map-side argmax (no
+    // Exchange before assignment), probes pick their nProbe=4 nearest
+    // cells in one flatMap, and the tiny probe-cells relation is
+    // broadcast into the candidate join so the corpus side stays
+    // shuffle-free there too; exact cosine re-ranks candidates only.
+    // Fully deterministic → full DuckDB oracle below.
     "q31_ann_ivf" -> ((s, d) => {
+      import s.implicits._
       val emb = embeddings(s, d)
-      // k ≈ 17 deterministic centroids from the corpus itself
+      // fixed-k centroid sample: order by a multiplicative hash of the id
+      // (Knuth's 2654435761 mod the large prime 999999937), tie-break on
+      // vec_id → a deterministic pseudo-random 64-vector sample whose
+      // size never grows with the corpus
       val cents: Array[(Long, Array[Float])] =
-        emb.filter(col("vec_id") % 29 === 3)
-          .select(col("vec_id"), col("embedding"))
+        emb.select(col("vec_id"), col("embedding"))
+          .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+            col("vec_id"))
+          .limit(IvfK)
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cents)
+      // map-side nearest cell (max ccos, ties → max centroid_id): one
+      // typed pass over the corpus against the broadcast centroids
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          var bestCos = -2.0
+          var bestCid = -1L
+          for ((cid, c) <- bc.value) {
+            val cc = roundedCosine(v, c)
+            if (cc > bestCos || (cc == bestCos && cid > bestCid)) {
+              bestCos = cc; bestCid = cid
+            }
+          }
+          (id, v, bestCid)
+        }
+        .toDF("vec_id", "embedding", "cell")
+      // probes (tiny) rank all k cells and keep their 4 nearest
+      // (ties → smaller centroid_id)
+      val probeCells = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (pid, v) =>
+          bc.value
+            .map { case (cid, c) => (cid, roundedCosine(v, c)) }
+            .sortBy { case (cid, cc) => (-cc, cid) }
+            .take(4)
+            .map { case (cid, _) => (pid, v, cid) }
+        }
+        .toDF("probe_id", "p_emb", "cell")
       def cos(v: Column, c: Column): Column =
         round(dot(v, c) / (l2norm(v) * l2norm(c)), 6)
-      // one struct per centroid, scored against the row's vector
-      def cellScores(vec: Column): Column = array(cents.map { case (cid, arr) =>
-        struct(cos(vec, array(arr.map(lit(_)): _*)).as("ccos"),
-          lit(cid).as("centroid_id"))
-      }: _*)
-      // map-side nearest cell: array_max over the struct array (max ccos,
-      // ties → max centroid_id) — no Exchange before assignment
-      val assigned = emb.select(col("vec_id"), col("embedding"),
-        array_max(cellScores(col("embedding"))).getField("centroid_id").as("cell"))
-      // probes (tiny) explode all cells and keep their 4 nearest
-      val probeCells = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-          explode(cellScores(col("embedding"))).as("cs"))
-        .select(col("probe_id"), col("p_emb"),
-          col("cs.ccos").as("ccos"), col("cs.centroid_id").as("centroid_id"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("centroid_id"))))
-        .filter(col("rk") <= 4)
-        .select(col("probe_id"), col("p_emb"), col("centroid_id").as("cell"))
       val cands = assigned
         .join(broadcast(probeCells), Seq("cell"))
         .filter(col("probe_id") =!= col("vec_id"))
@@ -153,7 +195,9 @@ object Similarity {
     "q31_ann_ivf" ->
       """WITH cents AS (
            SELECT vec_id AS centroid_id, embedding AS c_emb
-           FROM embeddings WHERE vec_id % 29 = 3),
+           FROM embeddings
+           ORDER BY (vec_id * 2654435761) % 999999937, vec_id
+           LIMIT 64),
          scored AS (
            SELECT e.vec_id, e.embedding, c.centroid_id,
              round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])

@@ -58,16 +58,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(v: String, e: Expression): String =
-      if (elemType(e).contains(FloatType)) s"((double) $v.getFloat(i))"
-      else s"$v.getDouble(i)"
+    // Loop variable MUST be a fresh name: outside whole-stage codegen
+    // (UnsafeProjection/MutableProjection) the generated method's input-row
+    // parameter is literally named `i`, and a hardcoded `int i` collides →
+    // janino "Redefinition of local variable" → silent interpreter fallback.
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val idx = ctx.freshName("idx")
+      def getter(v: String, e: Expression): String =
+        if (elemType(e).contains(FloatType)) s"((double) $v.getFloat($idx))"
+        else s"$v.getDouble($idx)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int i = 0; i < $n; i++) {
+         |for (int $idx = 0; $idx < $n; $idx++) {
          |  $acc += ${getter(a, left)} * ${getter(b, right)};
          |}
          |${ev.value} = $acc;

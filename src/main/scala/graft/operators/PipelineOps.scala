@@ -138,10 +138,12 @@ object PipelineOps {
     // TF-IDF top terms per document: tokenize → per-doc term frequency →
     // document frequency → tf·ln(N/df), top-3 terms per doc. The df
     // relation is vocabulary-sized (partial-aggregated); the per-doc
-    // top-k is a WindowGroupLimit, not a full sort.
+    // top-k is a WindowGroupLimit, not a full sort. N is a scalar
+    // aggregate cross-joined into the plan (a 1-row broadcast), not a
+    // separate driver-side count() action — the whole query is ONE job.
     "q62_tfidf_top_terms" -> ((s, d) => {
       val docs = documents(s, d)
-      val nDocs = docs.count()
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs
         .select(col("doc_id"),
           explode(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= "")).as("tok"))
@@ -150,9 +152,9 @@ object PipelineOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
-      tf.join(df, "tok")
+      tf.join(df, "tok").crossJoin(nDocs)
         .select(col("doc_id"), col("tok"),
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("score"))
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("tok"), col("score"))
@@ -175,23 +177,33 @@ object PipelineOps {
         .orderBy(col("user_id"))
     }),
 
-    // Banded fuzzy string match (entity-resolution shape): block part
-    // names on their final word (the blocking key), verify candidates
-    // with exact Levenshtein ≤ 3. Candidates ∝ bucket sizes, never the
-    // n² pair space; both the blocking rule and the distance are
-    // replayed exactly by the oracle — no recall assumption.
+    // DISTINCT-FIRST fuzzy string match (entity-resolution shape). The
+    // round-2 form joined part ROWS on a last-word blocking key — but any
+    // row-level scheme is Θ(n²) on duplicate-dense data (this corpus
+    // saturates at 64 distinct names, and real web/log corpora are
+    // likewise dominated by repeated values), because the matched-pair
+    // OUTPUT itself grows quadratically. The scale fix is to run the
+    // expensive Levenshtein match on the DISTINCT-VALUE relation and
+    // carry multiplicities: candidates and output now grow with the
+    // vocabulary, not the row count (measured: candidate count is
+    // CONSTANT across sf0.001→sf0.1 = 100× rows; PipelineOpsSpec pins
+    // it). Blocking (last word) still prunes the vocabulary self-join
+    // for corpora whose vocabulary does grow. n_pairs restores the
+    // row-level pair count (n_a × n_b) without materializing the pairs.
     "q68_fuzzy_match" -> ((s, d) => {
-      val named = part(s, d)
-        .select(col("p_partkey"), col("p_name"),
-          element_at(split(col("p_name"), " "), -1).as("blk"))
-      named.alias("a")
-        .join(named.alias("b"),
+      val names = part(s, d)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      names.alias("a")
+        .join(names.alias("b"),
           col("a.blk") === col("b.blk") &&
-            col("a.p_partkey") < col("b.p_partkey"))
-        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+            col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"),
+          (col("a.n_parts") * col("b.n_parts")).as("n_pairs"))
         .filter(col("dist") <= 3)
-        .orderBy(col("key_a"), col("key_b"))
+        .orderBy(col("name_a"), col("name_b"))
     }),
 
     // Sketch quantile (t-digest-style percentile_approx) next to the
@@ -301,16 +313,19 @@ object PipelineOps {
            FROM events)
          WHERE rk = 1 ORDER BY user_id""",
     "q68_fuzzy_match" ->
-      """WITH named AS (
-           SELECT p_partkey, p_name,
+      """WITH names AS (
+           SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+         named AS (
+           SELECT p_name, n_parts,
              list_extract(string_split(p_name, ' '), -1) AS blk
-           FROM part)
-         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           levenshtein(a.p_name, b.p_name) AS dist
+           FROM names)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts * b.n_parts AS n_pairs
          FROM named a JOIN named b
-           ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           ON a.blk = b.blk AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 3
-         ORDER BY key_a, key_b""",
+         ORDER BY name_a, name_b""",
     "q62_tfidf_top_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(

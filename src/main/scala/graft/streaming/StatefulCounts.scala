@@ -17,6 +17,8 @@ object StatefulCounts {
 
   case class UserState(nEvents: Long, sumValue: Double)
   case class UserRow(user_id: Long, n_events: Long, sum_value: Double)
+  case class OpenSess(startUs: Long, lastUs: Long, n: Long)
+  case class SessRow(user_id: Long, sess_start: String, n_events: Long)
 
   def updateState(userId: Long,
       rows: Iterator[(Long, Double)],
@@ -138,6 +140,46 @@ object StatefulCounts {
         .agg(max(col("n_events")).as("n_events"),
           round(max(col("sum_value")), 6).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // transformWithState with EVENT-TIME TIMERS — the feature that
+    // distinguishes the API from mapGroupsWithState (and the streaming
+    // analog of the reference coordinator's 10 s task watchdog,
+    // reference: src/mr/coordinator.go:114-141): per-user session
+    // tracking where a session closed by a ≥30-min in-stream gap is
+    // emitted inline, while the user's TRAILING open session is guarded
+    // by a registered timer at (last event + 30 min) that fires when the
+    // event-time watermark passes it. Deterministic on bounded replay:
+    // the final watermark settles at max(ts) − 30 min, so the trailing
+    // session emits iff its timer expiry is at or under that — exactly
+    // what the DuckDB oracle computes.
+    "q70_stream_session_timers" -> ((s, d) => {
+      import s.implicits._
+      graft.Tables.nanosTs(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      s.catalog.dropTempView("sink_timers")
+      withRocksDb(s) {
+        val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
+          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .withWatermark("ts", "30 minutes")
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)]
+        val sessions = src
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor(),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+        val q = sessions.toDF()
+          .writeStream.format("memory").queryName("sink_timers")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("sink_timers")
+        .select(col("user_id"), col("sess_start"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
     })
   )
 
@@ -151,8 +193,108 @@ object StatefulCounts {
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "q66_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // Sessions = 30-min-gap islands per user. Non-trailing sessions are
+    // closed by a later in-stream event → always emitted. The trailing
+    // session is emitted by its event-time timer, which Spark registers
+    // at floor_ms(last event) + 30 min and fires once the final
+    // watermark (= floor_ms(max ts) − 30 min) reaches it.
+    "q70_stream_session_timers" ->
+      """WITH gaps AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               >= INTERVAL '30 minutes' OR
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         islands AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM gaps),
+         sess AS (
+           SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+             count(*) AS n_events
+           FROM islands GROUP BY user_id, sess_id),
+         wm AS (
+           SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes' AS w
+           FROM events),
+         lastsess AS (
+           SELECT user_id, max(s_end) AS last_end FROM sess GROUP BY user_id)
+         SELECT s.user_id,
+           strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS sess_start,
+           s.n_events
+         FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
+         WHERE s.s_end < l.last_end
+            OR date_trunc('milliseconds', s.s_end) + INTERVAL '30 minutes' <= wm.w
+         ORDER BY s.user_id, sess_start"""
   )
+}
+
+/** transformWithState processor with EVENT-TIME TIMERS: per-user session
+  * tracker. Sessions closed by an in-stream ≥30-min gap emit inline from
+  * [[handleInputRows]]; the trailing open session is held in a ValueState
+  * guarded by a timer at floor_ms(last event) + 30 min, emitted from
+  * [[handleExpiredTimer]] when the watermark passes — the timer-driven
+  * state pattern (cf. the reference coordinator's task-timeout watchdog,
+  * reference: src/mr/coordinator.go:114-141). */
+class SessionTimerProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp), StatefulCounts.SessRow] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+  import StatefulCounts.{OpenSess, SessRow}
+
+  private val GapUs = 30L * 60 * 1000000 // 30 min in micros
+  private val GapMs = 30L * 60 * 1000
+
+  @transient private var open: ValueState[OpenSess] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    open = getHandle.getValueState[OpenSess]("openSess",
+      org.apache.spark.sql.Encoders.product[OpenSess], TTLConfig.NONE)
+  }
+
+  private def fmt(us: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(
+      math.floorDiv(us, 1000000L), 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  private def timerFor(lastUs: Long): Long = math.floorDiv(lastUs, 1000L) + GapMs
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[SessRow] = {
+    // deterministic event-time order within the batch (ties collapse to
+    // the same session either way — the gap is computed on ts alone)
+    val sorted = rows.map(_._2).toArray.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+    var cur = if (open.exists()) {
+      getHandle.deleteTimer(timerFor(open.get().lastUs))
+      open.get()
+    } else null
+    for (ts <- sorted) {
+      if (cur == null) cur = OpenSess(ts, ts, 1L)
+      else if (ts - cur.lastUs >= GapUs) {
+        // the gap closes the previous session — final, emit inline
+        out += SessRow(key, fmt(cur.startUs), cur.n)
+        cur = OpenSess(ts, ts, 1L)
+      } else cur = OpenSess(cur.startUs, ts, cur.n + 1)
+    }
+    open.update(cur)
+    // watchdog for the trailing session: fires iff no further event
+    // extends it before the watermark passes last + 30 min
+    getHandle.registerTimer(timerFor(cur.lastUs))
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessRow] = {
+    if (open.exists()) {
+      val cur = open.get()
+      open.clear()
+      Iterator.single(SessRow(key, fmt(cur.startUs), cur.n))
+    } else Iterator.empty
+  }
 }
 
 /** transformWithState processor: per-user running (count, sum) in a typed

@@ -109,6 +109,26 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // BOUNDED-STATE streaming dedup — the production variant of q46:
+    // dropDuplicatesWithinWatermark evicts a key's dedup state once the
+    // watermark passes its event time + delay, so state is O(keys per
+    // watermark window) instead of growing forever. Emission is append
+    // (first sighting of each key); on the bounded single-file replay
+    // every duplicate lands in one batch, so exactly one row per
+    // (user_id, event_type) is emitted and the distinct-count oracle is
+    // exact. StreamingSpec proves the eviction semantics directly: a
+    // duplicate arriving after its key's state was evicted is re-admitted.
+    "q69_stream_dedup_watermark" -> ((s, d) => {
+      runStream(s, d, "events", "sink_dedup_wm", outputMode = "append") { src =>
+        src.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+      }
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // PRODUCTION streaming path: tumbling windows with a 30-minute
     // WATERMARK in APPEND mode — only windows the watermark has finalized
     // are emitted, and their state is evicted (bounded state at scale; the
@@ -298,6 +318,11 @@ object StreamingQueries {
          SELECT * FROM (SELECT * FROM matches UNION ALL SELECT * FROM unmatched)
          ORDER BY user_id, click_id, purchase_id""",
     "q46_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Bounded replay = one batch ⇒ no state was evicted mid-stream, so
+    // the emitted set is exactly one row per distinct key.
+    "q69_stream_dedup_watermark" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q33_stream_tumbling" ->

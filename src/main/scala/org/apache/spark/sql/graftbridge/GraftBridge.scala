@@ -23,6 +23,17 @@ object GraftBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Register a Catalyst expression builder as a SQL-callable temp
+    * function (the engine's UDF-extension story: SQL users call the
+    * codegen'd native expressions by name — `SELECT vec_dot(a, b)` —
+    * instead of being limited to the Column API). The function registry
+    * lives behind `private[sql] sessionState`, hence this bridge. */
+  def registerSqlFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** The analyzed logical plan of a DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -17,7 +17,7 @@ class DedupSimilaritySpec extends TestSpark {
     assert(exact.nonEmpty, "fixture should contain near-duplicates")
     // LSH candidates are verified by exact jaccard, so no false positives:
     assert(lsh.subsetOf(exact))
-    // 16 bands x 4 rows at j>=0.8 : P(miss) = (1-j^4)^16 <= 2.3e-4 per
+    // 32 bands x 4 rows at j>=0.8 : P(miss) = (1-j^4)^32 ~= 5e-8 per
     // pair — q27's DuckDB oracle assumes full recall on the fixture;
     // pin exact equality here (deterministic: fixed permutation seed).
     assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}")
@@ -73,10 +73,29 @@ class DedupSimilaritySpec extends TestSpark {
     val ann = pairs("q31_ann_ivf")
     assert(exact.size == 50) // 10 probes x top-5
     val recall = exact.count(ann.contains).toDouble / exact.size
-    // nProbe=4 of ~17 cells over weakly-clustered synthetic vectors:
+    // nProbe=4 of 64 cells over weakly-clustered synthetic vectors:
     // asserts the machinery works with meaningful recall, not SOTA quality.
     assert(recall >= 0.3, s"ANN recall@5 = $recall")
     info(s"IVF recall@5 = $recall")
+  }
+
+  test("IVF centroid count is FIXED — independent of corpus size") {
+    // The coarse quantizer must not scale with the data: same k at two
+    // corpus sizes (500 vectors at sf0.001, 2000 at sf0.1), and the plan
+    // must not embed centroids as literals (broadcast variable instead),
+    // so plan size is corpus-independent too.
+    def centroidCount(d: String): Long =
+      Tables.embeddings(spark, d)
+        .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+          col("vec_id"))
+        .limit(Similarity.IvfK)
+        .count()
+    assert(centroidCount(sf0001) == Similarity.IvfK)
+    assert(centroidCount("/root/testdata/sf0.1") == Similarity.IvfK)
+    val df = Similarity.queries("q31_ann_ivf")(spark, sf0001)
+    val planChars = df.queryExecution.analyzed.toString.length
+    assert(planChars < 100000,
+      s"q31 plan is $planChars chars — centroids are leaking into the plan as literals")
   }
 
   test("cosine scores are in [-1, 1] and self-similarity excluded") {

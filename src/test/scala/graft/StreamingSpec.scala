@@ -103,6 +103,104 @@ class StreamingSpec extends TestSpark {
     }
   }
 
+  test("dropDuplicatesWithinWatermark evicts state: a post-watermark duplicate is re-admitted") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_wm").toString
+    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
+    new java.io.File(inDir).mkdirs()
+    import spark.implicits._
+    def write(name: String, rows: Seq[(java.sql.Timestamp, String)]): Unit = {
+      rows.toDF("ts", "k").repartition(1).write.parquet(s"$base/stage_$name")
+      val part = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+      ()
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def runBatch(): Unit = {
+      val q = spark.readStream.schema("ts timestamp, k string").parquet(inDir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("k")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      // run 1: "dup" twice in-batch (second dropped), "adv" advances the
+      // watermark to 10:50 — past dup's 10:00 + 10 min, so dup's dedup
+      // state is EVICTED (that is the bounded-state contract).
+      write("f1", Seq((ts("2024-01-01 10:00:00"), "dup"),
+        (ts("2024-01-01 10:00:05"), "dup"), (ts("2024-01-01 11:00:00"), "adv")))
+      runBatch()
+      val run1 = spark.read.parquet(outDir).collect().map(_.getString(1))
+      assert(run1.count(_ == "dup") == 1,
+        s"within-watermark duplicate must be dropped: ${run1.mkString(",")}")
+      // run 2 (same checkpoint → watermark restored): the same key at a
+      // fresh event time is RE-ADMITTED — its state no longer exists.
+      // An unbounded dropDuplicates would still suppress it.
+      write("f2", Seq((ts("2024-01-01 11:05:00"), "dup"),
+        (ts("2024-01-01 11:05:30"), "dup")))
+      runBatch()
+      val run2 = spark.read.parquet(outDir).collect().map(_.getString(1))
+      assert(run2.count(_ == "dup") == 2,
+        s"post-eviction duplicate must be re-admitted exactly once: ${run2.mkString(",")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("file source streams a multi-file directory (no single-file glob workaround)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_multifile").toString
+    try {
+      // the real production shape: a DIRECTORY of many parquet files
+      val events = Tables.events(spark, sf0001)
+      events.repartition(4).write.parquet(s"$base/in")
+      val nFiles = new java.io.File(s"$base/in").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles >= 4, s"fixture should span >=4 files, got $nFiles")
+      spark.catalog.dropTempView("sink_multifile")
+      val q = spark.readStream.schema(events.schema).parquet(s"$base/in")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName("sink_multifile")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table("sink_multifile").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = events
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("q70 timer sessions: gap-closed sessions inline, trailing sessions via event-time timers") {
+    // semantic cross-check against q35 (all sessions, complete mode):
+    // q70 must emit a SUBSET — every session except trailing ones whose
+    // 30-min watchdog timer the final watermark never reached.
+    val timed = graft.streaming.StatefulCounts.rocksDbQueries(
+      "q70_stream_session_timers")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val all = StreamingQueries.queries("q35_stream_session")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(timed.nonEmpty)
+    assert(timed.subsetOf(all), s"timer sessions disagree: ${(timed -- all).take(5)}")
+    // at least every user's non-trailing sessions are present: any user
+    // with >=2 sessions contributes at least one emitted session
+    val multiSessionUsers = all.groupBy(_._1).filter(_._2.size >= 2).keySet
+    val emittedUsers = timed.map(_._1)
+    assert(multiSessionUsers.subsetOf(emittedUsers),
+      "users with multiple sessions must have their closed sessions emitted")
+  }
+
   test("stream-stream join equals the batch interval join (q54)") {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     val streamed = StreamingQueries.queries("q54_stream_stream_join")(spark, sf0001)

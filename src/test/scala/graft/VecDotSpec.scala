@@ -58,6 +58,44 @@ class VecDotSpec extends TestSpark {
     assert(row.getDouble(0) == 32.0)
   }
 
+  test("doGenCode compiles in a standalone UnsafeProjection (no loop-var collision)") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // Outside whole-stage codegen the generated apply()'s input-row
+    // parameter is literally named `i`; a hardcoded loop variable collides
+    // and janino fails → silent interpreter fallback. GenerateUnsafeProjection
+    // has NO fallback, so a codegen bug throws here instead of degrading.
+    val expr = VecDot(
+      BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false),
+      BoundReference(1, ArrayType(DoubleType, containsNull = false), nullable = false))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val row = new GenericInternalRow(Array[Any](
+      ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f)),
+      ArrayData.toArrayData(Array(4.0, 5.0, 6.0))))
+    assert(proj(row).getDouble(0) == 32.0)
+  }
+
+  test("vec_dot and fnv1a are SQL-callable via the function registry") {
+    graft.functions.SqlFunctions.register(spark)
+    Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20)
+      .createOrReplaceTempView("emb_sql_t")
+    val sql = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS d,
+           fnv1a(CAST(vec_id AS STRING)) AS h
+         FROM emb_sql_t ORDER BY vec_id""").collect()
+    val api = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        VecDot.vecDot(col("embedding"), col("embedding")).as("d"),
+        graft.functions.Fnv1a.fnv1a(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("vec_id")).collect()
+    assert(sql.nonEmpty && sql.sameElements(api))
+    // pin the SQL path to the raw hash implementation too
+    assert(spark.sql("SELECT fnv1a('0') AS h").collect()(0).getInt(0) ==
+      graft.functions.Fnv1a.hash("0".getBytes("UTF-8")))
+  }
+
   test("q30 plan stays inside whole-stage codegen with the native dot") {
     val df = graft.functions.Similarity.queries("q30_cosine_topk")(spark, sf0001)
     df.collect()
