@@ -42,6 +42,22 @@ object Dedup {
     }
   }
 
+  /** Distinct word n-gram set of a text — [[shingleSet]] generalized to
+    * any n (q74's decontamination uses n = 8). Same tokenizer, same
+    * distinct-set contract, same µs-per-row typed-map cost profile. */
+  def ngramSet(text: String, n: Int): Array[String] = {
+    val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (t.length < n) Array.empty
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n - 1 < t.length) {
+        out += t.slice(i, i + n).mkString(" "); i += 1
+      }
+      out.toArray
+    }
+  }
+
   /** (doc_id, shingles array) relation — the base for signatures and
     * verification; one typed map pass. Callers that use it more than once
     * in a query should pass it through [[sharedShingles]] so the scan runs
@@ -229,8 +245,114 @@ object Dedup {
       verifyJaccardWith(shRel, allPairs)
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Near-dup CLUSTERING — the step that turns q27's verified pairs into
+    // dedup groups (the canonical end of a MinHash pipeline: pairs →
+    // connected components → keep one doc per component). Iterative
+    // min-label propagation: every node adopts the minimum label among
+    // itself and its neighbors until a fixpoint — O(component diameter)
+    // DataFrame iterations (near-dup components are shallow; the
+    // large-star/small-star variant from the Connected Components in
+    // MapReduce literature drops the bound to O(log n) if ever needed).
+    // Each iteration is one keyed shuffle; labels only decrease, so the
+    // monotone sum(label) is a one-aggregate convergence check.
+    // Deterministic (min over a fixed edge set) → DuckDB replays it with
+    // a recursive transitive-closure CTE.
+    "q72_dedup_clusters" -> ((s, d) => {
+      val labels = nearDupLabels(s, d)
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DECONTAMINATION — flag corpus documents that share any word 8-gram
+    // with a held-out benchmark set (the standard eval-leak check before
+    // training; cf. GPT-3/Gopher 8-13-gram overlap filtering). The
+    // benchmark here is modeled as the doc_id % 5 == 0 slice so the
+    // fixture exercises real overlap (near-dup partners across the
+    // split); in production the benchmark is a small external table and
+    // its gram set is BROADCAST. Both sides are one map-side n-gram pass;
+    // the overlap join is keyed on the gram (shuffle linear in gram
+    // volume, never pairwise in docs).
+    "q74_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val grams = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) => ngramSet(t, 8).map(g => (id, g)) }
+        .toDF("doc_id", "gram")
+      val bench = grams.filter(col("doc_id") % 5 === 0)
+        .select(col("gram"), col("doc_id").as("bdoc"))
+      grams.filter(col("doc_id") % 5 =!= 0)
+        .join(bench, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"),
+          countDistinct(col("bdoc")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end near-dup dedup: the SURVIVOR list — every document except
+    // cluster members that are not their cluster's canonical (minimum)
+    // doc. Anti-join of the corpus against the non-canonical cluster rows;
+    // one keyed shuffle past the clustering itself.
+    "q76_dedup_keep" -> ((s, d) => {
+      val dropped = nearDupLabels(s, d).filter(col("doc_id") =!= col("cluster_id"))
+      documents(s, d)
+        .join(dropped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Connected-component labels over the verified near-dup pair graph
+    * (jaccard ≥ 0.8): iterative min-label propagation to a fixpoint —
+    * every node adopts the minimum label among itself and its neighbors,
+    * O(component diameter) DataFrame iterations (near-dup components are
+    * shallow; the large-star/small-star variant from the Connected
+    * Components in MapReduce literature drops the bound to O(log n) if
+    * ever needed). Each iteration is one keyed shuffle; labels only
+    * decrease, so the monotone sum(label) is a one-aggregate convergence
+    * check. Deterministic (min over a fixed edge set) → DuckDB replays it
+    * with a recursive transitive-closure CTE. Returns (doc_id, cluster_id)
+    * for CLUSTERED docs only, persisted and materialized. */
+  private def nearDupLabels(s: SparkSession, d: String): DataFrame = {
+    val sh = sharedShingles(s, d)
+    val pairs = verifyJaccardWith(
+      sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 50) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nl")).as("min_neigh"))
+      val next = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("min_neigh"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val curSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+      iters += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    labels
+  }
 
   /** SimHash near-dup pairs by Hamming distance: 64-bit sign-aggregated
     * token-frequency hash, 16-bit bands for candidate generation, exact
@@ -302,8 +424,11 @@ object Dedup {
     * per-pair miss ≈ 5e-8; SimHash Hamming≤6 on heavy-copy near-dups),
     * so all three queries share this oracle; DedupSimilaritySpec
     * additionally pins recall at fixture scale. */
-  private val exactJaccardSql: String =
-      """WITH t AS (
+  /** Shared CTE block: documents → shingles → pairwise intersection
+    * counts (reused by the exact-Jaccard oracle and q72's clustering
+    * oracle). */
+  private val shingleCtes: String =
+      """t AS (
            SELECT doc_id,
              list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
            FROM documents),
@@ -316,7 +441,10 @@ object Dedup {
          common AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
+           GROUP BY 1, 2)"""
+
+  private val exactJaccardSql: String =
+      s"""WITH $shingleCtes
          SELECT doc_a, doc_b,
            round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
          FROM common
@@ -400,6 +528,79 @@ object Dedup {
          JOIN sizes sb ON common.doc_b = sb.doc_id
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY doc_a, doc_b""",
-    "q29_ngram_jaccard" -> exactJaccardSql
+    "q29_ngram_jaccard" -> exactJaccardSql,
+    // Connected components replayed as a recursive transitive closure:
+    // a node's cluster id = min doc_id reachable over the verified
+    // near-dup edges — exactly the fixpoint min-label propagation reaches.
+    "q72_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (
+           SELECT doc_a AS s, doc_b AS e FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.src, g.e FROM reach r JOIN edges g ON r.node = g.s),
+         labels AS (
+           SELECT src AS doc_id, min(node) AS cluster_id
+           FROM reach GROUP BY src),
+         csizes AS (
+           SELECT cluster_id, count(*) AS cluster_size
+           FROM labels GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, cs.cluster_size
+         FROM labels l JOIN csizes cs ON l.cluster_id = cs.cluster_id
+         ORDER BY l.doc_id""",
+
+    // Same tokenizer, distinct word 8-grams per doc, benchmark slice =
+    // doc_id % 5 == 0; DuckDB can't lateral-join range() on a column, so
+    // the gram positions come from list_transform over range(...) + unnest.
+    "q74_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS t
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-6, 1)),
+               i -> array_to_string(t[i:i+7], ' '))) AS g
+           FROM toks),
+         bench AS (SELECT g, doc_id AS bdoc FROM grams WHERE doc_id % 5 = 0)
+         SELECT c.doc_id, count(DISTINCT c.g) AS n_shared,
+           count(DISTINCT b.bdoc) AS n_bench_docs
+         FROM grams c JOIN bench b ON c.g = b.g
+         WHERE c.doc_id % 5 <> 0
+         GROUP BY 1 ORDER BY 1""",
+
+    // q72's transitive-closure labels, then the corpus minus non-canonical
+    // cluster members = the deduplicated survivor list.
+    "q76_dedup_keep" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (
+           SELECT doc_a AS s, doc_b AS e FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.src, g.e FROM reach r JOIN edges g ON r.node = g.s),
+         labels AS (
+           SELECT src AS doc_id, min(node) AS cluster_id
+           FROM reach GROUP BY src)
+         SELECT d.doc_id, length(d.text) AS n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN
+           (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         ORDER BY d.doc_id"""
   )
 }

@@ -108,66 +108,100 @@ object Similarity {
     // shuffle-free there too; exact cosine re-ranks candidates only.
     // Fully deterministic → full DuckDB oracle below.
     "q31_ann_ivf" -> ((s, d) => {
-      import s.implicits._
       val emb = embeddings(s, d)
-      // fixed-k centroid sample: order by a multiplicative hash of the id
-      // (Knuth's 2654435761 mod the large prime 999999937), tie-break on
-      // vec_id → a deterministic pseudo-random 64-vector sample whose
-      // size never grows with the corpus
-      val cents: Array[(Long, Array[Float])] =
-        emb.select(col("vec_id"), col("embedding"))
-          .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
-            col("vec_id"))
-          .limit(IvfK)
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-      val bc = s.sparkContext.broadcast(cents)
-      // map-side nearest cell (max ccos, ties → max centroid_id): one
-      // typed pass over the corpus against the broadcast centroids
-      val assigned = emb.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .map { case (id, v) =>
-          var bestCos = -2.0
-          var bestCid = -1L
-          for ((cid, c) <- bc.value) {
-            val cc = roundedCosine(v, c)
-            if (cc > bestCos || (cc == bestCos && cid > bestCid)) {
-              bestCos = cc; bestCid = cid
-            }
-          }
-          (id, v, bestCid)
-        }
-        .toDF("vec_id", "embedding", "cell")
-      // probes (tiny) rank all k cells and keep their 4 nearest
-      // (ties → smaller centroid_id)
-      val probeCells = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (pid, v) =>
-          bc.value
-            .map { case (cid, c) => (cid, roundedCosine(v, c)) }
-            .sortBy { case (cid, cc) => (-cc, cid) }
-            .take(4)
-            .map { case (cid, _) => (pid, v, cid) }
-        }
-        .toDF("probe_id", "p_emb", "cell")
-      def cos(v: Column, c: Column): Column =
-        round(dot(v, c) / (l2norm(v) * l2norm(c)), 6)
-      val cands = assigned
-        .join(broadcast(probeCells), Seq("cell"))
-        .filter(col("probe_id") =!= col("vec_id"))
-        .select(col("probe_id"), col("vec_id"),
-          cos(col("p_emb"), col("embedding")).as("cos"))
-        .distinct()
-      cands
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
+      ivfTopK(s, emb, emb.filter(col("vec_id") < 10), k = 5,
+          broadcastProbes = true)
         .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // k-NN GRAPH over the whole corpus — every vector finds its 3 nearest
+    // neighbors through the same IVF index (the building block of
+    // embedding-based near-dedup and graph clustering: threshold the
+    // edges, then run q72-style connected components). The probe side is
+    // now the corpus itself, so probe-cells is NOT broadcast — the
+    // candidate join shuffles both sides on the cell key (linear, keyed).
+    // Candidate volume is nProbe·n²/k with fixed k; the production recipe
+    // is k ∝ √n (IVF guidance), giving n^1.5 candidate work — the
+    // structure (broadcast centroids, map-side assignment, keyed join)
+    // is unchanged by retuning k. Fully deterministic → full DuckDB
+    // replay below.
+    "q73_knn_graph" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      ivfTopK(s, emb, emb, k = 3, broadcastProbes = false)
+        .select(col("probe_id").as("src_id"), col("rk"),
+          col("vec_id").as("nbr_id"), col("cos"))
+        .orderBy(col("src_id"), col("rk"))
     })
   )
+
+  /** IVF search shared by q31 (few probes, broadcast) and q73 (corpus =
+    * probes, keyed shuffle join): fixed-k deterministic centroid sample →
+    * broadcast → map-side nearest-cell assignment → per-probe nProbe=4
+    * cells → exact cosine re-rank of cell candidates.
+    *
+    * Centroid sample rule: order by a multiplicative hash of the id
+    * (Knuth's 2654435761 mod the large prime 999999937), tie-break on
+    * vec_id → a deterministic pseudo-random [[IvfK]]-vector sample whose
+    * size never grows with the corpus, so the driver collect, broadcast
+    * payload, and O(k) per-row assignment cost are corpus-size-independent.
+    */
+  private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
+      k: Int, broadcastProbes: Boolean): DataFrame = {
+    import s.implicits._
+    val cents: Array[(Long, Array[Float])] =
+      emb.select(col("vec_id"), col("embedding"))
+        .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+          col("vec_id"))
+        .limit(IvfK)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    // map-side nearest cell (max ccos, ties → max centroid_id): one
+    // typed pass over the corpus against the broadcast centroids
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var bestCos = -2.0
+        var bestCid = -1L
+        for ((cid, c) <- bc.value) {
+          val cc = roundedCosine(v, c)
+          if (cc > bestCos || (cc == bestCos && cid > bestCid)) {
+            bestCos = cc; bestCid = cid
+          }
+        }
+        (id, v, bestCid)
+      }
+      .toDF("vec_id", "embedding", "cell")
+    // each probe ranks all k cells and keeps its 4 nearest
+    // (ties → smaller centroid_id)
+    val probeCellsRaw = probes
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (pid, v) =>
+        bc.value
+          .map { case (cid, c) => (cid, roundedCosine(v, c)) }
+          .sortBy { case (cid, cc) => (-cc, cid) }
+          .take(4)
+          .map { case (cid, _) => (pid, v, cid) }
+      }
+      .toDF("probe_id", "p_emb", "cell")
+    val probeCells =
+      if (broadcastProbes) broadcast(probeCellsRaw) else probeCellsRaw
+    def cos(v: Column, c: Column): Column =
+      round(dot(v, c) / (l2norm(v) * l2norm(c)), 6)
+    val cands = assigned
+      .join(probeCells, Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cos(col("p_emb"), col("embedding")).as("cos"))
+      .distinct()
+    cands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" ->
@@ -231,6 +265,49 @@ object Similarity {
                ORDER BY cos DESC, vec_id) AS rk
            FROM cands)
          SELECT probe_id, rk, vec_id, cos FROM ranked
-         WHERE rk <= 5 ORDER BY probe_id, rk"""
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // q31's replay with probes = the whole corpus and top-3: same centroid
+    // rule, same tie conventions, renamed to graph-edge columns.
+    "q73_knn_graph" ->
+      """WITH cents AS (
+           SELECT vec_id AS centroid_id, embedding AS c_emb
+           FROM embeddings
+           ORDER BY (vec_id * 2654435761) % 999999937, vec_id
+           LIMIT 64),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+             round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))),
+               6) AS ccos
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id AS cell FROM (
+             SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id DESC) AS rk
+             FROM scored) WHERE rk = 1),
+         probe_cells AS (
+           SELECT vec_id AS probe_id, embedding AS p_emb, centroid_id AS cell FROM (
+             SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id ASC) AS rk
+             FROM scored) WHERE rk <= 4),
+         cands AS (
+           SELECT DISTINCT p.probe_id, a.vec_id,
+             round(list_dot_product(p.p_emb::DOUBLE[], a.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.p_emb::DOUBLE[], p.p_emb::DOUBLE[]))
+                * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+               6) AS cos
+           FROM probe_cells p JOIN assigned a USING (cell)
+           WHERE p.probe_id <> a.vec_id),
+         ranked AS (
+           SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM cands)
+         SELECT probe_id AS src_id, rk, vec_id AS nbr_id, cos FROM ranked
+         WHERE rk <= 3 ORDER BY src_id, rk"""
   )
 }

@@ -104,8 +104,57 @@ object TextQueries {
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .orderBy(col("doc_id"))
+    }),
+
+    // Repetition-based quality filters (the Gopher/MassiveText recipe):
+    // per-doc unique-token ratio, top-bigram occupancy, duplicate-trigram
+    // fraction, and the resulting keep/drop flag. One typed map pass per
+    // doc (per-record loops over the token array — the same measured
+    // rationale as the MinHash signature pass: Catalyst HOFs are
+    // interpreted); map-only at any corpus size. The flag compares the
+    // ROUNDED ratios on both engines so the boolean can't straddle a
+    // float ulp.
+    "q75_repetition_stats" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+          val n = t.length
+          if (n == 0) (id, 0L, 0.0, 0.0, 0.0, false)
+          else {
+            val uniqRatio = round6(t.distinct.length.toDouble / n)
+            val big = scala.collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            while (i + 1 < n) {
+              val g = t(i) + " " + t(i + 1)
+              big(g) = big.getOrElse(g, 0) + 1; i += 1
+            }
+            val top2 =
+              if (big.isEmpty) 0.0
+              else round6(big.values.max.toDouble / big.values.sum)
+            val triSet = scala.collection.mutable.HashSet.empty[String]
+            var tri = 0
+            i = 0
+            while (i + 2 < n) {
+              triSet += (t(i) + " " + t(i + 1) + " " + t(i + 2)); tri += 1; i += 1
+            }
+            val dup3 =
+              if (tri == 0) 0.0 else round6(1.0 - triSet.size.toDouble / tri)
+            (id, n.toLong, uniqRatio, top2, dup3, top2 > 0.08 || dup3 > 0.01)
+          }
+        }
+        .toDF("doc_id", "tok_cnt", "uniq_ratio", "top2_frac", "dup3_frac",
+          "flagged")
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Half-up 6-dp rounding — what Catalyst's Round does for doubles and
+    * what DuckDB's round matches (same contract as
+    * [[Similarity.roundedCosine]]). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   val oracles: Map[String, String] = Map(
     "q19_wordcount" ->
@@ -159,6 +208,48 @@ object TextQueries {
     "q25_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
          count(*) OVER (PARTITION BY md5(text)) AS dup_count
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // n-grams come from list_transform over range(...) + unnest (DuckDB
+    // can't lateral-join range() on a column); bigram/trigram stats LEFT
+    // JOIN back so short docs keep 0-valued ratios, matching the Scala
+    // guards.
+    "q75_repetition_stats" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS t
+           FROM documents),
+         base AS (
+           SELECT doc_id, len(t) AS tok_cnt,
+             CASE WHEN len(t) = 0 THEN 0.0
+               ELSE round(len(list_distinct(t)) * 1.0 / len(t), 6)
+             END AS uniq_ratio
+           FROM toks),
+         big AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+               i -> array_to_string(t[i:i+1], ' '))) AS g
+           FROM toks),
+         bstats AS (
+           SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top2_frac FROM (
+             SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+           GROUP BY 1),
+         tri AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+           FROM toks),
+         tstats AS (
+           SELECT doc_id,
+             round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS dup3_frac
+           FROM tri GROUP BY 1)
+         SELECT b.doc_id, b.tok_cnt, b.uniq_ratio,
+           coalesce(bs.top2_frac, 0.0) AS top2_frac,
+           coalesce(ts.dup3_frac, 0.0) AS dup3_frac,
+           (coalesce(bs.top2_frac, 0.0) > 0.08
+            OR coalesce(ts.dup3_frac, 0.0) > 0.01) AS flagged
+         FROM base b
+         LEFT JOIN bstats bs ON b.doc_id = bs.doc_id
+         LEFT JOIN tstats ts ON b.doc_id = ts.doc_id
+         ORDER BY b.doc_id"""
   )
 }

@@ -73,7 +73,7 @@ object StatefulCounts {
     * scales past executor heap (state spills to local SST files with
     * changelog checkpointing) — the provider any 100 TB streaming job
     * uses instead of the default in-memory HDFS-backed store. */
-  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
@@ -294,6 +294,33 @@ class SessionTimerProcessor extends org.apache.spark.sql.streaming.StatefulProce
       open.clear()
       Iterator.single(SessRow(key, fmt(cur.startUs), cur.n))
     } else Iterator.empty
+  }
+}
+
+/** transformWithState processor with a TTL'd ValueState: per-key running
+  * count whose state EXPIRES `ttlMs` after its last update (processing
+  * time). After expiry the count restarts from zero — the bounded-state
+  * pattern for per-entity counters that must not accumulate forever
+  * (StreamingSpec pins the semantics across two checkpointed runs). */
+class TtlCountProcessor(ttlMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, String, (String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[String],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(String, Long)] = {
+    val prev = if (cnt.exists()) cnt.get() else 0L
+    val n = prev + rows.size
+    cnt.update(n)
+    Iterator.single((key, n))
   }
 }
 

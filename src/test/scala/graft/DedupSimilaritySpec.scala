@@ -56,6 +56,85 @@ class DedupSimilaritySpec extends TestSpark {
     assert(recall >= 0.8, s"simhash recall $recall (${verified.size}/${exact.size})")
   }
 
+  test("q76 survivors: corpus minus non-canonical cluster members, exactly") {
+    val clustered = Dedup.queries("q72_dedup_clusters")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val dropped = clustered.collect { case (d, c) if d != c => d }.toSet
+    val all = Tables.documents(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.queries("q76_dedup_keep")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture should contain near-duplicates to drop")
+    assert(kept == all -- dropped)
+    // every cluster keeps exactly one member — its canonical minimum
+    clustered.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).toSet.intersect(kept) == Set(cid))
+    }
+  }
+
+  test("q74 decontamination: flags exactly the docs sharing an 8-gram with the benchmark slice") {
+    val rows = Dedup.queries("q74_decontaminate")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture should contain cross-slice 8-gram overlap")
+    // recompute ground truth driver-side from the raw text
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Dedup.ngramSet(r.getString(1), 8).toSet)
+    val benchGrams = docs.filter(_._1 % 5 == 0)
+    val expected = docs.filter(_._1 % 5 != 0).flatMap { case (id, gs) =>
+      val shared = gs.filter(g => benchGrams.exists(_._2.contains(g)))
+      val nBench = benchGrams.count(_._2.exists(shared.contains))
+      if (shared.nonEmpty) Some(id -> ((shared.size.toLong, nBench.toLong))) else None
+    }.toMap
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_bench_docs")))).toMap
+    assert(got == expected)
+  }
+
+  test("q73 knn graph: 3 ranked neighbors per vector, no self-edges, exact cos on edges") {
+    val rows = Similarity.queries("q73_knn_graph")(spark, sf0001).collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    val bySrc = rows.groupBy(_.getAs[Long]("src_id"))
+    assert(bySrc.size == n, "every vector must appear as a source")
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    bySrc.foreach { case (src, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rk"))
+      // ranks are contiguous from 1, at most k=3 (a probe whose 4 cells
+      // hold fewer than 3 other vectors legitimately has fewer edges)
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.length <= 3 && sorted.nonEmpty)
+      // ranks are by non-increasing cosine; cos matches an exact recompute
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val nbr = r.getAs[Long]("nbr_id")
+        assert(nbr != src)
+        assert(r.getAs[Double]("cos") ==
+          Similarity.roundedCosine(emb(src), emb(nbr)))
+      }
+    }
+  }
+
+  test("q72 clusters: every near-dup pair co-clusters, cluster id = min member") {
+    val pairs = Dedup.queries("q27_dedup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.queries("q72_dedup_clusters")(spark, sf0001).collect()
+    val label = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(rows.nonEmpty)
+    // transitive-closure contract: both endpoints of every verified
+    // near-dup pair end up in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is its minimum member (min-label fixpoint)
+    label.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid does not own its min member")
+    }
+    // every clustered doc appears exactly once
+    assert(rows.length == label.size)
+  }
+
   test("exact dedup groups: every group keeps its minimum doc_id") {
     val rows = Dedup.queries("q26_dedup_exact")(spark, sf0001).collect()
     assert(rows.nonEmpty)

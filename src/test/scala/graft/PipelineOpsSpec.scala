@@ -91,6 +91,36 @@ class PipelineOpsSpec extends TestSpark {
     assert(out.forall(_.getAs[Long]("n_pairs") >= 1L))
   }
 
+  test("q75 repetition stats match a direct driver-side recompute") {
+    val rows = functions.TextQueries.queries("q75_repetition_stats")(spark, sf0001)
+      .collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    assert(rows.exists(_.getAs[Boolean]("flagged")) &&
+      rows.exists(!_.getAs[Boolean]("flagged")),
+      "thresholds should split the fixture non-trivially")
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    rows.take(50).foreach { row =>
+      val t = docs(row.getAs[Long]("doc_id")).split("[^\\p{L}]+").filter(_.nonEmpty)
+      assert(row.getAs[Long]("tok_cnt") == t.length.toLong)
+      if (t.nonEmpty) {
+        assert(row.getAs[Double]("uniq_ratio") == r6(t.distinct.length.toDouble / t.length))
+        val bigs = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        val top2 = if (bigs.isEmpty) 0.0
+          else r6(bigs.groupBy(identity).values.map(_.size).max.toDouble / bigs.size)
+        assert(row.getAs[Double]("top2_frac") == top2)
+        val tris = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        val dup3 = if (tris.isEmpty) 0.0
+          else r6(1.0 - tris.distinct.size.toDouble / tris.size)
+        assert(row.getAs[Double]("dup3_frac") == dup3)
+        assert(row.getAs[Boolean]("flagged") == (top2 > 0.08 || dup3 > 0.01))
+      }
+    }
+  }
+
   test("exact percentiles are ordered p25 <= p50 <= p75 <= p95") {
     PipelineOps.queries("q57_percentiles")(spark, sf0001).collect().foreach { r =>
       val Seq(p25, p50, p75, p95) =

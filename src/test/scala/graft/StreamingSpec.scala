@@ -201,6 +201,58 @@ class StreamingSpec extends TestSpark {
       "users with multiple sessions must have their closed sessions emitted")
   }
 
+  test("TTL'd transformWithState state expires: a later batch restarts the count") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
+    new java.io.File(inDir).mkdirs()
+    def write(name: String, keys: Seq[String]): Unit = {
+      keys.toDF("k").repartition(1).write.parquet(s"$base/stage_$name")
+      val part = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+      ()
+    }
+    // ProcessingTime time-mode keeps scheduling no-data state-cleanup
+    // batches, so AvailableNow never terminates — drive the query with
+    // processAllAvailable() and stop it explicitly instead.
+    def runBatch(): Unit = graft.streaming.StatefulCounts.withRocksDb(spark) {
+      val q = spark.readStream.schema("k string").parquet(inDir)
+        .as[String]
+        .groupByKey(identity)
+        .transformWithState(new graft.streaming.TtlCountProcessor(500L),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("k", "n")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    try {
+      write("f1", Seq("a", "a"))
+      runBatch()
+      val run1 = spark.read.parquet(outDir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(run1 == Set(("a", 2L)), s"run1 emitted $run1")
+      // let the 500 ms TTL lapse, then send the key again: without TTL
+      // the count would continue at 3; with TTL the state is gone and
+      // the count RESTARTS at 1.
+      Thread.sleep(2000)
+      write("f2", Seq("a"))
+      runBatch()
+      val run2 = spark.read.parquet(outDir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(run2.contains(("a", 1L)) && !run2.contains(("a", 3L)),
+        s"TTL'd state should have expired (count restarts at 1): $run2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("stream-stream join equals the batch interval join (q54)") {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     val streamed = StreamingQueries.queries("q54_stream_stream_join")(spark, sf0001)
