@@ -249,16 +249,11 @@ object Dedup {
 
     // Near-dup CLUSTERING — the step that turns q27's verified pairs into
     // dedup groups (the canonical end of a MinHash pipeline: pairs →
-    // connected components → keep one doc per component). Iterative
-    // min-label propagation: every node adopts the minimum label among
-    // itself and its neighbors until a fixpoint — O(component diameter)
-    // DataFrame iterations (near-dup components are shallow; the
-    // large-star/small-star variant from the Connected Components in
-    // MapReduce literature drops the bound to O(log n) if ever needed).
-    // Each iteration is one keyed shuffle; labels only decrease, so the
-    // monotone sum(label) is a one-aggregate convergence check.
-    // Deterministic (min over a fixed edge set) → DuckDB replays it with
-    // a recursive transitive-closure CTE.
+    // connected components → keep one doc per component). Components via
+    // alternating large-star/small-star rounds (O(log n) convergence at
+    // any component shape — see [[connectedComponents]]); deterministic
+    // (min over a fixed edge set) → DuckDB replays it with a recursive
+    // transitive-closure CTE.
     "q72_dedup_clusters" -> ((s, d) => {
       val labels = nearDupLabels(s, d)
       val sizes = labels.groupBy(col("cluster_id"))
@@ -306,53 +301,104 @@ object Dedup {
     })
   )
 
-  /** Connected-component labels over the verified near-dup pair graph
-    * (jaccard ≥ 0.8): iterative min-label propagation to a fixpoint —
-    * every node adopts the minimum label among itself and its neighbors,
-    * O(component diameter) DataFrame iterations (near-dup components are
-    * shallow; the large-star/small-star variant from the Connected
-    * Components in MapReduce literature drops the bound to O(log n) if
-    * ever needed). Each iteration is one keyed shuffle; labels only
-    * decrease, so the monotone sum(label) is a one-aggregate convergence
-    * check. Deterministic (min over a fixed edge set) → DuckDB replays it
-    * with a recursive transitive-closure CTE. Returns (doc_id, cluster_id)
-    * for CLUSTERED docs only, persisted and materialized. */
-  private def nearDupLabels(s: SparkSession, d: String): DataFrame = {
-    val sh = sharedShingles(s, d)
-    val pairs = verifyJaccardWith(
-      sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"))
-      .persist()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist()
-    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+  /** Connected-component labels over an undirected pair graph
+    * (`doc_a`, `doc_b` columns) via alternating LARGE-STAR / SMALL-STAR
+    * rounds — the Connected Components in MapReduce algorithm (Kiveris et
+    * al., SoCC'14; also the shape Spark GraphFrames uses). Each round is
+    * two keyed aggregations + joins, and the edge set provably converges
+    * to per-component stars rooted at the component-minimum id in
+    * O(log n) rounds. Plain min-label propagation (the round-3 form)
+    * needs O(component DIAMETER) shuffles — a 10k-node chain of near-dups
+    * would take 10k iterations; this takes ~a dozen — and on cap-hit it
+    * silently returned partial (wrong) labels. Non-convergence now
+    * THROWS instead. Deterministic (min over a fixed edge set) → DuckDB
+    * replays the result with a recursive transitive-closure CTE.
+    *
+    * Returns (doc_id, cluster_id = component minimum) for every node that
+    * appears in an edge, persisted and materialized (callers release via
+    * [[releaseCaches]]). */
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    // canonical directed form: u > v (self-loops dropped)
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    // cheap edge-set signature: (count, order-free hash sum). Both star
+    // operations preserve a star fixpoint, so signature equality across a
+    // full round == convergence (modulo a 2^-64 hash collision).
+    def sigOf(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = sigOf(e)
     var converged = false
     var iters = 0
-    while (!converged && iters < 50) {
-      val neigh = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nl")).as("min_neigh"))
-      val next = labels.join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"),
-            coalesce(col("min_neigh"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      val curSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
+    while (!converged) {
       iters += 1
+      if (iters > 40)
+        throw new IllegalStateException(
+          "connectedComponents did not converge in 40 large-star/small-star " +
+            "rounds (O(log n) expected — 40 covers any feasible graph); " +
+            "refusing to return partial labels")
+      // LARGE-STAR: every node connects its strictly-larger neighbors to
+      // the minimum of its neighborhood (including itself)
+      val nbrs = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: every node connects itself and its smaller neighbors
+      // to their minimum (edges are already u > v directed)
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = ls.join(mins2, "u")
+      val ss = withM.select(col("u"), col("m").as("v"))
+        .unionByName(withM.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct().persist()
+      val nsig = sigOf(ss)
+      e.unpersist()
+      e = ss
+      converged = nsig == sig
+      sig = nsig
     }
-    pairs.unpersist(); edges.unpersist()
+    // fixpoint edges are stars (u = member, v = component-minimum root)
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .persist()
+    labels.count() // materialize before dropping the edge cache
+    e.unpersist()
     labels
   }
+
+  /** Cluster labels are cached per (session, dataset): q72/q76 and
+    * repeated invocations reuse one persisted result instead of leaking a
+    * new cache entry per call (round-3 advisor finding). */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Unpersist this session's cached cluster labels (test/app teardown,
+    * or between corpus versions in a long-lived session). */
+  def releaseCaches(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    labelsCache.filterInPlace { case ((sid, _), df) =>
+      if (sid == id) { df.unpersist(); false } else true
+    }
+  }
+
+  /** Connected-component labels over the verified near-dup pair graph
+    * (jaccard ≥ 0.8): [[connectedComponents]] over q27's verified pairs,
+    * cached per (session, dataset). */
+  private def nearDupLabels(s: SparkSession, d: String): DataFrame =
+    labelsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val sh = sharedShingles(s, d)
+      val pairs = verifyJaccardWith(
+        sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(s, pairs)
+    })
 
   /** SimHash near-dup pairs by Hamming distance: 64-bit sign-aggregated
     * token-frequency hash, 16-bit bands for candidate generation, exact

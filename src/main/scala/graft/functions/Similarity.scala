@@ -65,8 +65,13 @@ object Similarity {
       acc
     }
     val c = d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
-    java.math.BigDecimal.valueOf(c)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // zero-norm / corrupt vectors divide to NaN or ±Inf; BigDecimal.valueOf
+    // would throw and kill the whole job — propagate the non-finite value
+    // instead, matching what the Column formulation round(c, 6) does
+    if (java.lang.Double.isFinite(c))
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else c
   }
 
   /** Exact cosine top-k of `corpus` rows for each probe row (probe side is
@@ -110,7 +115,7 @@ object Similarity {
     "q31_ann_ivf" -> ((s, d) => {
       val emb = embeddings(s, d)
       ivfTopK(s, emb, emb.filter(col("vec_id") < 10), k = 5,
-          broadcastProbes = true)
+          broadcastProbes = true, cacheKey = d)
         .orderBy(col("probe_id"), col("rk"))
     }),
 
@@ -127,7 +132,7 @@ object Similarity {
     // replay below.
     "q73_knn_graph" -> ((s, d) => {
       val emb = embeddings(s, d)
-      ivfTopK(s, emb, emb, k = 3, broadcastProbes = false)
+      ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
         .select(col("probe_id").as("src_id"), col("rk"),
           col("vec_id").as("nbr_id"), col("cos"))
         .orderBy(col("src_id"), col("rk"))
@@ -145,18 +150,36 @@ object Similarity {
     * size never grows with the corpus, so the driver collect, broadcast
     * payload, and O(k) per-row assignment cost are corpus-size-independent.
     */
+  /** Centroid broadcasts are cached per (session, dataset): q31/q73 and
+    * repeated invocations reuse one broadcast instead of leaking a new
+    * one per call (round-3 advisor finding). */
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]]
+
+  /** Destroy this session's cached centroid broadcasts (test/app
+    * teardown, or between corpus versions in a long-lived session). Only
+    * call once no outstanding DataFrame still references them. */
+  def releaseCaches(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    centCache.filterInPlace { case ((sid, _), bc) =>
+      if (sid == id) { bc.destroy(); false } else true
+    }
+  }
+
   private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
-      k: Int, broadcastProbes: Boolean): DataFrame = {
+      k: Int, broadcastProbes: Boolean, cacheKey: String): DataFrame = {
     import s.implicits._
-    val cents: Array[(Long, Array[Float])] =
-      emb.select(col("vec_id"), col("embedding"))
-        .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
-          col("vec_id"))
-        .limit(IvfK)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(cents)
+    val bc = centCache.getOrElseUpdate((System.identityHashCode(s), cacheKey), {
+      val cents: Array[(Long, Array[Float])] =
+        emb.select(col("vec_id"), col("embedding"))
+          .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+            col("vec_id"))
+          .limit(IvfK)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+      s.sparkContext.broadcast(cents)
+    })
     // map-side nearest cell (max ccos, ties → max centroid_id): one
     // typed pass over the corpus against the broadcast centroids
     val assigned = emb.select(col("vec_id"), col("embedding"))

@@ -267,18 +267,41 @@ class SessionTimerProcessor extends org.apache.spark.sql.streaming.StatefulProce
     // deterministic event-time order within the batch (ties collapse to
     // the same session either way — the gap is computed on ts alone)
     val sorted = rows.map(_._2).toArray.sorted
+    if (sorted.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
-    var cur = if (open.exists()) {
-      getHandle.deleteTimer(timerFor(open.get().lastUs))
-      open.get()
-    } else null
-    for (ts <- sorted) {
-      if (cur == null) cur = OpenSess(ts, ts, 1L)
-      else if (ts - cur.lastUs >= GapUs) {
-        // the gap closes the previous session — final, emit inline
-        out += SessRow(key, fmt(cur.startUs), cur.n)
-        cur = OpenSess(ts, ts, 1L)
-      } else cur = OpenSess(cur.startUs, ts, cur.n + 1)
+    // plain gap-islands fold for a run of events with no restored state
+    def fold(events: Iterator[Long], start: OpenSess): OpenSess = {
+      var cur = start
+      for (ts <- events) {
+        if (cur == null) cur = OpenSess(ts, ts, 1L)
+        else if (ts - cur.lastUs >= GapUs) {
+          // the gap closes the previous session — final, emit inline
+          out += SessRow(key, fmt(cur.startUs), cur.n)
+          cur = OpenSess(ts, ts, 1L)
+        } else cur = OpenSess(cur.startUs, ts, cur.n + 1)
+      }
+      cur
+    }
+    val cur: OpenSess = if (!open.exists()) fold(sorted.iterator, null) else {
+      val o = open.get()
+      getHandle.deleteTimer(timerFor(o.lastUs))
+      // EXACT merge with a restored session on multi-batch replay: a
+      // late-but-within-watermark event may precede the open span
+      // [startUs, lastUs]. Events inside the span can never split it
+      // (the span is gap-free by construction) — they only add to the
+      // count. Events before it form their own gap-islands; the last
+      // such island merges into the open session iff its gap to startUs
+      // is < 30 min. (The round-3 form assumed all new events were
+      // >= lastUs and silently corrupted session bounds otherwise.)
+      val within = sorted.count(ts => ts >= o.startUs && ts <= o.lastUs)
+      val pre = fold(sorted.iterator.takeWhile(_ < o.startUs), null)
+      val merged =
+        if (pre == null) OpenSess(o.startUs, o.lastUs, o.n + within)
+        else if (o.startUs - pre.lastUs >= GapUs) {
+          out += SessRow(key, fmt(pre.startUs), pre.n)
+          OpenSess(o.startUs, o.lastUs, o.n + within)
+        } else OpenSess(pre.startUs, o.lastUs, o.n + pre.n + within)
+      fold(sorted.iterator.filter(_ > o.lastUs), merged)
     }
     open.update(cur)
     // watchdog for the trailing session: fires iff no further event

@@ -135,6 +135,56 @@ class DedupSimilaritySpec extends TestSpark {
     assert(rows.length == label.size)
   }
 
+  test("connected components: 300-node chain converges (diameter >> any iteration cap)") {
+    // A chain is the worst case for plain min-label propagation (one
+    // label hop per round — the round-3 algorithm capped at 50 rounds and
+    // silently returned WRONG labels for this graph). Large-star/
+    // small-star halves star depth every round, so 300 nodes converge in
+    // ~log2(300) rounds or the cap-throw fires.
+    import spark.implicits._
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val df = Dedup.connectedComponents(spark, chain)
+    val labels = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    df.unpersist()
+    assert(labels.size == 300)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum (0)")
+  }
+
+  test("connected components match driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val n = 200
+    val edges = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+      val root = find(v.toInt)
+      val minMember = (0 until n).filter(find(_) == root)
+        .filter(m => edges.exists(e => e._1 == m || e._2 == m)).min
+      v -> minMember.toLong
+    }.toMap
+    val ccDf = Dedup.connectedComponents(spark, edges.toDF("doc_a", "doc_b"))
+    val got = ccDf.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    ccDf.unpersist()
+    assert(got == expected)
+  }
+
+  test("roundedCosine propagates non-finite values instead of throwing") {
+    // zero-norm (or corrupt) embeddings divide to NaN/Inf; BigDecimal
+    // rounding would throw and kill the whole IVF job (round-3 advisor
+    // finding) — the guard must propagate like the Column round() did
+    val zero = Array.fill(4)(0.0f)
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    assert(Similarity.roundedCosine(zero, v).isNaN)
+    assert(Similarity.roundedCosine(zero, zero).isNaN)
+    assert(Similarity.roundedCosine(v, v) == 1.0)
+  }
+
   test("exact dedup groups: every group keeps its minimum doc_id") {
     val rows = Dedup.queries("q26_dedup_exact")(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -201,6 +201,106 @@ class StreamingSpec extends TestSpark {
       "users with multiple sessions must have their closed sessions emitted")
   }
 
+  test("session timers: late-but-within-watermark event merges exactly into the open session") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_merge").toString
+    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
+    new java.io.File(inDir).mkdirs()
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "ts").repartition(1).write.parquet(s"$base/stage_$name")
+      val part = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+      ()
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def runBatch(): Unit = graft.streaming.StatefulCounts.withRocksDb(spark) {
+      val q = spark.readStream.schema("user_id long, ts timestamp").parquet(inDir)
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.SessionTimerProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Set[(Long, String, Long)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      // run 1: u1 open session [10:00, 10:10], u2 open [10:20];
+      // watermark settles at 10:20 - 30 min = 09:50 → nothing emitted.
+      write("f1", Seq((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:20:00"))))
+      runBatch()
+      assert(!new java.io.File(outDir).exists() || emitted().isEmpty,
+        s"run1 should emit nothing")
+      // run 2: u1 gets a LATE event at 10:04 (>= restored watermark
+      // 09:50, INSIDE the open span → joins it, n=3), then 10:35
+      // (25 min gap from the true lastUs 10:10 → EXTENDS the session;
+      // the pre-fix code moved lastUs backward to 10:04 and wrongly
+      // split here), then 11:30 (55 min gap → closes [10:00..10:35] n=4
+      // inline). u2's 12:40 closes its 10:20 session and pushes the
+      // final watermark to 12:10 → u1's trailing [11:30] timer (12:00)
+      // fires; u2's trailing timer (13:10) does not.
+      write("f2", Seq((1L, ts("2024-01-01 10:04:00")),
+        (1L, ts("2024-01-01 10:35:00")), (1L, ts("2024-01-01 11:30:00")),
+        (2L, ts("2024-01-01 12:40:00"))))
+      runBatch()
+      assert(emitted() == Set(
+        (1L, "2024-01-01 10:00:00", 4L),
+        (1L, "2024-01-01 11:30:00", 1L),
+        (2L, "2024-01-01 10:20:00", 1L)), s"got ${emitted()}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("session timer firing at expiry == watermark is pinned to the oracle's <= semantics") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    // u1's trailing-session timer lands at 10:00 + 30 min = 10:30, and
+    // the final watermark is exactly 11:00 - 30 min = 10:30 — the
+    // boundary case q70's oracle decides with `expiry <= watermark`
+    // (round-3 advisor: this boundary was unpinned; the fixture never
+    // exercises it). If this test fails, Spark fires timers strictly
+    // below the watermark and the q70 oracle must flip to `<`.
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_edge").toString
+    try {
+      val rows = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      rows.toDF("user_id", "ts").write.parquet(s"$base/in")
+      spark.catalog.dropTempView("sink_sess_edge")
+      graft.streaming.StatefulCounts.withRocksDb(spark) {
+        val q = spark.readStream.schema("user_id long, ts timestamp")
+          .parquet(s"$base/in")
+          .withWatermark("ts", "30 minutes")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.SessionTimerProcessor(),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("memory").queryName("sink_sess_edge")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val got = spark.table("sink_sess_edge").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "2024-01-01 10:00:00", 1L)),
+        s"expiry==watermark timer did not fire (oracle uses <=): $got")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("TTL'd transformWithState state expires: a later batch restarts the count") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import spark.implicits._
