@@ -80,6 +80,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""sf":"$sfDir"}""")
+    functions.Dedup.releaseCaches(spark)
+    functions.Similarity.releaseCaches(spark)
     spark.stop()
   }
 }

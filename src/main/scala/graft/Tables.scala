@@ -36,4 +36,11 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Stable unique id of a session, for per-session resource caches.
+    * `sessionUUID` is unique per session by construction;
+    * `identityHashCode` (the old key) can collide across sessions and
+    * would hand one session a broadcast bound to another. */
+  def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.graftbridge.GraftBridge.sessionUUID(s)
 }

@@ -19,13 +19,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must FAIL LOUDLY in the correctness artifact,
+    // not silently vanish from it (round-4 advisor finding: q72/q76
+    // crashed and CORRECTNESS_r04 just omitted them, looking green). So:
+    // write a sentinel one-row result carrying the error — the driver's
+    // DuckDB compare then reports a schema/row mismatch for that query —
+    // plus an errors.json inventory, and exit nonzero.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] FAILED $name: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +57,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    functions.Dedup.releaseCaches(spark)
+    functions.Similarity.releaseCaches(spark)
     spark.stop()
+    // exit 0 even on failures: the sentinel parquet makes each failure a
+    // visible per-query mismatch in the driver's compare, which is the
+    // loud signal we want; a nonzero exit might abort the compare itself.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} quer(ies) FAILED: " +
+        failures.keys.mkString(", "))
   }
 }

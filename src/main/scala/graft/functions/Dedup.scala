@@ -318,16 +318,30 @@ object Dedup {
     * appears in an edge, persisted and materialized (callers release via
     * [[releaseCaches]]). */
   private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    // Lineage MUST be truncated every round: each round's plan references
+    // the previous round's ~6× (two unionByName sides, join + agg
+    // re-reads), so plan size grows ~6^rounds — persist() alone does not
+    // cut the analyzed tree, and by round ~12 plan rendering alone OOMs
+    // the driver. Eager checkpoint rebases the round on its materialized
+    // RDD, keeping the plan constant-size. Reliable checkpoint when a
+    // checkpoint dir is configured (survives executor loss — the
+    // production setting at scale); localCheckpoint otherwise.
+    def truncate(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     // canonical directed form: u > v (self-loops dropped)
-    var e = pairs
+    var e = truncate(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().persist()
-    // cheap edge-set signature: (count, order-free hash sum). Both star
-    // operations preserve a star fixpoint, so signature equality across a
-    // full round == convergence (modulo a 2^-64 hash collision).
+      .filter(col("u") =!= col("v")).distinct())
+    // cheap edge-set signature: (count, order-free hash XOR). XOR never
+    // overflows (the round-4 sum() form hit ANSI ARITHMETIC_OVERFLOW on
+    // any nontrivial edge set) and is order-independent; edges are
+    // distinct, so no pair cancels its own duplicate. Both star operations
+    // preserve a star fixpoint, so signature equality across a full round
+    // == convergence (modulo a 2^-64 hash collision).
     def sigOf(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).collect()(0)
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var sig = sigOf(e)
@@ -353,13 +367,12 @@ object Dedup {
       // to their minimum (edges are already u > v directed)
       val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val withM = ls.join(mins2, "u")
-      val ss = withM.select(col("u"), col("m").as("v"))
+      val ss = truncate(withM.select(col("u"), col("m").as("v"))
         .unionByName(withM.filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
-        .distinct().persist()
+        .distinct())
       val nsig = sigOf(ss)
-      e.unpersist()
-      e = ss
+      e = ss // prior round's checkpoint blocks are freed by ContextCleaner on GC
       converged = nsig == sig
       sig = nsig
     }
@@ -367,38 +380,52 @@ object Dedup {
     val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
       .persist()
-    labels.count() // materialize before dropping the edge cache
-    e.unpersist()
+    labels.count() // materialize while the final round's checkpoint is live
     labels
   }
 
-  /** Cluster labels are cached per (session, dataset): q72/q76 and
+  /** Cluster labels are cached per (sessionUUID, dataset): q72/q76 and
     * repeated invocations reuse one persisted result instead of leaking a
-    * new cache entry per call (round-3 advisor finding). */
+    * new cache entry per call (round-3 advisor finding). Keyed on the
+    * session UUID (identityHashCode can collide across sessions) and
+    * built under a lock so concurrent first calls can't both run
+    * connectedComponents and orphan the loser's persisted result. */
   private val labelsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
   /** Unpersist this session's cached cluster labels (test/app teardown,
     * or between corpus versions in a long-lived session). */
-  def releaseCaches(s: SparkSession): Unit = {
-    val id = System.identityHashCode(s)
+  def releaseCaches(s: SparkSession): Unit = labelsCache.synchronized {
+    val id = sessionKey(s)
     labelsCache.filterInPlace { case ((sid, _), df) =>
       if (sid == id) { df.unpersist(); false } else true
     }
   }
 
+  /** Cached [[connectedComponents]] over an arbitrary edge builder,
+    * keyed by (session, key). The lock spans the build: clustering is a
+    * multi-job driver loop, so serializing duplicate first calls is
+    * strictly cheaper than letting both run and orphaning the loser's
+    * persisted result. Also used by Similarity's embedding-space dedup
+    * (key-prefixed so shingle and embedding graphs never collide). */
+  private[graft] def cachedComponents(s: SparkSession, key: String)
+      (pairs: => DataFrame): DataFrame =
+    labelsCache.synchronized {
+      labelsCache.getOrElseUpdate((sessionKey(s), key),
+        connectedComponents(s, pairs))
+    }
+
   /** Connected-component labels over the verified near-dup pair graph
     * (jaccard ≥ 0.8): [[connectedComponents]] over q27's verified pairs,
     * cached per (session, dataset). */
   private def nearDupLabels(s: SparkSession, d: String): DataFrame =
-    labelsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    cachedComponents(s, d) {
       val sh = sharedShingles(s, d)
-      val pairs = verifyJaccardWith(
+      verifyJaccardWith(
         sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
-      connectedComponents(s, pairs)
-    })
+    }
 
   /** SimHash near-dup pairs by Hamming distance: 64-bit sign-aggregated
     * token-frequency hash, 16-bit bands for candidate generation, exact

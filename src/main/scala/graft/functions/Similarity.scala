@@ -136,6 +136,29 @@ object Similarity {
         .select(col("probe_id").as("src_id"), col("rk"),
           col("vec_id").as("nbr_id"), col("cos"))
         .orderBy(col("src_id"), col("rk"))
+    }),
+
+    // EMBEDDING-SPACE near-dup dedup: the modality the shingle paths
+    // (q27/q28) can't see — paraphrases land close in vector space with
+    // little lexical overlap. Pipeline: k-NN graph through the IVF index
+    // (the scale path — candidates come from shared coarse cells, never
+    // all pairs), keep edges with cosine ≥ 0.4 (the fixture's vectors are
+    // random ⇒ 0.95-style thresholds would be vacuous; 0.4 sits in the
+    // fixture's near-dup tail), then the same large-star/small-star
+    // connected components as q72 label the duplicate groups. Everything
+    // is deterministic (rounded cosine, fixed centroid rule) → DuckDB
+    // replays knn graph + recursive closure exactly.
+    "q77_embedding_dedup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val edges = ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
+        .filter(col("cos") >= 0.4)
+        .select(col("probe_id").as("doc_a"), col("vec_id").as("doc_b"))
+      val labels = Dedup.cachedComponents(s, "emb:" + d)(edges)
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -150,17 +173,21 @@ object Similarity {
     * size never grows with the corpus, so the driver collect, broadcast
     * payload, and O(k) per-row assignment cost are corpus-size-independent.
     */
-  /** Centroid broadcasts are cached per (session, dataset): q31/q73 and
-    * repeated invocations reuse one broadcast instead of leaking a new
-    * one per call (round-3 advisor finding). */
-  private val centCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]]
+  /** Centroid broadcasts are cached per (sessionUUID, dataset): q31/q73
+    * and repeated invocations reuse one broadcast instead of leaking a
+    * new one per call (round-3 advisor finding). Keyed on the session
+    * UUID (identityHashCode can collide across sessions — a collision
+    * would hand one session a broadcast bound to another's SparkContext)
+    * and built under a lock so concurrent first calls can't both collect
+    * + broadcast and orphan the loser. */
+  private val centCache = scala.collection.mutable.Map
+    .empty[(String, String), org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]]
 
   /** Destroy this session's cached centroid broadcasts (test/app
     * teardown, or between corpus versions in a long-lived session). Only
     * call once no outstanding DataFrame still references them. */
-  def releaseCaches(s: SparkSession): Unit = {
-    val id = System.identityHashCode(s)
+  def releaseCaches(s: SparkSession): Unit = centCache.synchronized {
+    val id = sessionKey(s)
     centCache.filterInPlace { case ((sid, _), bc) =>
       if (sid == id) { bc.destroy(); false } else true
     }
@@ -169,17 +196,19 @@ object Similarity {
   private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
       k: Int, broadcastProbes: Boolean, cacheKey: String): DataFrame = {
     import s.implicits._
-    val bc = centCache.getOrElseUpdate((System.identityHashCode(s), cacheKey), {
-      val cents: Array[(Long, Array[Float])] =
-        emb.select(col("vec_id"), col("embedding"))
-          .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
-            col("vec_id"))
-          .limit(IvfK)
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-      s.sparkContext.broadcast(cents)
-    })
+    val bc = centCache.synchronized {
+      centCache.getOrElseUpdate((sessionKey(s), cacheKey), {
+        val cents: Array[(Long, Array[Float])] =
+          emb.select(col("vec_id"), col("embedding"))
+            .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+              col("vec_id"))
+            .limit(IvfK)
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            .sortBy(_._1)
+        s.sparkContext.broadcast(cents)
+      })
+    }
     // map-side nearest cell (max ccos, ties → max centroid_id): one
     // typed pass over the corpus against the broadcast centroids
     val assigned = emb.select(col("vec_id"), col("embedding"))
@@ -250,50 +279,47 @@ object Similarity {
     // probe cells (ties → smaller centroid_id, mirroring the row_number
     // ordering), same candidate re-rank.
     "q31_ann_ivf" ->
-      """WITH cents AS (
-           SELECT vec_id AS centroid_id, embedding AS c_emb
-           FROM embeddings
-           ORDER BY (vec_id * 2654435761) % 999999937, vec_id
-           LIMIT 64),
-         scored AS (
-           SELECT e.vec_id, e.embedding, c.centroid_id,
-             round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))),
-               6) AS ccos
-           FROM embeddings e CROSS JOIN cents c),
-         assigned AS (
-           SELECT vec_id, embedding, centroid_id AS cell FROM (
-             SELECT vec_id, embedding, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY ccos DESC, centroid_id DESC) AS rk
-             FROM scored) WHERE rk = 1),
-         probe_cells AS (
-           SELECT vec_id AS probe_id, embedding AS p_emb, centroid_id AS cell FROM (
-             SELECT vec_id, embedding, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY ccos DESC, centroid_id ASC) AS rk
-             FROM scored WHERE vec_id < 10) WHERE rk <= 4),
-         cands AS (
-           SELECT DISTINCT p.probe_id, a.vec_id,
-             round(list_dot_product(p.p_emb::DOUBLE[], a.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(p.p_emb::DOUBLE[], p.p_emb::DOUBLE[]))
-                * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
-               6) AS cos
-           FROM probe_cells p JOIN assigned a USING (cell)
-           WHERE p.probe_id <> a.vec_id),
-         ranked AS (
-           SELECT probe_id, vec_id, cos,
-             row_number() OVER (PARTITION BY probe_id
-               ORDER BY cos DESC, vec_id) AS rk
-           FROM cands)
+      s"""WITH ${ivfCtes(probeWhere = "WHERE vec_id < 10")}
          SELECT probe_id, rk, vec_id, cos FROM ranked
          WHERE rk <= 5 ORDER BY probe_id, rk""",
 
     // q31's replay with probes = the whole corpus and top-3: same centroid
     // rule, same tie conventions, renamed to graph-edge columns.
     "q73_knn_graph" ->
-      """WITH cents AS (
+      s"""WITH ${ivfCtes(probeWhere = "")}
+         SELECT probe_id AS src_id, rk, vec_id AS nbr_id, cos FROM ranked
+         WHERE rk <= 3 ORDER BY src_id, rk""",
+
+    // q73's knn edges at cosine ≥ 0.4, then the same recursive
+    // transitive-closure clustering as q72's oracle.
+    "q77_embedding_dedup" ->
+      s"""WITH RECURSIVE ${ivfCtes(probeWhere = "")},
+         knn AS (
+           SELECT probe_id AS a, vec_id AS b FROM ranked
+           WHERE rk <= 3 AND cos >= 0.4),
+         edges AS (
+           SELECT a AS s, b AS e FROM knn
+           UNION ALL SELECT b, a FROM knn),
+         reach(src, node) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.src, g.e FROM reach r JOIN edges g ON r.node = g.s),
+         labels AS (
+           SELECT src AS vec_id, min(node) AS cluster_id
+           FROM reach GROUP BY src),
+         csizes AS (
+           SELECT cluster_id, count(*) AS cluster_size
+           FROM labels GROUP BY cluster_id)
+         SELECT l.vec_id, l.cluster_id, cs.cluster_size
+         FROM labels l JOIN csizes cs USING (cluster_id)
+         ORDER BY l.vec_id"""
+  )
+
+  /** The IVF replay CTE block shared by q31/q73/q77's oracles: centroid
+    * sample → assignment → probe cells (optionally filtered to a probe
+    * subset) → candidate re-rank. */
+  private def ivfCtes(probeWhere: String): String =
+      s"""cents AS (
            SELECT vec_id AS centroid_id, embedding AS c_emb
            FROM embeddings
            ORDER BY (vec_id * 2654435761) % 999999937, vec_id
@@ -316,7 +342,7 @@ object Similarity {
              SELECT vec_id, embedding, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY ccos DESC, centroid_id ASC) AS rk
-             FROM scored) WHERE rk <= 4),
+             FROM scored $probeWhere) WHERE rk <= 4),
          cands AS (
            SELECT DISTINCT p.probe_id, a.vec_id,
              round(list_dot_product(p.p_emb::DOUBLE[], a.embedding::DOUBLE[])
@@ -329,8 +355,5 @@ object Similarity {
            SELECT probe_id, vec_id, cos,
              row_number() OVER (PARTITION BY probe_id
                ORDER BY cos DESC, vec_id) AS rk
-           FROM cands)
-         SELECT probe_id AS src_id, rk, vec_id AS nbr_id, cos FROM ranked
-         WHERE rk <= 3 ORDER BY src_id, rk"""
-  )
+           FROM cands)"""
 }

@@ -74,14 +74,22 @@ object StatefulCounts {
     * changelog checkpointing) — the provider any 100 TB streaming job
     * uses instead of the default in-memory HDFS-backed store. */
   private[graft] def withRocksDb[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing writes the per-batch delta instead of a
+    // full native RocksDB snapshot per commit — the production setting
+    // for frequent micro-batches (a full Checkpoint.createCheckpoint per
+    // batch costs seconds of native IO and serialized a 13k-batch test
+    // run into a multi-minute stall).
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 

@@ -34,6 +34,16 @@ object GraftBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Unique id of a session (`sessionUUID` is private[sql]); falls back
+    * to identity hash for non-classic sessions. Used to key per-session
+    * resource caches — identityHashCode alone can collide across
+    * sessions. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+      case other => "idhash-" + System.identityHashCode(other)
+    }
+
   /** The analyzed logical plan of a DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

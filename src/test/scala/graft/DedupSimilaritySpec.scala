@@ -135,6 +135,27 @@ class DedupSimilaritySpec extends TestSpark {
     assert(rows.length == label.size)
   }
 
+  test("q77 embedding dedup: clusters honor the thresholded knn edges") {
+    val edges = Similarity.queries("q73_knn_graph")(spark, sf0001)
+      .filter(col("cos") >= 0.4)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Similarity.queries("q77_embedding_dedup")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(edges.nonEmpty, "fixture should contain knn edges above threshold")
+    // both endpoints of every thresholded edge share a cluster
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    // cluster id = minimum member; only nodes on an edge are clustered
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+    val onEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(labels.keySet == onEdges)
+  }
+
   test("connected components: 300-node chain converges (diameter >> any iteration cap)") {
     // A chain is the worst case for plain min-label propagation (one
     // label hop per round — the round-3 algorithm capped at 50 rounds and

@@ -315,22 +315,33 @@ class StreamingSpec extends TestSpark {
         java.nio.file.Paths.get(s"$inDir/$name.parquet"))
       ()
     }
-    // ProcessingTime time-mode keeps scheduling no-data state-cleanup
-    // batches, so AvailableNow never terminates — drive the query with
-    // processAllAvailable() and stop it explicitly instead.
+    // ProcessingTime time-mode schedules no-data state-cleanup batches
+    // back-to-back forever; with them enabled AvailableNow never
+    // terminates and processAllAvailable can starve (each cleanup batch
+    // commits state, so the stream never looks quiescent — observed as a
+    // 13k-batch stall). TTL expiry is checked on state READ, not by the
+    // cleanup batches, so disabling them keeps the semantics and makes
+    // AvailableNow terminate deterministically.
     def runBatch(): Unit = graft.streaming.StatefulCounts.withRocksDb(spark) {
-      val q = spark.readStream.schema("k string").parquet(inDir)
-        .as[String]
-        .groupByKey(identity)
-        .transformWithState(new graft.streaming.TtlCountProcessor(500L),
-          TimeMode.ProcessingTime(), OutputMode.Update())
-        .toDF("k", "n")
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", chk)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-      q.awaitTermination()
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndPrev = spark.conf.getOption(ndKey)
+      spark.conf.set(ndKey, "false")
+      try {
+        val q = spark.readStream.schema("k string").parquet(inDir)
+          .as[String]
+          .groupByKey(identity)
+          .transformWithState(new graft.streaming.TtlCountProcessor(500L),
+            TimeMode.ProcessingTime(), OutputMode.Update())
+          .toDF("k", "n")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally ndPrev match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
     }
     try {
       write("f1", Seq("a", "a"))

@@ -20,6 +20,11 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
   val sf0001 = "/root/testdata/sf0.001"
 
   override def afterAll(): Unit = {
-    // keep the session alive for other suites in the same JVM
+    // keep the session alive for other suites in the same JVM, but drop
+    // this suite's per-session caches (persisted cluster labels, centroid
+    // broadcasts) so nothing pins executor memory across suites; the next
+    // consumer rebuilds them.
+    graft.functions.Dedup.releaseCaches(spark)
+    graft.functions.Similarity.releaseCaches(spark)
   }
 }
