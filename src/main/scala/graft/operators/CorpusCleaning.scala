@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth wave of training-data pipeline operators: PII redaction, an
+  * end-to-end C4/Gopher-style cleaning pipeline (length + quality +
+  * language + dedup filters composed into one keep/drop verdict), a
+  * behavioral funnel (ordered event-sequence match), and PMI-scored
+  * bigram collocations.
+  *
+  * All are declarative single-pass plans: per-doc work happens map-side
+  * inside whole-stage codegen, shuffles carry (key, partial-aggregate)
+  * rows sized to the vocabulary or the user population — never raw text.
+  */
+object CorpusCleaning {
+
+  /** Unicode-letter tokens, case-sensitive, empties dropped — the shared
+    * reference tokenizer contract (src/mrapps/wc.go:22-26). */
+  private def tokens = filter(split(col("text"), "[^\\p{L}]+"), x => x =!= "")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  // Unambiguous regexes (no backtracking-dependent alternatives) so Java's
+  // engine and DuckDB's RE2 find byte-identical matches.
+  private val emailRe = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.com"
+  private val phoneRe = "555-[0-9]{4}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction — the scrub pass every training corpus runs before
+    // the tokenizer. The fixture text is letters-only, so deterministic
+    // synthetic PII (emails/phones derived from doc_id, with varying
+    // multiplicity) is appended first; the query then counts and redacts
+    // it. Pure map-side row-at-a-time work: no shuffle at any corpus
+    // size, and the regex stays in whole-stage codegen.
+    "q78_pii_redact" -> ((s, d) => {
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(
+          col("text"),
+          expr("repeat(concat(' user', doc_id, '@mail', doc_id % 7, '.com')," +
+            " CAST(doc_id % 3 AS INT))"),
+          expr("repeat(concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))," +
+            " CAST(doc_id % 2 AS INT))")).as("text"))
+      withPii.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end cleaning pipeline (the C4/Gopher recipe as ONE plan):
+    // exact-dup removal (content-hash canonical, window min — zero dups
+    // in this fixture, the stage still runs), length floor, stopword-
+    // density floor, and marker-language consistency, composed into a
+    // first-match drop reason per doc, then aggregated per source. Per-doc
+    // stats are map-side (token array ops); the only shuffles are the
+    // fingerprint window and the final (source, reason) aggregation —
+    // both carry slim rows, never text. The verdict CASE mirrors the
+    // oracle clause-for-clause so the split is engine-exact.
+    "q79_clean_pipeline" -> ((s, d) => {
+      val pt = concat(lit(" "), col("text"), lit(" "))
+      val predicted =
+        when(pt.contains(" der ") || pt.contains(" und ") || pt.contains(" das "), "de")
+          .when(pt.contains(" le ") || pt.contains(" la ") || pt.contains(" et "), "fr")
+          .when(pt.contains(" el ") || pt.contains(" los ") || pt.contains(" es "), "es")
+          .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+          .otherwise("en")
+      val stats = documents(s, d).select(
+        col("doc_id"), col("source"), col("lang"),
+        size(tokens).as("n_tokens"),
+        size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),
+        predicted.as("predicted"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+          .as("canonical"))
+      val reason = when(col("doc_id") =!= col("canonical"), "dup")
+        .when(col("n_tokens") < 20, "too_short")
+        .when(col("n_stop") / col("n_tokens").cast("double") < 0.02, "low_quality")
+        .when(col("predicted") =!= col("lang"), "lang_mismatch")
+        .otherwise("keep")
+      stats.select(col("source"), reason.as("reason"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("reason"))
+    }),
+
+    // Ordered-sequence funnel: users who viewed, then clicked strictly
+    // after their first view, then purchased strictly after that first
+    // qualifying click. Each stage is one aggregation keyed on user_id;
+    // the stage joins reuse that key, so after the first exchange the
+    // data is co-partitioned and AQE plans the (user-population-sized)
+    // joins without re-shuffling the big side.
+    "q80_funnel" -> ((s, d) => {
+      val e = events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+      stage(v, "1_view").unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // Event-transition matrix (first-order Markov counts): each user's
+    // event stream ordered by time, paired with its successor via a lead
+    // window, aggregated to (from, to) transition counts. One exchange
+    // on user_id for the window, then a vocabulary-sized (|event types|²)
+    // aggregation — the standard path-analysis primitive at any scale.
+    "q83_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Deterministic train/val/test split: the first hex digit of the
+    // content hash buckets every doc 12/2/2 sixteenths — any worker
+    // decides membership locally (no RNG state, no seed coordination,
+    // reproducible across engines and runs; same rationale as q61), and
+    // re-running on a grown corpus never reassigns an existing doc.
+    "q85_train_split" -> ((s, d) => {
+      val h = substring(md5(col("text")), 1, 1)
+      val split = when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+      documents(s, d)
+        .groupBy(col("lang"), split.as("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // PMI-scored bigram collocations over the corpus: token and bigram
+    // counts (both map-side partial-aggregated, shuffled at vocabulary
+    // size), two broadcast-friendly unigram joins, pointwise mutual
+    // information, top 20. Bigram generation is a typed map pass over the
+    // token array (same measured rationale as q75: Catalyst HOFs are
+    // interpreted). Ordering uses the ROUNDED score so the cutoff can't
+    // straddle an ulp between engines.
+    "q81_bigram_pmi" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val toks = docs.select(explode(tokens).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val bi = docs.select(col("text")).as[String]
+        .flatMap { text =>
+          val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+          if (t.length < 2) Iterator.empty
+          else t.iterator.zip(t.iterator.drop(1))
+        }
+        .toDF("w1", "w2")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      val totals = uni.agg(sum(col("cnt")).cast("double").as("t_total"))
+        .crossJoin(bi.agg(sum(col("n_pair")).cast("double").as("b_total")))
+      bi.join(uni.select(col("w").as("w1"), col("cnt").as("ca")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cnt").as("cb")), "w2")
+        .crossJoin(totals)
+        .filter(col("n_pair") >= 5)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(log((col("n_pair") / col("b_total")) /
+            ((col("ca") / col("t_total")) * (col("cb") / col("t_total")))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q78_pii_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             text
+               || repeat(' user' || doc_id || '@mail' || (doc_id % 7) || '.com',
+                    CAST(doc_id % 3 AS INT))
+               || repeat(' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    CAST(doc_id % 2 AS INT)) AS text
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+\.com')) AS n_emails,
+           len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '[A-Za-z0-9]+@[A-Za-z0-9]+\.com',
+             '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+         FROM pii ORDER BY doc_id""",
+    "q79_clean_pipeline" ->
+      """WITH stats AS (
+           SELECT doc_id, source, lang,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+             CASE
+               WHEN contains(' '||text||' ', ' der ') OR contains(' '||text||' ', ' und ')
+                 OR contains(' '||text||' ', ' das ') THEN 'de'
+               WHEN contains(' '||text||' ', ' le ') OR contains(' '||text||' ', ' la ')
+                 OR contains(' '||text||' ', ' et ') THEN 'fr'
+               WHEN contains(' '||text||' ', ' el ') OR contains(' '||text||' ', ' los ')
+                 OR contains(' '||text||' ', ' es ') THEN 'es'
+               WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               ELSE 'en' END AS predicted,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+           FROM documents),
+         verdict AS (
+           SELECT source,
+             CASE WHEN doc_id <> canonical THEN 'dup'
+                  WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_stop * 1.0 / n_tokens < 0.02 THEN 'low_quality'
+                  WHEN predicted <> lang THEN 'lang_mismatch'
+                  ELSE 'keep' END AS reason
+           FROM stats)
+         SELECT source, reason, count(*) AS n_docs
+         FROM verdict GROUP BY source, reason ORDER BY source, reason""",
+    "q80_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2
+           GROUP BY e.user_id)
+         SELECT '1_view' AS step, count(*) AS n_users FROM v
+         UNION ALL SELECT '2_click', count(*) FROM c
+         UNION ALL SELECT '3_purchase', count(*) FROM p
+         ORDER BY step""",
+    "q83_transition_matrix" ->
+      """SELECT event_type AS from_type, next_type AS to_type,
+         count(*) AS n_transitions
+         FROM (
+           SELECT event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events)
+         WHERE next_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "q85_train_split" ->
+      """SELECT lang,
+         CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+              ELSE 'train' END AS split,
+         count(*) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "q81_bigram_pmi" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(text, '[^\p{L}]+'),
+             x -> x <> '') AS t
+           FROM documents),
+         uni AS (
+           SELECT w, count(*) AS cnt FROM (SELECT unnest(t) AS w FROM toks)
+           GROUP BY w),
+         bi AS (
+           SELECT g[1] AS w1, g[2] AS w2, count(*) AS n_pair FROM (
+             SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i:i+1])) AS g
+             FROM toks)
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT (SELECT sum(cnt) * 1.0 FROM uni) AS t_total,
+                  (SELECT sum(n_pair) * 1.0 FROM bi) AS b_total)
+         SELECT w1, w2, n_pair,
+           round(ln((n_pair / b_total) /
+             ((a.cnt / t_total) * (b.cnt / t_total))), 6) AS pmi
+         FROM bi
+         JOIN uni a ON bi.w1 = a.w
+         JOIN uni b ON bi.w2 = b.w
+         CROSS JOIN tot
+         WHERE n_pair >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+  )
+}

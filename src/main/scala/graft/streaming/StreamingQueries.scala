@@ -227,6 +227,56 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // foreachBatch EXACTLY-ONCE sink — the production pattern for sinks
+    // with no native streaming writer: each micro-batch is compacted to
+    // its latest row per key, then written to a staging table PARTITIONED
+    // BY BATCH ID with dynamic partition overwrite, so a retried batch
+    // replaces exactly its own output (idempotent under task/batch
+    // replay — the same first-writer-wins contract as the reference's
+    // atomic temp-file rename, mr/worker.go:96-99). A final batch pass
+    // compacts the staging table to the current state per key — the
+    // standard "append + compact" CDC sink. State here lives in the SINK
+    // (partitioned files), not the state store, so the streaming side
+    // scales with batch size, not key cardinality.
+    "q82_stream_foreach_upsert" -> ((s, d) => {
+      graft.Tables.nanosTs(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_upsert_stage").toString
+      val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
+        .withColumn("ts", graft.Tables.nanosToTs("ts"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            batch.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+              .drop("rk")
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite").partitionBy("batch_id").parquet(stage)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      s.read.parquet(stage)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Session windows per user with a 30-minute inactivity gap.
     "q35_stream_session" -> ((s, d) => {
       runStream(s, d, "events", "sink_session") { src =>
@@ -320,6 +370,18 @@ object StreamingQueries {
     "q46_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The staged-then-compacted sink converges to the same answer as the
+    // batch latest-per-key query regardless of how the stream was split
+    // into micro-batches.
+    "q82_stream_foreach_upsert" ->
+      """SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+         FROM (
+           SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         WHERE rk = 1 ORDER BY user_id""",
     // Bounded replay = one batch ⇒ no state was evicted mid-stream, so
     // the emitted set is exactly one row per distinct key.
     "q69_stream_dedup_watermark" ->

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.CorpusCleaning
+import org.apache.spark.sql.functions._
+
+/** Contract checks for the fourth-wave corpus operators (value-exactness
+  * is the DuckDB oracle's job; these pin the invariants the oracle can't
+  * express).
+  */
+class CorpusCleaningSpec extends TestSpark {
+
+  test("pii redact: counts match injected multiplicity, output is scrubbed") {
+    val rows = CorpusCleaning.queries("q78_pii_redact")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_emails") == (id % 3).toInt,
+        s"doc $id email count != injected multiplicity")
+      assert(r.getAs[Int]("n_phones") == (id % 2).toInt)
+      val clean = r.getAs[String]("clean_text")
+      assert(!clean.contains("@mail"), s"doc $id still contains an email")
+      assert(!clean.matches(".*555-[0-9]{4}.*"), s"doc $id still contains a phone")
+    }
+  }
+
+  test("clean pipeline: reasons partition the corpus and keep-rate is sane") {
+    val byReason = CorpusCleaning.queries("q79_clean_pipeline")(spark, sf0001)
+      .groupBy(col("reason")).agg(sum(col("n_docs")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val total = byReason.values.sum
+    assert(total == Tables.documents(spark, sf0001).count(),
+      "verdicts do not partition the corpus")
+    val kept = byReason.getOrElse("keep", 0L)
+    assert(kept > 0 && kept < total, s"degenerate split: kept=$kept of $total")
+    val known = Set("keep", "dup", "too_short", "low_quality", "lang_mismatch")
+    assert(byReason.keySet.subsetOf(known), s"unknown reason in $byReason")
+  }
+
+  test("funnel: step counts are monotonically non-increasing") {
+    val steps = CorpusCleaning.queries("q80_funnel")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(steps.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(steps("1_view") >= steps("2_click"))
+    assert(steps("2_click") >= steps("3_purchase"))
+    assert(steps("1_view") > 0)
+  }
+
+  test("bigram pmi: deterministic, count floor respected, pmi ordering") {
+    val q = CorpusCleaning.queries("q81_bigram_pmi")
+    val r1 = q(spark, sf0001).collect()
+    val r2 = q(spark, sf0001).collect()
+    assert(r1.sameElements(r2), "top-20 collocations are not deterministic")
+    assert(r1.forall(_.getAs[Long]("n_pair") >= 5))
+    val scores = r1.map(_.getAs[Double]("pmi"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "pmi not non-increasing")
+  }
+
+  test("foreachBatch upsert sink converges to batch latest-per-key") {
+    val streamed = graft.streaming.StreamingQueries
+      .queries("q82_stream_foreach_upsert")(spark, sf0001)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+      .orderBy(col("user_id"))
+    assert(streamed.collect().sameElements(batch.collect()),
+      "streamed upsert sink differs from the batch latest-per-key answer")
+  }
+}
