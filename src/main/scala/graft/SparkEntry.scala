@@ -42,6 +42,7 @@ object SparkEntry {
       functions.SqlFunctions.queries ++
       operators.SaltedJoin.queries ++
       plans.TopKPerGroup.queries ++
+      plans.TopKRewrite.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries ++
       streaming.StatefulCounts.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       functions.SqlFunctions.oracles ++
       operators.SaltedJoin.oracles ++
       plans.TopKPerGroup.oracles ++
+      plans.TopKRewrite.oracles ++
       operators.Multimodal.oracles ++
       streaming.StreamingQueries.oracles ++
       streaming.StatefulCounts.oracles

@@ -63,17 +63,37 @@ case class TopKPerGroupExec(
     val boundTie = BindReferences.bindReference(tie, child.output)
     val kk = k
     child.execute().mapPartitions { it =>
-      // worst-first heap per group: head is the row to evict
-      implicit val worstFirst: Ordering[(Double, Long, InternalRow)] =
-        Ordering.by { case (s, t, _) => (-s, t) } // PQ dequeues max = worst
-      val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]]()
+      // Ordering contract = (score DESC NULLS LAST, tie ASC NULLS FIRST) —
+      // Spark's default null placement for those directions, so the
+      // TopKWindowRewrite rule can substitute this operator for a
+      // default-ordered row_number window on NULLABLE columns too.
+      case class Entry(sNull: Boolean, s: Double, tNull: Boolean, t: Long,
+          row: InternalRow)
+      def better(a: Entry, b: Entry): Boolean =
+        if (a.sNull != b.sNull) !a.sNull // non-null score wins (NULLS LAST)
+        else if (!a.sNull && a.s != b.s) a.s > b.s // higher score wins
+        else if (a.tNull != b.tNull) a.tNull // null tie first (NULLS FIRST)
+        else a.t < b.t // lower tie wins
+      // worst-first heap per group: PQ dequeues its max, and "better"
+      // compares as smaller, so head is the row to evict
+      implicit val worstFirst: Ordering[Entry] = (x: Entry, y: Entry) =>
+        if (better(x, y)) -1 else if (better(y, x)) 1 else 0
+      def entry(row: InternalRow): Entry = {
+        val sv = boundScore.eval(row)
+        val tv = boundTie.eval(row)
+        Entry(sv == null,
+          if (sv == null) 0.0 else sv.asInstanceOf[Number].doubleValue(),
+          tv == null,
+          if (tv == null) 0L else tv.asInstanceOf[Number].longValue(),
+          null)
+      }
+      val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]]()
       it.foreach { row =>
         val g = boundGroup.eval(row)
-        val s = boundScore.eval(row).asInstanceOf[Number].doubleValue()
-        val t = boundTie.eval(row).asInstanceOf[Number].longValue()
+        val e = entry(row)
         var heap = heaps.get(g)
         if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, InternalRow)]
+          heap = scala.collection.mutable.PriorityQueue.empty[Entry]
           // group keys from eval may be mutable (UTF8String backed by the
           // row buffer) — copy via toString-stable clone when needed
           heaps.put(g match {
@@ -81,19 +101,16 @@ case class TopKPerGroupExec(
             case other => other
           }, heap)
         }
-        if (heap.size < kk) heap.enqueue((s, t, row.copy()))
-        else {
-          val worst = heap.head
-          if (s > worst._1 || (s == worst._1 && t < worst._2)) {
-            heap.dequeue(); heap.enqueue((s, t, row.copy()))
-          }
+        if (heap.size < kk) heap.enqueue(e.copy(row = row.copy()))
+        else if (better(e, heap.head)) {
+          heap.dequeue(); heap.enqueue(e.copy(row = row.copy()))
         }
       }
       val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
       heaps.values().forEach { h =>
         // emit best-first within each group
-        val drained: Seq[(Double, Long, InternalRow)] = h.dequeueAll.toSeq
-        out ++= drained.reverse.map(_._3)
+        val drained: Seq[Entry] = h.dequeueAll.toSeq
+        out ++= drained.reverse.map(_.row)
       }
       out.iterator
     }
