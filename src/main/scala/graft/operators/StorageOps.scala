@@ -33,6 +33,24 @@ object StorageOps {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 6).as("sum_value"))
         .orderBy(col("day"))
+    }),
+
+    // CSV sink + source roundtrip inside the correctness gate: orders
+    // lands as headered CSV, is read back with the original schema, and
+    // the rollup over the read-back rows must equal the oracle's rollup
+    // over the parquet source — which holds only if every value survives
+    // the text roundtrip (doubles print shortest-roundtrip form; dates
+    // ISO). SourceSinkSpec extends the same roundtrip to JSON and ORC.
+    "q87_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_sink").toString
+      val o = orders(s, d)
+      o.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.schema(o.schema).option("header", "true").csv(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -41,6 +59,11 @@ object StorageOps {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
          round(sum(value), 6) AS sum_value
          FROM events WHERE event_type = 'purchase'
-         GROUP BY 1 ORDER BY day"""
+         GROUP BY 1 ORDER BY day""",
+    "q87_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
