@@ -263,6 +263,43 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL-NATIVE recursive closure (Spark 4 WITH RECURSIVE): the same
+    // cluster assignment as q72, computed through the engine's recursive
+    // CTE instead of the iterative star-contraction — two independent
+    // implementations cross-validated against one oracle. Spark's
+    // recursive CTEs accept UNION ALL only, so the walk carries its
+    // visited path and prunes revisits (cycle-safe termination). Path
+    // enumeration is exponential in clique size — fine for near-dup
+    // clusters (small by construction after LSH + verification), while
+    // q72's checkpointed star-contraction remains the unbounded-scale
+    // path for arbitrary graphs.
+    "q88_recursive_clusters" -> ((s, d) => {
+      val sh = sharedShingles(s, d)
+      verifyJaccardWith(sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+        .createOrReplaceTempView("q88_pairs")
+      s.sql(
+        """WITH RECURSIVE edges AS (
+             SELECT doc_a AS s, doc_b AS e FROM q88_pairs
+             UNION ALL SELECT doc_b, doc_a FROM q88_pairs),
+           reach(src, node, path) AS (
+             SELECT s, s, array(s) FROM (SELECT DISTINCT s FROM edges)
+             UNION ALL
+             SELECT r.src, g.e, array_append(r.path, g.e)
+             FROM reach r JOIN edges g
+               ON r.node = g.s AND NOT array_contains(r.path, g.e)),
+           labels AS (
+             SELECT src AS doc_id, min(node) AS cluster_id
+             FROM reach GROUP BY src),
+           csizes AS (
+             SELECT cluster_id, count(*) AS cluster_size
+             FROM labels GROUP BY cluster_id)
+           SELECT l.doc_id, l.cluster_id, cs.cluster_size
+           FROM labels l JOIN csizes cs ON l.cluster_id = cs.cluster_id
+           ORDER BY l.doc_id""")
+    }),
+
     // DECONTAMINATION — flag corpus documents that share any word 8-gram
     // with a held-out benchmark set (the standard eval-leak check before
     // training; cf. GPT-3/Gopher 8-13-gram overlap filtering). The
@@ -526,7 +563,7 @@ object Dedup {
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY doc_a, doc_b"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q26_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id,
          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
@@ -676,4 +713,9 @@ object Dedup {
            (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
          ORDER BY d.doc_id"""
   )
+
+  /** q88 computes exactly q72's cluster assignment (different engine
+    * path, same answer), so it shares q72's oracle text verbatim. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("q88_recursive_clusters" -> oraclesBase("q72_dedup_clusters"))
 }

@@ -15,6 +15,24 @@ object ExtendedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GROUPING SETS through spark.sql — exercises the SQL entry path of
     // the engine (views + ANSI SQL), not just the DataFrame DSL.
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-native
+    // per-group top-k formulation (the third in the inventory, next to
+    // the window idiom q07 and the custom operator q45/q86). Spark plans
+    // the correlated limit as a per-group WindowGroupLimit after
+    // decorrelation — no manual rewrite needed.
+    "q89_lateral_topk" -> ((s, d) => {
+      graft.Tables.customer(s, d).createOrReplaceTempView("q89_customer")
+      graft.Tables.nation(s, d).createOrReplaceTempView("q89_nation")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+           FROM q89_nation n,
+           LATERAL (SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+                    FROM q89_customer c
+                    WHERE c.c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+           ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    }),
+
     "q37_grouping_sets" -> ((s, d) => {
       lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql(
@@ -119,6 +137,14 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
     "q37_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty

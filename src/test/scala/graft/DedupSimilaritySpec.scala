@@ -248,6 +248,20 @@ class DedupSimilaritySpec extends TestSpark {
       s"q31 plan is $planChars chars — centroids are leaking into the plan as literals")
   }
 
+  test("q88 recursive-CTE clusters equal q72's star-contraction clusters") {
+    // two independent engine paths (iterative checkpointed contraction vs
+    // SQL-native WITH RECURSIVE) must produce the identical assignment
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"))
+    val viaIteration = Dedup.queries("q72_dedup_clusters")(spark, sf0001)
+      .collect().map(key).sorted
+    val viaRecursion = Dedup.queries("q88_recursive_clusters")(spark, sf0001)
+      .collect().map(key).sorted
+    assert(viaRecursion.sameElements(viaIteration))
+    assert(viaRecursion.nonEmpty)
+  }
+
   test("cosine scores are in [-1, 1] and self-similarity excluded") {
     val rows = Similarity.queries("q30_cosine_topk")(spark, sf0001).collect()
     assert(rows.forall { r =>
