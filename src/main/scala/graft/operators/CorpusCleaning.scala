@@ -89,24 +89,36 @@ object CorpusCleaning {
 
     // Ordered-sequence funnel: users who viewed, then clicked strictly
     // after their first view, then purchased strictly after that first
-    // qualifying click. Each stage is one aggregation keyed on user_id;
-    // the stage joins reuse that key, so after the first exchange the
-    // data is co-partitioned and AQE plans the (user-population-sized)
-    // joins without re-shuffling the big side.
+    // qualifying click. ONE scan and ONE exchange: the three dependent
+    // per-user milestones are chained window minimums over the same
+    // user_id partitioning (t1 = first view; t2 = first click after t1;
+    // t3 = first purchase after t2), so Catalyst plans a single shuffle
+    // feeding three window passes, then a metadata-sized distinct-user
+    // aggregation. (A per-stage join formulation reads the corpus 6×;
+    // this reads it once — the difference between 1× and 6× of 100 TB.)
     "q80_funnel" -> ((s, d) => {
-      val e = events(s, d)
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      def stage(df: DataFrame, name: String) =
-        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
-      stage(v, "1_view").unionByName(stage(c, "2_click"))
-        .unionByName(stage(p, "3_purchase"))
+      val w = Window.partitionBy(col("user_id"))
+      val staged = events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2"), col("ts"))).over(w))
+      val perUser = staged.groupBy(col("user_id"))
+        .agg(max(col("t1").isNotNull).as("s1"),
+          max(col("t2").isNotNull).as("s2"),
+          max(col("t3").isNotNull).as("s3"))
+      perUser.agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
+        .select(explode(array(
+          struct(lit("1_view").as("step"), col("n1").as("n_users")),
+          struct(lit("2_click").as("step"), col("n2").as("n_users")),
+          struct(lit("3_purchase").as("step"), col("n3").as("n_users")))).as("r"))
+        .select(col("r.step"), col("r.n_users"))
         .orderBy(col("step"))
     }),
 
@@ -142,26 +154,28 @@ object CorpusCleaning {
         .orderBy(col("lang"), col("split"))
     }),
 
-    // PMI-scored bigram collocations over the corpus: token and bigram
-    // counts (both map-side partial-aggregated, shuffled at vocabulary
-    // size), two broadcast-friendly unigram joins, pointwise mutual
-    // information, top 20. Bigram generation is a typed map pass over the
-    // token array (same measured rationale as q75: Catalyst HOFs are
-    // interpreted). Ordering uses the ROUNDED score so the cutoff can't
-    // straddle an ulp between engines.
+    // PMI-scored bigram collocations over the corpus, from ONE corpus
+    // pass: every token occurrence emits exactly one (w, successor) pair
+    // (successor null for a doc's last token) in a typed map pass (same
+    // measured rationale as q75: Catalyst HOFs are interpreted), partial-
+    // aggregated into a VOCABULARY-sized pair relation — and unigram
+    // counts, totals, and the PMI joins all derive from that relation,
+    // never rescanning the text. AQE's stage reuse collapses the shared
+    // subtree to one physical shuffle. Ordering uses the ROUNDED score so
+    // the top-20 cutoff can't straddle an ulp between engines.
     "q81_bigram_pmi" -> ((s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
-      val toks = docs.select(explode(tokens).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val bi = docs.select(col("text")).as[String]
+      val pairs = documents(s, d).select(col("text")).as[String]
         .flatMap { text =>
           val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
-          if (t.length < 2) Iterator.empty
-          else t.iterator.zip(t.iterator.drop(1))
+          t.indices.iterator.map { i =>
+            (t(i), if (i + 1 < t.length) t(i + 1) else null)
+          }
         }
         .toDF("w1", "w2")
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      val uni = pairs.groupBy(col("w1").as("w")).agg(sum(col("n_pair")).as("cnt"))
+      val bi = pairs.filter(col("w2").isNotNull)
       val totals = uni.agg(sum(col("cnt")).cast("double").as("t_total"))
         .crossJoin(bi.agg(sum(col("n_pair")).cast("double").as("b_total")))
       bi.join(uni.select(col("w").as("w1"), col("cnt").as("ca")), "w1")
