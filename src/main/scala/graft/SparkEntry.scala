@@ -5,14 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates the full query inventory: relational operators (q01-q18,
-  * q37-q40, q45, q47-q51, q55-q59), text/MapReduce operators over
-  * documents (q19-q25, q60-q62, q75, q78-q81), dedup and clustering
-  * (q26-q29, q67-q68, q72, q74, q76-q77), similarity search and
-  * embedding ops (q30-q31, q41, q63, q73), multimodal decode (q32),
-  * SQL-registered native expressions (q71), and Structured Streaming
-  * incl. the watermark+append production path, stream-stream joins,
-  * bounded-state dedup, event-time-timer sessions, and the foreachBatch
-  * exactly-once sink (q33-q36, q46, q52-q54, q64-q66, q69-q70, q82).
+  * q37-q40, q45, q47-q51, q55-q59, q86, q89), text/MapReduce operators
+  * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85), dedup and
+  * clustering (q26-q29, q67-q68, q72, q74, q76-q77, q88), similarity
+  * search and embedding ops (q30-q31, q41, q63, q73), multimodal decode
+  * (q32), SQL-registered native expressions (q71), storage layout
+  * (q84, q87), and Structured Streaming incl. the watermark+append
+  * production path, stream-stream joins, bounded-state dedup,
+  * event-time-timer sessions, and the foreachBatch exactly-once sink
+  * (q33-q36, q46, q52-q54, q64-q66, q69-q70, q82).
   * EVERY query has a
   * DuckDB oracle in [[oracleSql]] — the probabilistic paths (MinHash,
   * SimHash, IVF) verify their candidates with exact deterministic math

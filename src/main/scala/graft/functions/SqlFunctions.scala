@@ -23,6 +23,8 @@ object SqlFunctions {
       exprs => VecDot(exprs.head, exprs(1)))
     GraftBridge.registerSqlFunction(s, "fnv1a",
       exprs => Fnv1a(exprs.head))
+    GraftBridge.registerSqlFunction(s, "tokenize",
+      exprs => TokenizeUdtf(exprs.head))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -40,6 +42,21 @@ object SqlFunctions {
           CAST(pmod(fnv1a(CAST(vec_id AS STRING)), 16) AS BIGINT) AS bucket
         FROM embeddings_v
         ORDER BY vec_id""")
+    }),
+
+    // The UDTF tier through pure SQL: the reference's tokenizer as a
+    // registered Generator, consumed via LATERAL VIEW with per-token
+    // POSITIONS (mapf's 1→N row expansion by name — the declarative twin
+    // of the Dataset.flatMap engine path). The rollup keeps the result
+    // compact while pinning order-awareness (first/last by position).
+    "q90_sql_udtf" -> ((s, d) => {
+      register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id, count(*) AS n_tokens,
+          min_by(tok, pos) AS first_tok, max_by(tok, pos) AS last_tok
+        FROM documents_v LATERAL VIEW tokenize(text) t AS pos, tok
+        GROUP BY doc_id ORDER BY doc_id""")
     })
   )
 
@@ -58,6 +75,18 @@ object SqlFunctions {
               (h, b) -> (xor(h, b) * 16777619) % 4294967296)
             & 2147483647) % 16 AS bucket
          FROM embeddings
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    // inner lateral view semantics: a doc with zero tokens produces no
+    // row (none exist in the fixtures, but the filter keeps the replay
+    // faithful at any corpus)
+    "q90_sql_udtf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id, len(t) AS n_tokens,
+           t[1] AS first_tok, t[len(t)] AS last_tok
+         FROM toks WHERE len(t) > 0 ORDER BY doc_id"""
   )
 }

@@ -96,6 +96,26 @@ class VecDotSpec extends TestSpark {
       graft.functions.Fnv1a.hash("0".getBytes("UTF-8")))
   }
 
+  test("tokenize UDTF: LATERAL VIEW equals posexplode(split), null-safe") {
+    graft.functions.SqlFunctions.register(spark)
+    Tables.documents(spark, sf0001).filter(col("doc_id") < 50)
+      .createOrReplaceTempView("doc_udtf_t")
+    val viaUdtf = spark.sql(
+      """SELECT doc_id, pos, tok
+         FROM doc_udtf_t LATERAL VIEW tokenize(text) t AS pos, tok
+         ORDER BY doc_id, pos""").collect()
+    val viaBuiltin = spark.sql(
+      """SELECT doc_id, pos, tok FROM doc_udtf_t
+         LATERAL VIEW posexplode(filter(split(text, '[^\\p{L}]+'),
+           x -> x != '')) t AS pos, tok
+         ORDER BY doc_id, pos""").collect()
+    assert(viaUdtf.nonEmpty && viaUdtf.sameElements(viaBuiltin))
+    // null input generates zero rows, not a crash
+    assert(spark.sql(
+      "SELECT * FROM (SELECT CAST(NULL AS STRING) AS s) LATERAL VIEW tokenize(s) t AS p, w")
+      .collect().isEmpty)
+  }
+
   test("q30 plan stays inside whole-stage codegen with the native dot") {
     val df = graft.functions.Similarity.queries("q30_cosine_topk")(spark, sf0001)
     df.collect()
