@@ -6,9 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Aggregates the full query inventory: relational operators (q01-q18,
   * q37-q40, q45, q47-q51, q55-q59, q86, q89), text/MapReduce operators
-  * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85), dedup and
-  * clustering (q26-q29, q67-q68, q72, q74, q76-q77, q88), similarity
-  * search and embedding ops (q30-q31, q41, q63, q73), multimodal decode
+  * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92),
+  * dedup and clustering (q26-q29, q67-q68, q72, q74, q76-q77, q88),
+  * similarity search and embedding ops (q30-q31, q41, q63, q73),
+  * multimodal decode
   * (q32), SQL-registered native expressions (q71), storage layout
   * (q84, q87), and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,

@@ -122,6 +122,50 @@ object CorpusCleaning {
         .orderBy(col("step"))
     }),
 
+    // Overlapping token-window chunking (RAG / long-context prep): each
+    // doc splits into windows of 32 tokens with stride 24 (8-token
+    // overlap); the tail keeps any remainder ≥ 8 tokens. One typed map
+    // pass per doc — map-only at any corpus size, chunk ids are local
+    // (doc_id, chunk_id) so no coordination. The chunk text is rebuilt
+    // with single spaces (tokenizer-normalized), which the oracle
+    // replays via list slicing.
+    "q91_token_chunking" -> ((s, d) => {
+      import s.implicits._
+      val win = 32
+      val stride = 24
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+          val starts = 0 until math.max(t.length, 1) by stride
+          starts.iterator.zipWithIndex
+            .map { case (st, ci) =>
+              val chunk = t.slice(st, st + win)
+              (id, ci.toLong, chunk.length.toLong, chunk.mkString(" "))
+            }
+            .filter { case (_, ci, n, _) => ci == 0 || n >= 8 }
+        }
+        .toDF("doc_id", "chunk_id", "n_tokens", "chunk_text")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Length-bucketed batching (inference/training serving prep): docs
+    // grouped into 16-token-wide length buckets; per bucket the padded
+    // cost is n_docs × bucket ceiling, and the padding overhead is the
+    // gap to the true token sum — the metric that justifies bucketing
+    // over naive batching. Map-side bucket assignment, one
+    // vocabulary-of-buckets-sized aggregation.
+    "q92_length_buckets" -> ((s, d) => {
+      val n = size(tokens)
+      documents(s, d)
+        .select(ceil(n / lit(16.0)).cast("long").as("bucket"), n.as("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (col("bucket") * 16 * count(lit(1)) - sum(col("n_tokens")))
+            .as("padding_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     // Event-transition matrix (first-order Markov counts): each user's
     // event stream ordered by time, paired with its successor via a lead
     // window, aggregated to (from, to) transition counts. One exchange
@@ -253,6 +297,36 @@ object CorpusCleaning {
          UNION ALL SELECT '2_click', count(*) FROM c
          UNION ALL SELECT '3_purchase', count(*) FROM p
          ORDER BY step""",
+    "q91_token_chunking" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         chunks AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(t), 1) / 24.0) AS BIGINT)),
+               ci -> {'ci': ci, 'c': t[ci*24+1 : ci*24+32]})) AS g
+           FROM toks)
+         SELECT doc_id, g.ci AS chunk_id, len(g.c) AS n_tokens,
+           array_to_string(g.c, ' ') AS chunk_text
+         FROM chunks
+         WHERE g.ci = 0 OR len(g.c) >= 8
+         ORDER BY doc_id, chunk_id""",
+    "q92_length_buckets" ->
+      """WITH t AS (
+           SELECT CAST(ceil(len(list_filter(
+               string_split_regex(text, '[^\p{L}]+'), x -> x <> '')) / 16.0)
+             AS BIGINT) AS bucket,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_tokens
+           FROM documents)
+         SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(bucket * 16 * count(*) - sum(n_tokens) AS BIGINT)
+             AS padding_tokens
+         FROM t GROUP BY bucket ORDER BY bucket""",
     "q83_transition_matrix" ->
       """SELECT event_type AS from_type, next_type AS to_type,
          count(*) AS n_transitions

@@ -56,6 +56,47 @@ class CorpusCleaningSpec extends TestSpark {
       "pmi not non-increasing")
   }
 
+  test("token chunking: full coverage, correct overlap, no runt tails") {
+    val chunks = CorpusCleaning.queries("q91_token_chunking")(spark, sf0001)
+      .collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    val tokenCounts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+          .as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids dense from 0 (runt tails only drop the LAST window)
+      val ids = sorted.map(_.getAs[Long]("chunk_id"))
+      assert(ids.head == 0)
+      // every chunk but possibly the last is ≥ 8 tokens, none exceed 32
+      val ns = sorted.map(_.getAs[Long]("n_tokens"))
+      assert(ns.forall(_ <= 32))
+      assert(ns.init.forall(_ >= 8) || ns.length == 1)
+      // stride-24 windows over n tokens cover every token: the last kept
+      // chunk must reach the end of the doc unless its tail was a runt
+      val n = tokenCounts(id)
+      val lastCovered = ids.last * 24 + ns.last
+      assert(lastCovered == n || n - (ids.last * 24 + 24) < 8,
+        s"doc $id: covered to $lastCovered of $n")
+    }
+    assert(byDoc.keySet == tokenCounts.keySet.filter(tokenCounts(_) >= 0))
+  }
+
+  test("length buckets: padding non-negative and bounded by bucket width") {
+    val rows = CorpusCleaning.queries("q92_length_buckets")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val pad = r.getAs[Long]("padding_tokens")
+      assert(pad >= 0, s"negative padding in bucket ${r.get(0)}")
+      assert(pad < nDocs * 16, s"padding exceeds bucket width × docs")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count())
+  }
+
   test("foreachBatch upsert sink converges to batch latest-per-key") {
     val streamed = graft.streaming.StreamingQueries
       .queries("q82_stream_foreach_upsert")(spark, sf0001)

@@ -149,4 +149,49 @@ class ScaleTechniquesSpec extends TestSpark {
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
     assert(byLabel.values.forall(_.length == 64))
   }
+
+  test("range-clustered layout: per-file key ranges are disjoint") {
+    // repartitionByRange + sortWithinPartitions before the write is the
+    // "Z-order lite" layout move: each output file owns a disjoint key
+    // range, so parquet min/max stats (and any engine reading them) skip
+    // whole files for range predicates — at 100 TB the difference
+    // between scanning a slice and scanning the table.
+    import org.apache.spark.sql.functions.{col, date_format, input_file_name, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_layout").toString
+    Tables.orders(spark, sf0001)
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(dir)
+    // ISO-formatted bounds compare chronologically as strings
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("lo"),
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("hi"))
+      .collect()
+      .map(r => (r.getAs[String]("lo"), r.getAs[String]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length >= 3, s"expected ≥3 range files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, prevHi), (lo, _)) =>
+        assert(prevHi <= lo,
+          s"file ranges overlap: previous file ends $prevHi after next starts $lo")
+      case _ => ()
+    }
+  }
+
+  test("observe() collects pipeline metrics without a second job") {
+    // Observation metrics ride the main action — the production way to
+    // count rows/nulls mid-pipeline without re-running the plan.
+    val obs = new org.apache.spark.sql.Observation("docs_obs")
+    import org.apache.spark.sql.functions.{col, count, lit, sum, length => len}
+    val out = Tables.documents(spark, sf0001)
+      .observe(obs, count(lit(1)).as("n"), sum(len(col("text"))).as("chars"))
+      .filter(col("lang") === "en")
+      .count()
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] ==
+      Tables.documents(spark, sf0001).count())
+    assert(m("chars").asInstanceOf[Long] > 0)
+    assert(out > 0)
+  }
 }
