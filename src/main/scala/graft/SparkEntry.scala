@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92),
   * dedup and clustering (q26-q29, q67-q68, q72, q74, q76-q77, q88),
   * similarity search and embedding ops (q30-q31, q41, q63, q73),
-  * multimodal decode
-  * (q32), SQL-registered native expressions (q71), storage layout
+  * multimodal decode/resize/frame-sample (q32, q93-q94),
+  * SQL-registered native expressions and the tokenize UDTF (q71, q90),
+  * storage layout
   * (q84, q87), and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,
   * event-time-timer sessions, and the foreachBatch exactly-once sink

@@ -87,6 +87,39 @@ object Multimodal {
     (readLe32(b, 24), readLe32(b, 40) / 1) // 8-bit mono → 1 byte/sample
   }
 
+  /** Nearest-neighbor ½× downsample of a 24-bpp BMP — byte-level, no
+    * codec: resized pixel (x, y) copies stored pixel (2x, 2y); rows
+    * re-padded to 4-byte alignment, header rebuilt with the new dims. */
+  def resizeBmpHalf(b: Array[Byte]): Array[Byte] = {
+    val (w, h) = parseBmp(b)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val nw = (w + 1) / 2
+    val nh = (h + 1) / 2
+    val nRowSize = ((nw * 3 + 3) / 4) * 4
+    val out = new java.io.ByteArrayOutputStream(54 + nRowSize * nh)
+    out.write('B'); out.write('M')
+    out.write(le32(54 + nRowSize * nh)); out.write(le32(0)); out.write(le32(54))
+    out.write(le32(40)); out.write(le32(nw)); out.write(le32(nh))
+    out.write(le16(1)); out.write(le16(24))
+    out.write(le32(0)); out.write(le32(nRowSize * nh))
+    out.write(le32(2835)); out.write(le32(2835))
+    out.write(le32(0)); out.write(le32(0))
+    var y = 0
+    while (y < nh) {
+      var written = 0
+      var x = 0
+      while (x < nw) {
+        val src = 54 + 2 * y * rowSize + 6 * x
+        out.write(b(src) & 0xFF); out.write(b(src + 1) & 0xFF)
+        out.write(b(src + 2) & 0xFF)
+        written += 3; x += 1
+      }
+      while (written < nRowSize) { out.write(0); written += 1 }
+      y += 1
+    }
+    out.toByteArray
+  }
+
   /** The canonical "media table" shape: (id, image payload, audio payload,
     * meta struct) — payload construction is one map-side typed pass. */
   def asMediaTable(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -126,6 +159,62 @@ object Multimodal {
         .select(col("doc_id"), lit("image/bmp").as("mime"), col("n_bytes"),
           col("width"), col("height"), col("sample_rate"), col("n_samples"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RESIZE over the binary image column: synthesize → parse → ½×
+    // nearest-neighbor downsample → re-encode, all in one map-side typed
+    // pass (blobs never shuffle; a libjpeg-backed resize keeps the same
+    // signature). The oracle replays both the header arithmetic AND the
+    // full pixel checksum byte-for-byte (pixels are deterministic
+    // functions of the text, and the corpus is ASCII so DuckDB's
+    // char-indexing equals byte-indexing — check_oracle proves the match
+    // empirically at each SF).
+    "q93_image_resize" -> ((s, d) => {
+      import s.implicits._
+      asMediaTable(s, documents(s, d)).select(col("doc_id"), col("img"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, img) =>
+          val (w, h) = parseBmp(img)
+          val resized = resizeBmpHalf(img)
+          val (nw, nh) = parseBmp(resized)
+          var sum = 0L
+          var i = 54
+          while (i < resized.length) { sum += (resized(i) & 0xFF); i += 1 }
+          (id, w, h, nw, nh, resized.length.toLong, sum)
+        }
+        .toDF("doc_id", "width", "height", "new_width", "new_height",
+          "n_bytes_resized", "pixel_checksum")
+        .orderBy(col("doc_id"))
+    }),
+
+    // FRAME-SAMPLE over the binary audio column: 64-sample frames, every
+    // 2nd frame kept, per-frame amplitudes summed — the audio twin of
+    // video frame-sampling (decimate a long signal to a bounded set of
+    // windows before feature extraction). Map-side typed pass; the
+    // oracle replays frame selection and the amplitude sum exactly.
+    "q94_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      asMediaTable(s, documents(s, d)).select(col("doc_id"), col("wav"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, wav) =>
+          val (_, n) = parseWav(wav)
+          val frame = 64
+          val nFrames = n / frame
+          var kept = 0L
+          var amp = 0L
+          var fr = 0
+          while (fr < nFrames) {
+            if (fr % 2 == 0) {
+              kept += 1
+              var i = 0
+              while (i < frame) { amp += (wav(44 + fr * frame + i) & 0xFF); i += 1 }
+            }
+            fr += 1
+          }
+          (id, n.toLong, nFrames.toLong, kept, amp)
+        }
+        .toDF("doc_id", "n_samples", "n_frames", "n_kept", "amp_sum")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -141,6 +230,43 @@ object Multimodal {
          (octet_length(encode(text)) // 64) % 64 + 1 AS height,
          16000 AS sample_rate,
          octet_length(encode(text)) AS n_samples
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // Full replay of the ½× resize: dims and byte size from the header
+    // arithmetic; the pixel checksum re-derives every sampled byte from
+    // the text (stored pixel (2x, 2y) lives at byte 2y·rowSize + 6x + k
+    // of the pixel array, which cycles the text bytes).
+    "q93_image_resize" ->
+      """WITH m AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % 64 + 1 AS w,
+             (octet_length(encode(text)) // 64) % 64 + 1 AS h
+           FROM documents),
+         m2 AS (
+           SELECT doc_id, text, len, w, h, ((w*3+3)//4)*4 AS row_size,
+             (w+1)//2 AS nw, (h+1)//2 AS nh FROM m)
+         SELECT doc_id, w AS width, h AS height,
+           nw AS new_width, nh AS new_height,
+           54 + ((nw*3+3)//4)*4 * nh AS n_bytes_resized,
+           CAST(list_sum(flatten(list_transform(range(0, nh), y ->
+             flatten(list_transform(range(0, nw), x ->
+               [ascii(text[CAST((2*y*row_size + 6*x + 0) % len + 1 AS INT)]),
+                ascii(text[CAST((2*y*row_size + 6*x + 1) % len + 1 AS INT)]),
+                ascii(text[CAST((2*y*row_size + 6*x + 2) % len + 1 AS INT)])]
+             ))))) AS BIGINT) AS pixel_checksum
+         FROM m2 ORDER BY doc_id""",
+    // Frame decimation replay: samples are the text bytes; frames of 64,
+    // every 2nd kept, amplitudes summed per kept frame.
+    "q94_audio_frames" ->
+      """WITH m AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents),
+         f AS (SELECT doc_id, text, n, n // 64 AS n_frames FROM m)
+         SELECT doc_id, n AS n_samples, n_frames,
+           len(list_filter(range(0, n_frames), fr -> fr % 2 = 0)) AS n_kept,
+           CAST(coalesce(list_sum(flatten(list_transform(
+             list_filter(range(0, n_frames), fr -> fr % 2 = 0), fr ->
+               list_transform(range(fr*64 + 1, fr*64 + 65),
+                 i -> ascii(text[CAST(i AS INT)]))))), 0) AS BIGINT) AS amp_sum
+         FROM f ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Byte-level contracts for the multimodal operators, verified against
+  * independent recomputation (the DuckDB oracle already replays the
+  * header arithmetic and checksums; these pin the payloads themselves).
+  */
+class MultimodalSpec extends TestSpark {
+
+  private val samples = Seq(
+    "key agg row scan slow fast",
+    "a" * 64,
+    "x" * 553,
+    "short")
+
+  test("BMP synthesize/parse roundtrip honors the dimension contract") {
+    samples.foreach { text =>
+      val tb = text.getBytes("UTF-8")
+      val bmp = Multimodal.synthesizeBmp(tb)
+      val (w, h) = Multimodal.parseBmp(bmp)
+      assert(w == tb.length % 64 + 1 && h == (tb.length / 64) % 64 + 1)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      assert(bmp.length == 54 + rowSize * h)
+    }
+  }
+
+  test("resize: every resized pixel equals the source pixel at (2x, 2y)") {
+    samples.foreach { text =>
+      val bmp = Multimodal.synthesizeBmp(text.getBytes("UTF-8"))
+      val (w, h) = Multimodal.parseBmp(bmp)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val resized = Multimodal.resizeBmpHalf(bmp)
+      val (nw, nh) = Multimodal.parseBmp(resized)
+      assert(nw == (w + 1) / 2 && nh == (h + 1) / 2)
+      val nRowSize = ((nw * 3 + 3) / 4) * 4
+      assert(resized.length == 54 + nRowSize * nh)
+      for (y <- 0 until nh; x <- 0 until nw; k <- 0 until 3) {
+        val got = resized(54 + y * nRowSize + x * 3 + k)
+        val want = bmp(54 + 2 * y * rowSize + 2 * x * 3 + k)
+        assert(got == want, s"pixel ($x,$y) byte $k differs at ${w}x$h")
+      }
+      // padding must be zeroed
+      for (y <- 0 until nh; p <- nw * 3 until nRowSize)
+        assert(resized(54 + y * nRowSize + p) == 0)
+    }
+  }
+
+  test("frame sampling equals direct computation from the text bytes") {
+    val rows = Multimodal.queries("q94_audio_frames")(spark, sf0001)
+      .filter(col("doc_id") < 20).collect()
+    val texts = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tb = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val nFrames = tb.length / 64
+      val expected = (0 until nFrames).filter(_ % 2 == 0)
+        .flatMap(fr => (0 until 64).map(i => (tb(fr * 64 + i) & 0xFF).toLong))
+        .sum
+      assert(r.getAs[Long]("amp_sum") == expected)
+      assert(r.getAs[Long]("n_samples") == tb.length)
+    }
+  }
+
+  test("resize query checksum equals a direct sum over the resized payload") {
+    val viaQuery = Multimodal.queries("q93_image_resize")(spark, sf0001)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pixel_checksum")).toMap
+    val direct = Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val resized = Multimodal.resizeBmpHalf(
+          Multimodal.synthesizeBmp(r.getAs[String]("text").getBytes("UTF-8")))
+        r.getAs[Long]("doc_id") ->
+          resized.drop(54).map(b => (b & 0xFF).toLong).sum
+      }.toMap
+    assert(viaQuery == direct && viaQuery.nonEmpty)
+  }
+}
