@@ -198,6 +198,25 @@ object CorpusCleaning {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Data-mixture quota sampling: each language capped at an exact
+    // per-lang quota (en 100, others 50), members chosen by content-hash
+    // rank — deterministic, engine-independent, and stable under corpus
+    // growth ONLY for docs whose hash rank stays under the cap (the
+    // standard mixture-rebalancing step before training). Exact quotas
+    // need a per-lang rank (one exchange, per-lang sort); when an
+    // approximate quota suffices at scale, prefer the rankless hash
+    // thresholds of q61/q85.
+    "q95_quota_sample" -> ((s, d) => {
+      val quota = when(col("lang") === "en", 100).otherwise(50)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= quota)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // PMI-scored bigram collocations over the corpus, from ONE corpus
     // pass: every token occurrence emits exactly one (w, successor) pair
     // (successor null for a doc's last token) in a typed map pass (same
@@ -297,6 +316,14 @@ object CorpusCleaning {
          UNION ALL SELECT '2_click', count(*) FROM c
          UNION ALL SELECT '3_purchase', count(*) FROM p
          ORDER BY step""",
+    "q95_quota_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= CASE WHEN lang = 'en' THEN 100 ELSE 50 END
+         ORDER BY lang, rk""",
     "q91_token_chunking" ->
       """WITH toks AS (
            SELECT doc_id,

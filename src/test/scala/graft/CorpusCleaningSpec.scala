@@ -97,6 +97,22 @@ class CorpusCleaningSpec extends TestSpark {
       Tables.documents(spark, sf0001).count())
   }
 
+  test("quota sample: per-lang caps respected, ranks dense, deterministic") {
+    val q = CorpusCleaning.queries("q95_quota_sample")
+    val r1 = q(spark, sf0001).collect()
+    assert(r1.sameElements(q(spark, sf0001).collect()))
+    val byLang = r1.groupBy(_.getAs[String]("lang"))
+    val totals = Tables.documents(spark, sf0001).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      val cap = if (lang == "en") 100 else 50
+      assert(rows.length == math.min(cap.toLong, totals(lang)),
+        s"$lang kept ${rows.length} of ${totals(lang)} with cap $cap")
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.head == 1 && rks.last == rks.length, s"$lang ranks not dense")
+    }
+  }
+
   test("foreachBatch upsert sink converges to batch latest-per-key") {
     val streamed = graft.streaming.StreamingQueries
       .queries("q82_stream_foreach_upsert")(spark, sf0001)
