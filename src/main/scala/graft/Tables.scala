@@ -37,6 +37,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Per-(session, name) scratch directory for queries that stage data on
+    * local disk (partitioned/CSV sinks, foreachBatch staging). A FIXED
+    * path per session+name — written with mode("overwrite") — so repeated
+    * invocations (Bench min-of-3, the gate, the suite) reuse one copy
+    * instead of leaking a fresh temp tree per call; the session's scratch
+    * root is deleted on JVM exit. */
+  private val scratchHooks = scala.collection.mutable.HashSet.empty[String]
+  def scratchDir(s: SparkSession, name: String): String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_scratch_${sessionKey(s)}")
+    scratchHooks.synchronized {
+      if (scratchHooks.add(root.toString)) {
+        sys.addShutdownHook {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(root)
+        }
+      }
+    }
+    val dir = new java.io.File(root, name)
+    dir.mkdirs()
+    dir.toString
+  }
+
   /** Stable unique id of a session, for per-session resource caches.
     * `sessionUUID` is unique per session by construction;
     * `identityHashCode` (the old key) can collide across sessions and

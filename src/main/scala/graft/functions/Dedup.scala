@@ -32,7 +32,7 @@ object Dedup {
     * interpreted, so building ~100-element shingle arrays per row in
     * expressions costs ms/row; this loop costs µs). */
   def shingleSet(text: String): Array[String] = {
-    val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val t = graft.functions.TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
     if (t.length < 3) Array.empty
     else {
       val out = new scala.collection.mutable.LinkedHashSet[String]
@@ -46,7 +46,7 @@ object Dedup {
     * any n (q74's decontamination uses n = 8). Same tokenizer, same
     * distinct-set contract, same µs-per-row typed-map cost profile. */
   def ngramSet(text: String, n: Int): Array[String] = {
-    val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val t = graft.functions.TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
     if (t.length < n) Array.empty
     else {
       val out = new scala.collection.mutable.LinkedHashSet[String]
@@ -269,16 +269,29 @@ object Dedup {
     // implementations cross-validated against one oracle. Spark's
     // recursive CTEs accept UNION ALL only, so the walk carries its
     // visited path and prunes revisits (cycle-safe termination). Path
-    // enumeration is exponential in clique size — fine for near-dup
-    // clusters (small by construction after LSH + verification), while
-    // q72's checkpointed star-contraction remains the unbounded-scale
-    // path for arbitrary graphs.
+    // enumeration is factorial in clique size and the walk is bounded by
+    // the engine's CTE recursion-depth limit, so this is a GUARDED
+    // SQL-surface demonstration (q29 precedent): edge count and max
+    // degree are checked up front and violations fail loudly instead of
+    // hanging. q72's checkpointed star-contraction is the
+    // unbounded-scale path for arbitrary graphs.
     "q88_recursive_clusters" -> ((s, d) => {
       val sh = sharedShingles(s, d)
-      verifyJaccardWith(sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
+      val pairs = verifyJaccardWith(sh,
+        candidatesFromSignatures(signaturesFromShingles(s, sh)))
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"))
-        .createOrReplaceTempView("q88_pairs")
+      val degRow = pairs.select(col("doc_a").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n_vertices"), max(col("deg")).as("max_deg"))
+        .collect()(0)
+      val maxDeg = if (degRow.isNullAt(1)) 0L else degRow.getLong(1)
+      require(maxDeg <= 10,
+        s"q88 is a guarded recursive-CTE demo: max near-dup degree $maxDeg " +
+          "exceeds 10 (factorial path blow-up inside a clique) — use " +
+          "q72_dedup_clusters (star-contraction) at this density")
+      pairs.createOrReplaceTempView("q88_pairs")
       s.sql(
         """WITH RECURSIVE edges AS (
              SELECT doc_a AS s, doc_b AS e FROM q88_pairs

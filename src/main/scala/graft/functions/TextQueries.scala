@@ -118,7 +118,7 @@ object TextQueries {
       import s.implicits._
       documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+          val t = graft.functions.TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
           val n = t.length
           if (n == 0) (id, 0L, 0.0, 0.0, 0.0, false)
           else {

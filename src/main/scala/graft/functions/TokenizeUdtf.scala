@@ -48,6 +48,9 @@ case class TokenizeUdtf(child: Expression)
 }
 
 object TokenizeUdtf {
-  /** Compiled once; `String.split(regex)` would recompile per row. */
-  private val SplitRe = java.util.regex.Pattern.compile("[^\\p{L}]+")
+  /** The reference tokenizer's split pattern, compiled once —
+    * `String.split(regex)` would recompile per row. Shared by every
+    * typed tokenizing pass in the engine (UDTF, shingles, n-grams,
+    * bigrams, chunking). */
+  private[graft] val SplitRe = java.util.regex.Pattern.compile("[^\\p{L}]+")
 }

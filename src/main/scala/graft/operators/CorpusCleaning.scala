@@ -135,7 +135,7 @@ object CorpusCleaning {
       val stride = 24
       documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
-          val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+          val t = graft.functions.TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
           val starts = 0 until math.max(t.length, 1) by stride
           starts.iterator.zipWithIndex
             .map { case (st, ci) =>
@@ -230,7 +230,7 @@ object CorpusCleaning {
       import s.implicits._
       val pairs = documents(s, d).select(col("text")).as[String]
         .flatMap { text =>
-          val t = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+          val t = graft.functions.TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
           t.indices.iterator.map { i =>
             (t(i), if (i + 1 < t.length) t(i + 1) else null)
           }

@@ -24,7 +24,7 @@ object StorageOps {
     // aggregating the unpartitioned source, which is what the oracle
     // replays.
     "q84_partitioned_sink" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_part_sink").toString
+      val dir = graft.Tables.scratchDir(s, "q84_part_sink")
       events(s, d)
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
       s.read.parquet(dir)
@@ -42,7 +42,7 @@ object StorageOps {
     // the text roundtrip (doubles print shortest-roundtrip form; dates
     // ISO). SourceSinkSpec extends the same roundtrip to JSON and ORC.
     "q87_csv_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_csv_sink").toString
+      val dir = graft.Tables.scratchDir(s, "q87_csv_sink")
       val o = orders(s, d)
       o.write.mode("overwrite").option("header", "true").csv(dir)
       s.read.schema(o.schema).option("header", "true").csv(dir)

@@ -69,9 +69,21 @@ case class TopKPerGroupExec(
       // default-ordered row_number window on NULLABLE columns too.
       case class Entry(sNull: Boolean, s: Double, tNull: Boolean, t: Long,
           row: InternalRow)
+      // Spark's nan-safe double ordering: NaN compares larger than any
+      // non-NaN (and equal to itself), ±0.0 compare equal — a plain
+      // `!=`/`>` comparison would make NaN incomparable to everything,
+      // corrupting the heap and diverging from row_number's order.
+      def cmpScore(x: Double, y: Double): Int =
+        if (x.isNaN && y.isNaN) 0
+        else if (x.isNaN) 1
+        else if (y.isNaN) -1
+        else if (x < y) -1
+        else if (x > y) 1
+        else 0
       def better(a: Entry, b: Entry): Boolean =
         if (a.sNull != b.sNull) !a.sNull // non-null score wins (NULLS LAST)
-        else if (!a.sNull && a.s != b.s) a.s > b.s // higher score wins
+        else if (!a.sNull && cmpScore(a.s, b.s) != 0)
+          cmpScore(a.s, b.s) > 0 // higher score wins (NaN counts highest)
         else if (a.tNull != b.tNull) a.tNull // null tie first (NULLS FIRST)
         else a.t < b.t // lower tie wins
       // worst-first heap per group: PQ dequeues its max, and "better"

@@ -62,25 +62,27 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Project(projList, Filter(cond,
+    case p @ Project(projList, Filter(cond,
         Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
           Seq(group),
           Seq(SortOrder(score, Descending, NullsLast, _),
             SortOrder(tie, Ascending, NullsFirst, _)),
           winChild, _)))
         if castableScore(score.dataType) && castableTie(tie.dataType) &&
-          projList.forall(!_.references.contains(al.toAttribute)) &&
-          limitOf(cond, al.toAttribute).exists(_ >= 1) =>
-      val k = limitOf(cond, al.toAttribute).get
-      // Spark's InferWindowGroupLimit may already have inserted a
-      // per-group pre-limit below the window; the heap subsumes it.
-      val child = winChild match {
-        case wgl: WindowGroupLimit => wgl.child
-        case other => other
+          projList.forall(!_.references.contains(al.toAttribute)) =>
+      limitOf(cond, al.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          // Spark's InferWindowGroupLimit may already have inserted a
+          // per-group pre-limit below the window; the heap subsumes it.
+          val child = winChild match {
+            case wgl: WindowGroupLimit => wgl.child
+            case other => other
+          }
+          Project(projList,
+            TopKPerGroupNode(group, Cast(score, DoubleType), Cast(tie, LongType),
+              k, child))
+        case _ => p
       }
-      Project(projList,
-        TopKPerGroupNode(group, Cast(score, DoubleType), Cast(tie, LongType),
-          k, child))
   }
 }
 

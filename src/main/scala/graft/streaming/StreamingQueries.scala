@@ -241,7 +241,12 @@ object StreamingQueries {
     "q82_stream_foreach_upsert" -> ((s, d) => {
       graft.Tables.nanosTs(s)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stage = java.nio.file.Files.createTempDirectory("graft_upsert_stage").toString
+      // fixed per-(session, source-dir) staging path: a re-run replaces
+      // its batches via dynamic partition overwrite instead of leaking a
+      // new tree; keyed by source dir because dynamic overwrite leaves
+      // partitions a smaller re-run doesn't produce
+      val stage = graft.Tables.scratchDir(s,
+        "q82_upsert_stage_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
         .withColumn("ts", graft.Tables.nanosToTs("ts"))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")

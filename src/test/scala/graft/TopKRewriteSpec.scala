@@ -76,6 +76,28 @@ class TopKRewriteSpec extends TestSpark {
     assert(g2.length == 2 && g2.exists(_.isNullAt(1)))
   }
 
+  test("rewrite preserves Spark's NaN ordering (NaN sorts largest)") {
+    TopKRewrite.enable(spark)
+    import spark.implicits._
+    val data = Seq[(Long, Double, Long)](
+      (1L, 5.0, 10L), (1L, Double.NaN, 11L), (1L, 7.0, 12L),
+      (2L, Double.NaN, 20L), (2L, Double.NaN, 21L), (2L, 1.0, 22L))
+      .toDF("g", "s", "t")
+    def topk(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("t"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+    }
+    val rewritten = topk(data).select(col("g"), col("t"))
+    assert(hasHeapExec(rewritten), "rule did not fire on the NaN fixture")
+    val viaWindow = topk(data).select(col("g"), col("t"), col("rk")).drop("rk")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(rewritten.collect().map(key).sorted
+      .sameElements(viaWindow.collect().map(key).sorted))
+    // NaN ranks ABOVE 7.0: group 1 keeps the NaN row and 7.0
+    val g1 = rewritten.filter(col("g") === 1).collect().map(key).toSet
+    assert(g1 == Set((1L, 11L), (1L, 12L)), s"group 1 kept $g1")
+  }
+
   test("rewrite declines: ascending score, non-default nulls, rank returned") {
     TopKRewrite.enable(spark)
     val w1 = Window.partitionBy(col("o_custkey"))
@@ -93,25 +115,25 @@ class TopKRewriteSpec extends TestSpark {
   }
 
   test("GraftExtensions wires the rule at session construction") {
-    // a child session (same shared state) built with the extensions
-    // injected — the spark.sql.extensions production path
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new graft.plans.GraftExtensions().apply(ext)
-    // verify injection registered both hooks by driving a fresh session
-    // built from config (cloned sessions keep the parent's extensions,
-    // so construct via builder in a throwaway thread-local scope)
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate would hand back the suite's session and silently skip
+    // withExtensions — clear the default/active slots so the builder
+    // constructs a genuinely NEW session (same SparkContext) with the
+    // extensions injected, then restore the suite session.
+    val suiteSession = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
-      // getOrCreate may return the suite session (extensions then applied
-      // only if this created a new one) — so assert on whichever session
-      // came back, with extraOptimizations untouched: rule must fire
-      // purely through the session's injected extensions OR the
-      // experimental hook already enabled by earlier tests. To isolate,
-      // check the injected-extensions object itself registered the hooks.
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne suiteSession, "builder returned the suite session")
+      // the fresh session's experimental hooks are empty — the rewrite
+      // can only fire through the injected extensions
+      assert(!s2.experimental.extraOptimizations
+        .contains(graft.plans.TopKWindowRewrite))
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       val df = Tables.orders(s2, sf0001)
@@ -119,6 +141,9 @@ class TopKRewriteSpec extends TestSpark {
         .select(col("o_custkey"), col("o_orderkey"))
       assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
         "extensions-built session did not rewrite")
-    } finally ()
+    } finally {
+      SparkSession.setDefaultSession(suiteSession)
+      SparkSession.setActiveSession(suiteSession)
+    }
   }
 }
