@@ -33,6 +33,42 @@ object ExtendedQueries {
            ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
     }),
 
+    // Statistical aggregate family: sample stddev, Pearson correlation,
+    // sample covariance — one partial-aggregated pass (Spark merges
+    // per-partition moment sketches; the shuffle carries one row per
+    // group). Rounding margins sized to the values' magnitudes so
+    // engine-side summation-order ulps can't flip a digit: corr is in
+    // [-1,1] (round 6), stddev ~1e4 (round 2), covar ~1e5 (round 2).
+    "q96_stats_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qty_price_covar"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Equi-width histogram: bucket bounds from one scalar min/max
+    // aggregate (a 1-row broadcast), bucket assignment map-side, counts
+    // partial-aggregated — the profiling primitive for any numeric
+    // column at any scale. Identical float arithmetic on both engines
+    // makes the bucket function engine-exact.
+    "q97_histogram" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      li.crossJoin(bounds)
+        .select(least(floor((col("l_extendedprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 10.0)), lit(9.0)).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("bucket"))
+    }),
+
     "q37_grouping_sets" -> ((s, d) => {
       lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql(
@@ -137,6 +173,21 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(stddev_samp(l_extendedprice), 2) AS sd_price,
+         round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+         round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q97_histogram" ->
+      """WITH bounds AS (
+           SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem)
+         SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)),
+           9.0) AS BIGINT) AS bucket, count(*) AS n_items
+         FROM lineitem CROSS JOIN bounds
+         GROUP BY 1 ORDER BY bucket""",
     "q89_lateral_topk" ->
       """SELECT n.n_name, t.c_name, t.c_acctbal
          FROM nation n,
