@@ -40,6 +40,20 @@ object CustomAgg {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The same Aggregator registered BY NAME for SQL (spark.udf.register
+    // accepts a udaf directly — public API, no bridge needed), completing
+    // the by-name surface across all extension tiers: scalar expression
+    // (q71), UDTF (q90), and now UDAF. Same plan as q50 (map-side partial
+    // agg, merge across partitions), different front door.
+    "q98_sql_udaf" -> ((s, d) => {
+      s.udf.register("geomean", udaf(GeoMean))
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, round(geomean(l_extendedprice), 4) AS geo_price,
+           count(*) AS n_rows
+           FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // Correlated scalar subqueries (Catalyst de-correlates to joins):
     // per-customer order count and max total price.
     "q49_scalar_subquery" -> ((s, d) => {
@@ -66,6 +80,11 @@ object CustomAgg {
 
   val oracles: Map[String, String] = Map(
     "q50_custom_udaf" ->
+      """SELECT l_returnflag,
+         round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q98_sql_udaf" ->
       """SELECT l_returnflag,
          round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
          count(*) AS n_rows

@@ -36,6 +36,16 @@ class CorpusCleaningSpec extends TestSpark {
     assert(byReason.keySet.subsetOf(known), s"unknown reason in $byReason")
   }
 
+  test("funnel plan: one corpus scan, one data exchange (shape lock)") {
+    val df = CorpusCleaning.queries("q80_funnel")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"funnel reads the corpus $nScans times (want 1)")
+    val nHashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nHashExchanges == 1,
+      s"funnel shuffles $nHashExchanges times (want 1: the user_id window)")
+  }
+
   test("funnel: step counts are monotonically non-increasing") {
     val steps = CorpusCleaning.queries("q80_funnel")(spark, sf0001).collect()
       .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
