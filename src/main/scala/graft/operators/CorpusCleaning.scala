@@ -202,16 +202,26 @@ object CorpusCleaning {
     // per-lang quota (en 100, others 50), members chosen by content-hash
     // rank — deterministic, engine-independent, and stable under corpus
     // growth ONLY for docs whose hash rank stays under the cap (the
-    // standard mixture-rebalancing step before training). Exact quotas
-    // need a per-lang rank (one exchange, per-lang sort); when an
-    // approximate quota suffices at scale, prefer the rankless hash
-    // thresholds of q61/q85.
+    // standard mixture-rebalancing step before training). Skew-safe plan:
+    // a bare per-lang rank window sorts each language in ONE task — on a
+    // real corpus where `en` is 80%+ of rows that's a single-task sort of
+    // most of the data. Instead the heap operator (TopKPerGroupExec) cuts
+    // each language to the max quota in one O(n log k) streaming pass
+    // (same single exchange), and only the ≤(quota × |langs|) survivors
+    // see a rank window — which reuses the heap's partitioning, so the
+    // whole query is still exactly one exchange. The survivor rank equals
+    // the full-corpus rank (the heap keeps a PREFIX of the per-lang
+    // ordering), so results are bit-identical to the window-only form
+    // the oracle replays. When an approximate quota suffices, prefer the
+    // rankless hash thresholds of q61/q85.
     "q95_quota_sample" -> ((s, d) => {
       val quota = when(col("lang") === "en", 100).otherwise(50)
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("text")), col("doc_id"))
-      documents(s, d)
-        .withColumn("rk", row_number().over(w))
+      val withKey = documents(s, d)
+        .select(col("lang"), col("doc_id"), md5(col("text")).as("hkey"))
+      val top = graft.plans.TopKPerGroup.topK(withKey,
+        Seq("lang"), Seq("hkey" -> true, "doc_id" -> true), k = 100)
+      val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+      top.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= quota)
         .select(col("lang"), col("rk"), col("doc_id"))
         .orderBy(col("lang"), col("rk"))

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, BindReferences, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -19,16 +19,25 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * k-heap per group while streaming the partition — O(n log k) with O(k ×
   * groups) memory, no sort buffer, no rank column. At 100 TB that's the
   * difference between sort-spilling every group and a single pass.
-  * `requiredChildDistribution` declares clustering on the group key, so
+  * `requiredChildDistribution` declares clustering on the group keys, so
   * EnsureRequirements inserts exactly one hash exchange — the same shuffle
   * the window would need, minus the sort.
+  *
+  * Generality: grouping is any Seq of expressions and the ranking is any
+  * Seq of `SortOrder` (direction + null ordering respected exactly).
+  * Rows are compared with Spark's own `RowOrdering` — the identical
+  * comparator a sort-based window would use, including NaN-largest and
+  * null-placement semantics — and group keys are `UnsafeProjection`
+  * rows COPIED on first sight, so binary / struct / array keys get
+  * value-based equality instead of the JVM identity equality (and row-
+  * buffer reuse corruption) a raw `eval()`-keyed map would suffer.
   */
 case class TopKPerGroupNode(
-    group: Expression,
-    score: Expression, // double, descending (higher = better)
-    tie: Expression, // long, ascending tiebreak
+    groups: Seq[Expression],
+    order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
+  require(groups.nonEmpty && order.nonEmpty && k >= 1)
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
     copy(child = newChild)
@@ -36,93 +45,70 @@ case class TopKPerGroupNode(
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, s, t, k, child) =>
-      TopKPerGroupExec(g, s, t, k, planLater(child)) :: Nil
+    case TopKPerGroupNode(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(
-    group: Expression,
-    score: Expression,
-    tie: Expression,
+    groups: Seq[Expression],
+    order: Seq[SortOrder],
     k: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(group)) :: Nil
+    ClusteredDistribution(groups) :: Nil
+
+  // row-preserving per-partition operator: the child's (post-exchange)
+  // partitioning survives, so a downstream group-keyed operator (e.g. the
+  // bounded rank window q95 layers on top) reuses this exchange instead
+  // of inserting a second one
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val boundGroup = BindReferences.bindReference(group, child.output)
-    val boundScore = BindReferences.bindReference(score, child.output)
-    val boundTie = BindReferences.bindReference(tie, child.output)
+    val boundGroups = groups.map(BindReferences.bindReference(_, child.output))
+    val boundOrder = order.map(so =>
+      so.copy(child = BindReferences.bindReference(so.child, child.output)))
     val kk = k
     child.execute().mapPartitions { it =>
-      // Ordering contract = (score DESC NULLS LAST, tie ASC NULLS FIRST) —
-      // Spark's default null placement for those directions, so the
-      // TopKWindowRewrite rule can substitute this operator for a
-      // default-ordered row_number window on NULLABLE columns too.
-      case class Entry(sNull: Boolean, s: Double, tNull: Boolean, t: Long,
-          row: InternalRow)
-      // Spark's nan-safe double ordering: NaN compares larger than any
-      // non-NaN (and equal to itself), ±0.0 compare equal — a plain
-      // `!=`/`>` comparison would make NaN incomparable to everything,
-      // corrupting the heap and diverging from row_number's order.
-      def cmpScore(x: Double, y: Double): Int =
-        if (x.isNaN && y.isNaN) 0
-        else if (x.isNaN) 1
-        else if (y.isNaN) -1
-        else if (x < y) -1
-        else if (x > y) 1
-        else 0
-      def better(a: Entry, b: Entry): Boolean =
-        if (a.sNull != b.sNull) !a.sNull // non-null score wins (NULLS LAST)
-        else if (!a.sNull && cmpScore(a.s, b.s) != 0)
-          cmpScore(a.s, b.s) > 0 // higher score wins (NaN counts highest)
-        else if (a.tNull != b.tNull) a.tNull // null tie first (NULLS FIRST)
-        else a.t < b.t // lower tie wins
-      // worst-first heap per group: PQ dequeues its max, and "better"
-      // compares as smaller, so head is the row to evict
-      implicit val worstFirst: Ordering[Entry] = (x: Entry, y: Entry) =>
-        if (better(x, y)) -1 else if (better(y, x)) 1 else 0
-      def entry(row: InternalRow): Entry = {
-        val sv = boundScore.eval(row)
-        val tv = boundTie.eval(row)
-        Entry(sv == null,
-          if (sv == null) 0.0 else sv.asInstanceOf[Number].doubleValue(),
-          tv == null,
-          if (tv == null) 0L else tv.asInstanceOf[Number].longValue(),
-          null)
-      }
-      val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]]()
+      // key projection per partition (UnsafeProjection is not thread-safe)
+      val keyProj = UnsafeProjection.create(boundGroups)
+      // Spark's own sort comparator for exactly these SortOrders — the
+      // same ordering (NaN largest, per-order null placement) the window's
+      // SortExec would use, so a rewrite substitution is bit-faithful.
+      val ord = RowOrdering.create(boundOrder, Nil)
+      // worst-first heap per group: under `ord`, smaller = earlier in sort
+      // order = better rank; PriorityQueue dequeues its maximum, so the
+      // head is the worst kept row — the one to evict.
+      implicit val worstFirst: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => ord.compare(a, b)
+      val heaps =
+        new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
       it.foreach { row =>
-        val g = boundGroup.eval(row)
-        val e = entry(row)
-        var heap = heaps.get(g)
+        // lookup with the projection's reused buffer (UnsafeRow equality
+        // is value-based); copy the key only when inserting a new group
+        val key = keyProj(row)
+        var heap = heaps.get(key)
         if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[Entry]
-          // group keys from eval may be mutable (UTF8String backed by the
-          // row buffer) — copy via toString-stable clone when needed
-          heaps.put(g match {
-            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-            case other => other
-          }, heap)
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow]
+          heaps.put(key.copy(), heap)
         }
-        if (heap.size < kk) heap.enqueue(e.copy(row = row.copy()))
-        else if (better(e, heap.head)) {
-          heap.dequeue(); heap.enqueue(e.copy(row = row.copy()))
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
         }
       }
       val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
       heaps.values().forEach { h =>
         // emit best-first within each group
-        val drained: Seq[Entry] = h.dequeueAll.toSeq
-        out ++= drained.reverse.map(_.row)
+        out ++= h.dequeueAll.reverseIterator
       }
       out.iterator
     }
@@ -155,13 +141,20 @@ object TopKPerGroup {
          WHERE rk <= 3
          ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
 
-  /** Top-k rows per group by `score` descending, `tie` ascending.
+  /** Top-k rows per group by `score` descending, `tie` ascending — the
+    * common "best k per key" shape, kept as the concise entry point. */
+  def apply(df: DataFrame, group: String, score: String, tie: String, k: Int)
+      : DataFrame =
+    topK(df, Seq(group), Seq(score -> false, tie -> true), k)
+
+  /** General form: top-k rows per `groups` under the given ordering
+    * (`(column, ascending)` pairs, Spark-default null placement).
     * Injects the planning strategy into the session on first use.
     * Columns are given by name and resolved against the child's analyzed
     * output here — Column-API expressions arrive as lazy ColumnNode
     * wrappers that the analyzer won't resolve inside a foreign node. */
-  def apply(df: DataFrame, group: String, score: String, tie: String, k: Int)
-      : DataFrame = {
+  def topK(df: DataFrame, groups: Seq[String], order: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
@@ -171,13 +164,12 @@ object TopKPerGroup {
       child.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${child.output.map(_.name).mkString(",")}"))
-    import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.{DoubleType, LongType}
     GraftBridge.ofRows(spark,
       TopKPerGroupNode(
-        attr(group),
-        Cast(attr(score), DoubleType),
-        Cast(attr(tie), LongType),
+        groups.map(attr),
+        order.map { case (name, asc) =>
+          SortOrder(attr(name), if (asc) Ascending else Descending)
+        },
         k,
         child))
   }

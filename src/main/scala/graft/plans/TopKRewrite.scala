@@ -9,13 +9,13 @@ import org.apache.spark.sql.types._
 /** Optimizer-rule extension tier: auto-rewrite of the window-rank top-k
   * idiom into the heap-based [[TopKPerGroupExec]].
   *
-  * The pattern `row_number() OVER (PARTITION BY g ORDER BY s DESC, t) <= k`
+  * The pattern `row_number() OVER (PARTITION BY g... ORDER BY s...) <= k`
   * (with the rank column then dropped) is the single most common top-k
   * formulation users write — and it full-sorts every group. Spark's own
   * InferWindowGroupLimit bounds each group to k rows pre-sort but still
   * sorts; the heap operator replaces sort + rank + filter with one
   * O(n log k) pass and no sort buffer. This rule makes the better plan
-  * automatic instead of an opt-in API ([[TopKPerGroup.apply]]), completing
+  * automatic instead of an opt-in API ([[TopKPerGroup.topK]]), completing
   * the engine's Catalyst extension story: codegen'd `Expression`s (VecDot,
   * Fnv1a), a `LogicalPlan`+`SparkStrategy`+`SparkPlan` operator
   * (TopKPerGroup), and now a `Rule[LogicalPlan]` — injectable either at
@@ -24,27 +24,30 @@ import org.apache.spark.sql.types._
   * `spark.sql.extensions=graft.plans.GraftExtensions`).
   *
   * Rewrite preconditions (all checked structurally):
-  *  - single row_number window expression, single partition expression;
-  *  - ORDER BY (score DESC NULLS LAST, tie ASC NULLS FIRST) — Spark's
-  *    default null placement, matched exactly by the heap's comparator;
-  *  - score/tie types order-faithful under cast to double/long;
+  *  - single row_number window expression; any number of partition and
+  *    ORDER BY expressions (the heap executes the window's own SortOrder
+  *    list through Spark's RowOrdering, so every direction / null-ordering
+  *    combination is faithful);
+  *  - partition and order expressions deterministic (the heap evaluates
+  *    order expressions per comparison, not once per row);
+  *  - partition key types hashable by value: no MapType anywhere (map
+  *    equality is not byte equality), and no float/double anywhere —
+  *    NormalizeFloatingNumbers (-0.0/NaN canonicalization) runs AFTER the
+  *    extension-injected optimizer rules, so an un-normalized double key
+  *    could split a group across unequal key bytes. Declining keeps the
+  *    window plan — correct, just unrewritten;
   *  - the rank attribute is dropped by the projection above the filter
   *    (a query that RETURNS the rank needs the window);
   *  - the filter is a sargable rank bound (<=k, <k+1, =1) on the rank.
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
-  /** Types whose ordering survives Cast to double (score side). Long is
-    * excluded: values beyond 2^53 collapse under the cast. */
-  private def castableScore(dt: DataType): Boolean = dt match {
-    case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
-    case _ => false
-  }
-
-  /** Types losslessly castable to long (tie side). */
-  private def castableTie(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | ShortType | ByteType => true
-    case _ => false
+  /** Partition-key types whose UnsafeRow bytes define value equality. */
+  private def groupable(dt: DataType): Boolean = dt match {
+    case _: MapType | FloatType | DoubleType => false
+    case s: StructType => s.fields.forall(f => groupable(f.dataType))
+    case a: ArrayType => groupable(a.elementType)
+    case _ => true
   }
 
   private def limitOf(cond: Expression, rk: Attribute): Option[Int] = cond match {
@@ -64,11 +67,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList, Filter(cond,
         Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
-          Seq(group),
-          Seq(SortOrder(score, Descending, NullsLast, _),
-            SortOrder(tie, Ascending, NullsFirst, _)),
-          winChild, _)))
-        if castableScore(score.dataType) && castableTie(tie.dataType) &&
+          partSpec, orderSpec, winChild, _)))
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+          partSpec.forall(g => g.deterministic && groupable(g.dataType)) &&
+          orderSpec.forall(_.child.deterministic) &&
           projList.forall(!_.references.contains(al.toAttribute)) =>
       limitOf(cond, al.toAttribute) match {
         case Some(k) if k >= 1 =>
@@ -78,9 +80,11 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
             case wgl: WindowGroupLimit => wgl.child
             case other => other
           }
-          Project(projList,
-            TopKPerGroupNode(group, Cast(score, DoubleType), Cast(tie, LongType),
-              k, child))
+          // strip sameOrderExpressions: only the (child, direction, nulls)
+          // triple matters to the heap's comparator
+          val order = orderSpec.map(so =>
+            SortOrder(so.child, so.direction, so.nullOrdering, Seq.empty))
+          Project(projList, TopKPerGroupNode(partSpec, order, k, child))
         case _ => p
       }
   }
@@ -117,12 +121,17 @@ object TopKRewrite {
     // with the rewrite enabled: the optimizer swaps in TopKPerGroupExec
     // (TopKRewriteSpec asserts the plan), and the result stays identical
     // to the window's — which is exactly what the oracle replays.
+    // Runs against a CHILD session (newSession: shared context/catalog,
+    // per-session experimental hooks) so enabling the rewrite here never
+    // leaks into the caller's session and silently re-plans its other
+    // window queries (round-5 advisor finding).
     "q86_topk_rewrite" -> ((s, d) => {
-      enable(s)
+      val s2 = s.newSession()
+      enable(s2)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      graft.Tables.orders(s, d)
+      graft.Tables.orders(s2, d)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
