@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * pair space is never exploded either.
   * Skew note: degenerate buckets (boilerplate shingles) are the classic
   * hot-key risk — AQE skew-join handles moderate cases; pathological
-  * corpora should pre-filter top-frequency shingles (stop-shingle list).
+  * corpora pre-filter top-frequency shingles with [[stopShingleFiltered]]
+  * (q99 runs the full LSH pipeline behind it; DedupSimilaritySpec pins
+  * bounded candidates on a boilerplate-heavy synthetic corpus where the
+  * unfiltered path goes quadratic).
   */
 object Dedup {
 
@@ -143,7 +146,11 @@ object Dedup {
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     candidatesFromSignatures(minhashSignatures(s, d))
 
-  /** LSH banding over an existing signature relation. */
+  /** LSH banding over an existing signature relation. The candidate
+    * relation carries an `observe()` metric (`lsh_candidates`) so
+    * production runs report candidate volume from the main action — no
+    * second job; DedupSimilaritySpec reads it to pin bucket-explosion
+    * bounds. */
   def candidatesFromSignatures(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { j =>
       val slice = (0 until RowsPerBand)
@@ -159,6 +166,35 @@ object Dedup {
           && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .observe("lsh_candidates", count(lit(1)).as("n_candidates"))
+  }
+
+  /** Stop-shingle pre-filter — the LSH hot-bucket mitigation the scale
+    * note promises: drop shingles whose DOCUMENT FREQUENCY exceeds
+    * `greatest(5, n_docs div 10)`. Boilerplate shingles (shared headers /
+    * footers / licence blocks) dominate every member document's MinHash
+    * minima, collapsing LSH buckets toward all-pairs candidates; they are
+    * exactly the shingles with corpus-scale df, and they carry no
+    * near-dup signal a 10%-of-corpus-rare shingle doesn't carry better.
+    * Deterministic (integer threshold — `div`, not a float fraction, so
+    * DuckDB replays it bit-exactly) and linear: one vocabulary-sized df
+    * aggregation, one broadcast-able anti-join, one keyed re-group. Docs
+    * whose every shingle is stopped drop out (empty effective set — no
+    * pair could verify ≥ 0.8 anyway). Shingle-array order after the
+    * re-group is nondeterministic, which is immaterial: signatures fold
+    * min() over the set and verification intersects sets.
+    */
+  def stopShingleFiltered(sh: DataFrame): DataFrame = {
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val nDocs = sh.agg(count(lit(1)).as("n_docs"))
+    val stops = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")) // shingleSet is distinct-per-doc ⇒ df
+      .crossJoin(nDocs)
+      .filter(col("df") > greatest(lit(5L), expr("n_docs div 10")))
+      .select(col("shingle"))
+    exploded.join(stops, Seq("shingle"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shingles"))
   }
 
   /** Exact shingle-Jaccard for (doc_a, doc_b) pairs: fetch both shingle
@@ -203,6 +239,24 @@ object Dedup {
     "q27_dedup_minhash" -> ((s, d) => {
       val sh = sharedShingles(s, d)
       verifyJaccardWith(sh, candidatesFromSignatures(signaturesFromShingles(s, sh)))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // q27 behind the stop-shingle pre-filter — the production LSH recipe
+    // for boilerplate-heavy corpora (see [[stopShingleFiltered]]): df-cap
+    // the shingle vocabulary, THEN signature → band → verify, with
+    // Jaccard measured on the same filtered sets the oracle replays.
+    // On the fixture (random text, no corpus-wide boilerplate) the df
+    // filter is a near-no-op, so the result matches q27's — which is the
+    // point: the mitigation costs nothing when it isn't needed, and the
+    // synthetic-boilerplate spec shows it collapsing quadratic candidate
+    // growth when it is.
+    "q99_dedup_stop_shingle" -> ((s, d) => {
+      val filtered = stopShingleFiltered(sharedShingles(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verifyJaccardWith(filtered,
+        candidatesFromSignatures(signaturesFromShingles(s, filtered)))
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -291,6 +345,20 @@ object Dedup {
         s"q88 is a guarded recursive-CTE demo: max near-dup degree $maxDeg " +
           "exceeds 10 (factorial path blow-up inside a clique) — use " +
           "q72_dedup_clusters (star-contraction) at this density")
+      // Degree alone does NOT bound the walk: an 11-clique passes deg ≤ 10
+      // yet enumerates ~10! simple paths per source, and sparse cyclic
+      // components can be exponential in their size (round-5 advisor
+      // finding). Bound COMPONENT SIZE too, from the star-contraction
+      // labels (cached — q72/q76 share the build; used only as the guard,
+      // so the recursive CTE below remains an independent computation of
+      // the assignment it is cross-validated against).
+      val compRow = nearDupLabels(s, d).groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).collect()(0)
+      val maxComp = if (compRow.isNullAt(0)) 0L else compRow.getLong(0)
+      require(maxComp <= 10,
+        s"q88 is a guarded recursive-CTE demo: a near-dup component has " +
+          s"$maxComp members (> 10 — simple-path count can explode " +
+          "combinatorially even at bounded degree) — use q72_dedup_clusters")
       pairs.createOrReplaceTempView("q88_pairs")
       s.sql(
         """WITH RECURSIVE edges AS (
@@ -576,6 +644,39 @@ object Dedup {
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY doc_a, doc_b"""
 
+  /** q99's oracle: the exact-Jaccard join computed on the STOP-FILTERED
+    * shingle sets — replays [[stopShingleFiltered]]'s integer df
+    * threshold (greatest(5, n_docs div 10)) before the pairwise
+    * intersection, then the same ≥ 0.8 cut. */
+  private val stopFilteredJaccardSql: String =
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+             FROM t WHERE len(toks) >= 3)),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sdf AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         sh AS (
+           SELECT sh0.doc_id, sh0.s
+           FROM sh0 JOIN sdf ON sh0.s = sdf.s CROSS JOIN nd
+           WHERE sdf.df <= greatest(5, n_docs // 10)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY doc_a, doc_b"""
+
   private val oraclesBase: Map[String, String] = Map(
     "q26_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id,
@@ -583,6 +684,7 @@ object Dedup {
          count(*) AS n_dups
          FROM documents GROUP BY content_hash ORDER BY keep_id""",
     "q27_dedup_minhash" -> exactJaccardSql,
+    "q99_dedup_stop_shingle" -> stopFilteredJaccardSql,
     // Full algorithmic replay of q28: md5-derived 64-bit token hash,
     // sign-aggregated signature, C(8,2) block-pair banding, Hamming ≤ 12,
     // exact shingle-Jaccard ≥ 0.8 on the candidates. Shift semantics:

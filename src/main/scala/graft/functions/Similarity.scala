@@ -46,10 +46,20 @@ object Similarity {
       when(dot(vec, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce[Column](_ + _)
 
-  /** IVF coarse-quantizer size — FIXED: independent of corpus size, so the
-    * driver collect, broadcast payload, and O(k) per-row assignment cost
-    * never grow with the data. */
-  val IvfK = 64
+  /** IVF coarse-quantizer size as a deterministic function of corpus
+    * size: k(n) = max(16, ⌈√n⌉) — the standard IVF sizing rule (FAISS
+    * guidance: k ∝ √n). With probes = corpus (q73/q77's knn graph) the
+    * candidate volume is ~nProbe·n²/k; a FIXED k (the round-5 form froze
+    * 64) makes that grow quadratically, while k = √n caps it at
+    * nProbe·n^1.5. The driver collect and broadcast payload grow only as
+    * √n (1M centroids ≈ 256 MB at n = 10¹² — broadcastable), and the rule
+    * is replayable in the SQL oracle (greatest(16, ceil(sqrt(count(*))))),
+    * so results stay engine-exact at every scale. The floor (16, not 64)
+    * keeps tiny corpora from degenerating to near-brute-force cells while
+    * still letting the fixture scales exercise DIFFERENT k values
+    * (n=500 → 23, n=2000 → 45 — the adaptivity is tested, not latent). */
+  def ivfK(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Rounded cosine between two float vectors, bit-identical to the
     * Column formulation `round(vec_dot(a,b)/(l2norm(a)*l2norm(b)), 6)`:
@@ -98,14 +108,16 @@ object Similarity {
         .orderBy(col("probe_id"), col("rk"))
     }),
 
-    // IVF-style ANN (the scale path): a FIXED-k deterministic sample of
+    // IVF-style ANN (the scale path): a deterministic sample of
     // corpus vectors acts as the coarse quantizer (k-means-style seeding
     // without the iterations; the sample rule is a multiplicative hash of
-    // vec_id so it is order-free and replayable in SQL). k = 64 regardless
-    // of corpus size, so the driver collect, the broadcast payload, and
-    // the per-row O(k) assignment cost are all corpus-size-INDEPENDENT —
-    // the round-2 form grew k ∝ n/29 and embedded every centroid as a
-    // plan literal. Centroids travel as a BROADCAST VARIABLE consumed by
+    // vec_id so it is order-free and replayable in SQL). k = max(16, ⌈√n⌉)
+    // — see [[ivfK]]: the driver collect / broadcast payload / per-row
+    // assignment cost grow only as √n, and candidate volume stays
+    // sub-quadratic even when probes = corpus (the round-2 form grew
+    // k ∝ n/29 and embedded every centroid as a plan literal; the round-5
+    // form froze k = 64, which let q73-style candidate volume grow n²/64).
+    // Centroids travel as a BROADCAST VARIABLE consumed by
     // typed map passes: nearest-cell assignment is a map-side argmax (no
     // Exchange before assignment), probes pick their nProbe=4 nearest
     // cells in one flatMap, and the tiny probe-cells relation is
@@ -125,11 +137,10 @@ object Similarity {
     // edges, then run q72-style connected components). The probe side is
     // now the corpus itself, so probe-cells is NOT broadcast — the
     // candidate join shuffles both sides on the cell key (linear, keyed).
-    // Candidate volume is nProbe·n²/k with fixed k; the production recipe
-    // is k ∝ √n (IVF guidance), giving n^1.5 candidate work — the
-    // structure (broadcast centroids, map-side assignment, keyed join)
-    // is unchanged by retuning k. Fully deterministic → full DuckDB
-    // replay below.
+    // With k = ⌈√n⌉ ([[ivfK]]) candidate volume is ~nProbe·n^1.5 —
+    // sub-quadratic by construction, pinned across fixture scales by
+    // DedupSimilaritySpec via the observed candidate metric. Fully
+    // deterministic → full DuckDB replay below.
     "q73_knn_graph" -> ((s, d) => {
       val emb = embeddings(s, d)
       ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
@@ -163,15 +174,15 @@ object Similarity {
   )
 
   /** IVF search shared by q31 (few probes, broadcast) and q73 (corpus =
-    * probes, keyed shuffle join): fixed-k deterministic centroid sample →
+    * probes, keyed shuffle join): deterministic √n-sized centroid sample →
     * broadcast → map-side nearest-cell assignment → per-probe nProbe=4
     * cells → exact cosine re-rank of cell candidates.
     *
     * Centroid sample rule: order by a multiplicative hash of the id
     * (Knuth's 2654435761 mod the large prime 999999937), tie-break on
-    * vec_id → a deterministic pseudo-random [[IvfK]]-vector sample whose
-    * size never grows with the corpus, so the driver collect, broadcast
-    * payload, and O(k) per-row assignment cost are corpus-size-independent.
+    * vec_id → a deterministic pseudo-random [[ivfK]](n)-vector sample, so
+    * the driver collect, broadcast payload, and O(√n) per-row assignment
+    * cost grow with the square root of the corpus, never linearly.
     */
   /** Centroid broadcasts are cached per (sessionUUID, dataset): q31/q73
     * and repeated invocations reuse one broadcast instead of leaking a
@@ -198,11 +209,14 @@ object Similarity {
     import s.implicits._
     val bc = centCache.synchronized {
       centCache.getOrElseUpdate((sessionKey(s), cacheKey), {
+        // corpus-size-derived k (metadata-cheap count, computed once per
+        // (session, dataset) thanks to the cache)
+        val k = ivfK(emb.count())
         val cents: Array[(Long, Array[Float])] =
           emb.select(col("vec_id"), col("embedding"))
             .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
               col("vec_id"))
-            .limit(IvfK)
+            .limit(k)
             .collect()
             .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
             .sortBy(_._1)
@@ -248,6 +262,10 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"),
         cos(col("p_emb"), col("embedding")).as("cos"))
       .distinct()
+      // candidate-volume observability: rides the main action (no second
+      // job); production runs read candidates/probe from the observed
+      // metrics, and DedupSimilaritySpec pins sub-quadratic growth on it
+      .observe("ivf_candidates", count(lit(1)).as("n_candidates"))
     cands
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
@@ -320,10 +338,13 @@ object Similarity {
     * subset) → candidate re-rank. */
   private def ivfCtes(probeWhere: String): String =
       s"""cents AS (
-           SELECT vec_id AS centroid_id, embedding AS c_emb
-           FROM embeddings
-           ORDER BY (vec_id * 2654435761) % 999999937, vec_id
-           LIMIT 64),
+           SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
+             FROM embeddings)
+           WHERE crn <= (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                         FROM embeddings)),
          scored AS (
            SELECT e.vec_id, e.embedding, c.centroid_id,
              round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])

@@ -195,6 +195,71 @@ class DedupSimilaritySpec extends TestSpark {
     assert(got == expected)
   }
 
+  test("connected components write RELIABLE checkpoints when a dir is configured") {
+    // TestSpark configures a checkpoint dir (as Verify does), so the
+    // df.checkpoint() production branch — not localCheckpoint — runs in
+    // the gate; assert the branch actually materialized checkpoint files.
+    import spark.implicits._
+    val dir = spark.sparkContext.getCheckpointDir
+      // getCheckpointDir returns a URI ("file:/…") — resolve to a local path
+      .map(d => new java.io.File(new java.net.URI(
+        if (d.contains(":/")) d else "file://" + d)))
+    assert(dir.isDefined, "suite session must configure a checkpoint dir")
+    val before = countFiles(dir.get)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val df = Dedup.connectedComponents(spark, chain)
+    val labels = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    df.unpersist()
+    assert(labels.size == 64 && labels.values.forall(_ == 0L))
+    assert(countFiles(dir.get) > before,
+      "no reliable checkpoint files were written — the production branch did not run")
+  }
+
+  private def countFiles(f: java.io.File): Int =
+    if (f.isDirectory) Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+    else 1
+
+  test("stop-shingle filter collapses quadratic LSH candidates on boilerplate corpora") {
+    // 120 docs = one shared 40-token boilerplate block + 3 unique tokens:
+    // unfiltered, the boilerplate owns nearly every MinHash minimum, so
+    // all signatures collide and candidates go ~all-pairs; the df filter
+    // (df > max(5, n div 10)) drops exactly those shingles and candidates
+    // collapse to near-zero. This is the documented hot-bucket scale
+    // hazard made concrete, and the mitigation pinned.
+    import spark.implicits._
+    val boiler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = (0 until 120)
+      .map(i => (i.toLong, s"$boiler unique${i}a unique${i}b unique${i}c"))
+      .toDF("doc_id", "text")
+    val sh = docs.as[(Long, String)]
+      .map { case (id, t) => (id, Dedup.shingleSet(t)) }
+      .toDF("doc_id", "shingles")
+    def nCands(rel: org.apache.spark.sql.DataFrame): Long = {
+      val df = Dedup.candidatesFromSignatures(
+        Dedup.signaturesFromShingles(spark, rel))
+      val n = df.collect().length.toLong
+      // the lsh_candidates observe() metric rides the same action and
+      // must agree with the materialized count (production observability)
+      val m = df.queryExecution.observedMetrics("lsh_candidates")
+      assert(m.getAs[Long]("n_candidates") == n, "observe metric disagrees")
+      n
+    }
+    val raw = nCands(sh)
+    val filtered = nCands(Dedup.stopShingleFiltered(sh))
+    val allPairs = 120L * 119 / 2
+    info(s"candidates: unfiltered $raw of $allPairs pairs; stop-filtered $filtered")
+    assert(raw > allPairs / 2,
+      s"fixture lost its pathology: only $raw of $allPairs pairs collide unfiltered")
+    assert(filtered < 120,
+      s"stop-shingle filter left $filtered candidates — hot buckets survived")
+    // and on the REAL fixture the filter is a near-no-op: q99 ≡ q27
+    val q27 = Dedup.queries("q27_dedup_minhash")(spark, sf0001).collect()
+    val q99 = Dedup.queries("q99_dedup_stop_shingle")(spark, sf0001).collect()
+    assert(q99.sameElements(q27),
+      "fixture has no corpus-wide boilerplate, so q99 must equal q27")
+  }
+
   test("roundedCosine propagates non-finite values instead of throwing") {
     // zero-norm (or corrupt) embeddings divide to NaN/Inf; BigDecimal
     // rounding would throw and kill the whole IVF job (round-3 advisor
@@ -229,23 +294,47 @@ class DedupSimilaritySpec extends TestSpark {
     info(s"IVF recall@5 = $recall")
   }
 
-  test("IVF centroid count is FIXED — independent of corpus size") {
-    // The coarse quantizer must not scale with the data: same k at two
-    // corpus sizes (500 vectors at sf0.001, 2000 at sf0.1), and the plan
-    // must not embed centroids as literals (broadcast variable instead),
-    // so plan size is corpus-independent too.
-    def centroidCount(d: String): Long =
-      Tables.embeddings(spark, d)
-        .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
-          col("vec_id"))
-        .limit(Similarity.IvfK)
-        .count()
-    assert(centroidCount(sf0001) == Similarity.IvfK)
-    assert(centroidCount("/root/testdata/sf0.1") == Similarity.IvfK)
+  test("IVF coarse quantizer scales as √n — different k at different corpus sizes") {
+    // k(n) = max(16, ⌈√n⌉): deterministic, replayed by the oracle's
+    // greatest(16, ceil(sqrt(count(*)))). The two fixture scales must
+    // yield DIFFERENT k (the adaptivity is exercised, not latent), and
+    // the plan must not embed centroids as literals (broadcast variable
+    // instead), so plan size stays corpus-independent.
+    assert(Similarity.ivfK(1) == 16)
+    assert(Similarity.ivfK(500) == 23)
+    assert(Similarity.ivfK(2000) == 45)
+    assert(Similarity.ivfK(1000000) == 1000)
+    val k1 = Similarity.ivfK(Tables.embeddings(spark, sf0001).count())
+    val k2 = Similarity.ivfK(
+      Tables.embeddings(spark, "/root/testdata/sf0.1").count())
+    assert(k1 != k2, s"fixture scales yield the same k ($k1) — rule untested")
     val df = Similarity.queries("q31_ann_ivf")(spark, sf0001)
     val planChars = df.queryExecution.analyzed.toString.length
     assert(planChars < 100000,
       s"q31 plan is $planChars chars — centroids are leaking into the plan as literals")
+  }
+
+  test("IVF knn-graph candidate volume grows SUB-quadratically across scales") {
+    // The round-5 scale flaw: fixed k=64 made q73-style candidate volume
+    // grow ~n²/64. With k = ⌈√n⌉ it grows ~nProbe·n^1.5. Measured through
+    // the ivf_candidates observe() metric riding the main action.
+    def run(d: String): (Long, Long) = {
+      val df = Similarity.queries("q73_knn_graph")(spark, d)
+      df.collect() // collect() runs THIS Dataset's queryExecution, so the
+      // observed metrics land on it (a write would plan a fresh execution)
+      val m = df.queryExecution.observedMetrics("ivf_candidates")
+      (Tables.embeddings(spark, d).count(), m.getAs[Long]("n_candidates"))
+    }
+    val (n1, c1) = run(sf0001)
+    val (n2, c2) = run("/root/testdata/sf0.1")
+    assert(c1 > 0 && c2 > 0)
+    val nRatio = n2.toDouble / n1
+    val cRatio = c2.toDouble / c1
+    info(f"n: $n1 -> $n2 (×$nRatio%.1f); candidates: $c1 -> $c2 (×$cRatio%.1f); " +
+      f"quadratic would be ×${nRatio * nRatio}%.1f")
+    assert(cRatio < nRatio * nRatio * 0.75,
+      f"candidate growth ×$cRatio%.1f is not meaningfully sub-quadratic " +
+        f"(n ratio ×$nRatio%.1f, quadratic ×${nRatio * nRatio}%.1f)")
   }
 
   test("q88 recursive-CTE clusters equal q72's star-contraction clusters") {

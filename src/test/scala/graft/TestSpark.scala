@@ -9,13 +9,20 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
   // local[4,2]: 4 threads, maxTaskFailures=2 — lets the crash-recovery
   // test inject a task failure and observe Spark's re-execution (the
   // reference's watchdog-requeue, coordinator.go:114-141, as config).
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4,2]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4,2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // reliable-checkpoint dir (matches Verify): connectedComponents takes
+    // its production df.checkpoint() branch throughout the suite instead
+    // of only ever exercising localCheckpoint; scratch deleted on exit
+    s.sparkContext.setCheckpointDir(Tables.scratchDir(s, "ckpt"))
+    s
+  }
 
   val sf0001 = "/root/testdata/sf0.001"
 
