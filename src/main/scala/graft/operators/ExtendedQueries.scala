@@ -62,11 +62,33 @@ object ExtendedQueries {
       val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
       li.crossJoin(bounds)
-        .select(least(floor((col("l_extendedprice") - col("lo")) /
-          ((col("hi") - col("lo")) / 10.0)), lit(9.0)).cast("long").as("bucket"))
+        // degenerate range (all values equal): hi-lo = 0 makes the bucket
+        // expression 0/0 — Spark's NaN would least() to 9 while DuckDB's
+        // division-by-zero NULLs out; pin bucket 0 on BOTH engines
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("l_extendedprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 10.0)), lit(9.0)).cast("long"))
+          .as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_items"))
         .orderBy(col("bucket"))
+    }),
+
+    // UNPIVOT/melt — the inverse of q39's pivot: the per-user event-type
+    // count matrix back to long (user_id, event_type, n_events) form,
+    // zeros kept explicit. Spark's unpivot plans an Expand (map-side row
+    // multiplication — no shuffle beyond the pivot aggregation's own),
+    // so wide→long reshaping stays a single-exchange plan at any scale.
+    "q100_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      pivoted.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n_events")
+        .orderBy(col("user_id"), col("event_type"))
     }),
 
     "q37_grouping_sets" -> ((s, d) => {
@@ -184,10 +206,22 @@ object ExtendedQueries {
       """WITH bounds AS (
            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
            FROM lineitem)
-         SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)),
-           9.0) AS BIGINT) AS bucket, count(*) AS n_items
+         SELECT CASE WHEN hi = lo THEN 0
+           ELSE CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)),
+             9.0) AS BIGINT) END AS bucket, count(*) AS n_items
          FROM lineitem CROSS JOIN bounds
          GROUP BY 1 ORDER BY bucket""",
+    "q100_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         t(event_type) AS (
+           VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+         c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n_events
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+         ORDER BY u.user_id, t.event_type""",
     "q89_lateral_topk" ->
       """SELECT n.n_name, t.c_name, t.c_acctbal
          FROM nation n,

@@ -247,12 +247,16 @@ object Multimodal {
          SELECT doc_id, w AS width, h AS height,
            nw AS new_width, nh AS new_height,
            54 + ((nw*3+3)//4)*4 * nh AS n_bytes_resized,
-           CAST(list_sum(flatten(list_transform(range(0, nh), y ->
+           -- empty text: len = 0 NULLs the modulo (and so the sum) in
+           -- DuckDB, while the engine synthesizes a zero-filled pixel
+           -- array and sums to 0 — coalesce keeps the engines aligned
+           -- (q94's oracle already does this for its amp_sum)
+           CAST(coalesce(list_sum(flatten(list_transform(range(0, nh), y ->
              flatten(list_transform(range(0, nw), x ->
                [ascii(text[CAST((2*y*row_size + 6*x + 0) % len + 1 AS INT)]),
                 ascii(text[CAST((2*y*row_size + 6*x + 1) % len + 1 AS INT)]),
                 ascii(text[CAST((2*y*row_size + 6*x + 2) % len + 1 AS INT)])]
-             ))))) AS BIGINT) AS pixel_checksum
+             ))))), 0) AS BIGINT) AS pixel_checksum
          FROM m2 ORDER BY doc_id""",
     // Frame decimation replay: samples are the text bytes; frames of 64,
     // every 2nd kept, amplitudes summed per kept frame.

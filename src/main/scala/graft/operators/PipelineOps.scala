@@ -45,9 +45,16 @@ object PipelineOps {
     // (PlanSpec asserts the BloomFilterMightContain injection). Result is
     // exact regardless — the bloom is a pre-filter, not an approximation.
     "q56_bloom_join" -> ((s, d) => {
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      lineitem(s, d)
-        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+      // bloom injection is session-conf-gated AND read lazily at
+      // optimization time — a set+restore around this (lazy) builder
+      // would un-set it before the action plans. Build on a CHILD session
+      // (shared context, private conf) instead: the caller's conf is
+      // never touched (round-5 hygiene finding), and the returned frame
+      // plans under the child's conf whenever it executes.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      lineitem(s2, d)
+        .join(orders(s2, d).filter(col("o_orderpriority") === "1-URGENT"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),

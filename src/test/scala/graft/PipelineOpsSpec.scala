@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   */
 class PipelineOpsSpec extends TestSpark {
 
+  test("conf-touching query builders leave the caller session's confs unchanged") {
+    // q56 (bloom conf) and q86 (experimental rewrite hooks) must confine
+    // their session mutations to a child session (round-5 hygiene +
+    // advisor findings) — snapshot, invoke, re-snapshot, compare.
+    def snapshot(): (Map[String, String], Int, Int) = (
+      spark.conf.getAll,
+      spark.experimental.extraStrategies.length,
+      spark.experimental.extraOptimizations.length)
+    val before = snapshot()
+    val q56 = PipelineOps.queries("q56_bloom_join")(spark, sf0001)
+    q56.collect()
+    val q86 = graft.plans.TopKRewrite.queries("q86_topk_rewrite")(spark, sf0001)
+    q86.collect()
+    assert(snapshot() == before,
+      "a query builder mutated the caller session's conf or experimental hooks")
+    // and the child-session plumbing did not cost the queries their point:
+    assert(q86.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
+      "q86 lost its rewrite on the child session")
+  }
+
   test("merge upsert: every base row survives, changeset applied exactly") {
     val merged = PipelineOps.queries("q55_merge_upsert")(spark, sf0001)
     val byOp = merged.groupBy(col("op")).count().collect()
