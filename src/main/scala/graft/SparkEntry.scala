@@ -8,9 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
-  * q95), dedup and clustering (q26-q29, q67-q68, q72, q74, q76-q77, q88,
-  * q99 stop-shingle LSH),
-  * similarity search and embedding ops (q30-q31, q41, q63, q73),
+  * q95, q101 LM quality), dedup and clustering (q26-q29, q67-q68, q72,
+  * q74, q76-q77, q88, q99 stop-shingle LSH),
+  * similarity search and embedding ops (q30-q31, q41, q63, q73,
+  * q102 hyperplane-LSH ANN),
   * multimodal decode/resize/frame-sample (q32, q93-q94),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout

@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-d float vectors).
   *
-  * Two paths, as a large-scale pipeline needs:
-  *  - brute-force cosine top-k — the exact baseline. Probes are broadcast,
-  *    so the big side streams through one codegen stage with NO shuffle of
-  *    the corpus; per-probe top-k is a bounded window. O(probes × corpus)
-  *    compute but linear IO — at 100 TB you run it only for small probe
-  *    sets.
-  *  - random-hyperplane LSH ANN — the scale path: 16-bit sign buckets from
-  *    seeded hyperplanes; candidates share a bucket, exact cosine re-ranks
-  *    candidates only. Corpus signatures are one map-side pass; the search
-  *    join is keyed on the bucket (shuffle ∝ bucket collisions, not n²).
+  * Three paths, as a large-scale pipeline needs:
+  *  - brute-force cosine top-k (q30) — the exact baseline. Probes are
+  *    broadcast, so the big side streams through one codegen stage with NO
+  *    shuffle of the corpus; per-probe top-k is a bounded window.
+  *    O(probes × corpus) compute but linear IO — at 100 TB you run it only
+  *    for small probe sets.
+  *  - IVF ANN (q31/q73/q77) — √n-cell coarse quantizer, broadcast
+  *    centroids, map-side assignment, cell-keyed candidate join.
+  *  - random-hyperplane LSH ANN (q102) — sign buckets from seeded
+  *    hyperplanes, count adapted so occupancy stays ~8; candidates share a
+  *    bucket, exact cosine re-ranks candidates only. Corpus signatures are
+  *    one map-side pass; the search join is keyed on the bucket.
   *
   * All dot products cast elements to double BEFORE multiplying and fold
   * left-to-right (functions.aggregate), so results are bit-deterministic
@@ -39,12 +41,32 @@ object Similarity {
   }
 
   /** Sign-bucket of a vector under the given hyperplanes: an Int with one
-    * sign bit per plane (16 planes → 65k buckets). */
+    * sign bit per plane (p planes → 2^p buckets). */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(dot(vec, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce[Column](_ + _)
+
+  /** Fixed Gaussian hyperplane pool for the LSH ANN path (q102): 24
+    * planes × 64 dims, seed 7 — a corpus uses its FIRST [[lshNPlanes]](n)
+    * planes, so the pool (and the plan literals it becomes) is constant-
+    * size no matter the corpus. */
+  val LshMaxPlanes = 24
+  lazy val lshPool: Seq[Array[Double]] = hyperplanes(LshMaxPlanes, 64)
+
+  /** Planes used at corpus size n: the smallest p with 8·2^p ≥ n, clamped
+    * to [4, 24] — bucket count 2^p tracks n/8, so expected bucket
+    * occupancy (≈8) and with it candidate volume PER PROBE stay constant
+    * as the corpus grows; total LSH search work is O(probes), not O(n).
+    * Deliberately integer-only arithmetic: a float ceil(log2(n/8)) can
+    * land on either side of an exact power in different engines, and the
+    * oracle replays this rule as a count over range(1,25). */
+  def lshNPlanes(n: Long): Int = {
+    var p = 1
+    while (p < LshMaxPlanes && (8L << p) < n) p += 1
+    math.max(4, p)
+  }
 
   /** IVF coarse-quantizer size as a deterministic function of corpus
     * size: k(n) = max(16, ⌈√n⌉) — the standard IVF sizing rule (FAISS
@@ -147,6 +169,37 @@ object Similarity {
         .select(col("probe_id").as("src_id"), col("rk"),
           col("vec_id").as("nbr_id"), col("cos"))
         .orderBy(col("src_id"), col("rk"))
+    }),
+
+    // RANDOM-HYPERPLANE LSH ANN — the second ANN family next to IVF
+    // (q31), per the survey's "IVF or LSH-bucketed variant" scale path:
+    // each vector's sign pattern under [[lshNPlanes]](n) seeded Gaussian
+    // hyperplanes is its bucket (map-side codegen'd VecDot against
+    // constant plane literals — no index build, no training, no
+    // broadcast); candidates share the full bucket; exact cosine re-ranks.
+    // Bucket count tracks n/8, so per-probe candidate volume stays ~8 at
+    // ANY corpus size (single-probe LSH trades recall for that bound —
+    // production multi-probes neighboring sign patterns). Deterministic
+    // planes + deterministic plane-count rule → the oracle replays the
+    // whole algorithm, plane literals included.
+    "q102_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val planes = lshPool.take(lshNPlanes(emb.count()))
+      val bucketed = emb.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+      val probes = broadcast(bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("bucket")))
+      bucketed.join(probes, Seq("bucket"))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot(col("p_emb"), col("embedding"))
+            / (l2norm(col("p_emb")) * l2norm(col("embedding"))), 6).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rk"))
     }),
 
     // EMBEDDING-SPACE near-dup dedup: the modality the shingle paths
@@ -273,7 +326,49 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
   }
 
+  /** q102's hyperplane pool as DuckDB VALUES rows: the oracle carries the
+    * exact double literals the Spark plan uses (Double.toString is the
+    * shortest round-trip decimal, so DuckDB parses back the identical
+    * double and every sign test agrees bit-for-bit). */
+  private def lshPlanesSql: String =
+    lshPool.zipWithIndex.map { case (pl, i) =>
+      s"($i, [${pl.mkString(", ")}])"
+    }.mkString(",\n           ")
+
   val oracles: Map[String, String] = Map(
+    // Full replay of the LSH ANN: the same plane-count rule (integer
+    // comparison count, no float log2), the same plane literals, the same
+    // sign-bit bucket, the same exact-cosine re-rank.
+    "q102_ann_lsh" ->
+      s"""WITH np AS (
+           SELECT least(24, greatest(4,
+             1 + (SELECT count(*) FROM range(1, 25) t(p)
+                  WHERE (8::BIGINT << CAST(t.p AS INT)) <
+                    (SELECT count(*) FROM embeddings)))) AS p),
+         planes(pid, pv) AS (VALUES $lshPlanesSql),
+         buck AS (
+           SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                 pl.pv::DOUBLE[]) >= 0
+               THEN (1::BIGINT << CAST(pl.pid AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket
+           FROM embeddings e CROSS JOIN np JOIN planes pl ON pl.pid < np.p
+           GROUP BY e.vec_id, e.embedding),
+         cands AS (
+           SELECT p.vec_id AS probe_id, c.vec_id,
+             round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos
+           FROM buck p JOIN buck c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+           WHERE p.vec_id < 10),
+         ranked AS (
+           SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM cands)
+         SELECT probe_id, rk, vec_id, cos FROM ranked
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
     "q30_cosine_topk" ->
       """WITH scored AS (
            SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,

@@ -106,6 +106,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM quality score — the perplexity-shaped cleaning signal
+    // (C4/Gopher filter corpora on LM likelihood; a corpus-unigram model
+    // is its cheapest deterministic stand-in): every doc scored by the
+    // mean natural-log probability of its token occurrences under the
+    // corpus unigram distribution. One token explode feeds both the
+    // vocabulary counts and the per-doc score; the only shuffles are the
+    // vocabulary-sized count aggregation and the token-keyed score join —
+    // never doc-pairwise, and the 1-row total broadcasts. Mean magnitude
+    // ~1e1, so round(6) sits ~9 orders above cross-engine summation ulps.
+    "q101_lm_quality" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).cast("double").as("t_total"))
+      toks.join(vocab, "tok")
+        .crossJoin(total)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cnt") / col("t_total"))), 6).as("mean_log_prob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition-based quality filters (the Gopher/MassiveText recipe):
     // per-doc unique-token ratio, top-bigram occupancy, duplicate-trigram
     // fraction, and the resulting keep/drop flag. One typed map pass per
@@ -209,6 +230,17 @@ object TextQueries {
       """SELECT doc_id, md5(text) AS fp,
          count(*) OVER (PARTITION BY md5(text)) AS dup_count
          FROM documents ORDER BY doc_id""",
+    "q101_lm_quality" ->
+      """WITH tk AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) WHERE tok <> ''),
+         vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total FROM vocab)
+         SELECT tk.doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt / t_total)), 6) AS mean_log_prob
+         FROM tk JOIN vocab USING (tok) CROSS JOIN tot
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // n-grams come from list_transform over range(...) + unnest (DuckDB
     // can't lateral-join range() on a column); bigram/trigram stats LEFT
     // JOIN back so short docs keep 0-valued ratios, matching the Scala

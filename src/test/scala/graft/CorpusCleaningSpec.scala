@@ -157,6 +157,24 @@ class CorpusCleaningSpec extends TestSpark {
     assert(viaHeap.sameElements(viaWindow))
   }
 
+  test("lm quality score: per-doc token counts line up and scores are sane log-probs") {
+    val scores = graft.functions.TextQueries.queries("q101_lm_quality")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_log_prob")))).toMap
+    val counts = graft.functions.TextQueries.queries("q22_token_stats")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(scores.keySet == counts.keySet)
+    scores.foreach { case (id, (n, s)) =>
+      assert(n == counts(id), s"doc $id token count mismatch")
+      // every token's log-prob is in (ln(1/total), 0): strictly negative,
+      // bounded below by the rarest-possible unigram
+      assert(s < 0.0, s"doc $id mean log-prob $s not negative")
+      assert(s > math.log(1.0 / counts.values.map(_.toDouble).sum), s"doc $id mean log-prob $s below floor")
+    }
+  }
+
   test("foreachBatch upsert sink converges to batch latest-per-key") {
     val streamed = graft.streaming.StreamingQueries
       .queries("q82_stream_foreach_upsert")(spark, sf0001)

@@ -351,6 +351,33 @@ class DedupSimilaritySpec extends TestSpark {
     assert(viaRecursion.nonEmpty)
   }
 
+  test("LSH ANN (q102): plane count adapts to corpus size, results verify exactly") {
+    // integer plane-count rule: smallest p with 8·2^p ≥ n, clamped [4,24]
+    assert(Similarity.lshNPlanes(1) == 4)
+    assert(Similarity.lshNPlanes(500) == 6)
+    assert(Similarity.lshNPlanes(2000) == 8)
+    assert(Similarity.lshNPlanes(1000000000000L) == 24)
+    val rows = Similarity.queries("q102_ann_lsh")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "no probe shared a bucket with any vector")
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (probe, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.length <= 5)
+      sorted.foreach { r =>
+        val nbr = r.getAs[Long]("vec_id")
+        assert(nbr != probe)
+        assert(r.getAs[Double]("cos") ==
+          Similarity.roundedCosine(emb(probe), emb(nbr)))
+      }
+    }
+    // determinism (seeded planes + deterministic rule)
+    assert(Similarity.queries("q102_ann_lsh")(spark, sf0001).collect()
+      .sameElements(rows))
+  }
+
   test("cosine scores are in [-1, 1] and self-similarity excluded") {
     val rows = Similarity.queries("q30_cosine_topk")(spark, sf0001).collect()
     assert(rows.forall { r =>
