@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *  - IVF ANN (q31/q73/q77) — √n-cell coarse quantizer, broadcast
   *    centroids, map-side assignment, cell-keyed candidate join.
   *  - random-hyperplane LSH ANN (q102) — sign buckets from seeded
-  *    hyperplanes, count adapted so occupancy stays ~8; candidates share a
-  *    bucket, exact cosine re-ranks candidates only. Corpus signatures are
-  *    one map-side pass; the search join is keyed on the bucket.
+  *    hyperplanes, count adapted so occupancy stays ~8; each probe
+  *    multi-probes its bucket + all Hamming-1 flips, exact cosine
+  *    re-ranks candidates only. Corpus signatures are one map-side pass;
+  *    the search join is keyed on the bucket.
   *
   * All dot products cast elements to double BEFORE multiplying and fold
   * left-to-right (functions.aggregate), so results are bit-deterministic
@@ -176,20 +177,28 @@ object Similarity {
     // each vector's sign pattern under [[lshNPlanes]](n) seeded Gaussian
     // hyperplanes is its bucket (map-side codegen'd VecDot against
     // constant plane literals — no index build, no training, no
-    // broadcast); candidates share the full bucket; exact cosine re-ranks.
-    // Bucket count tracks n/8, so per-probe candidate volume stays ~8 at
-    // ANY corpus size (single-probe LSH trades recall for that bound —
-    // production multi-probes neighboring sign patterns). Deterministic
-    // planes + deterministic plane-count rule → the oracle replays the
-    // whole algorithm, plane literals included.
+    // broadcast); candidates share a probed bucket; exact cosine re-ranks.
+    // MULTI-PROBE: each probe searches its own bucket plus every
+    // Hamming-1 sign flip (p+1 buckets — the standard recall fix for
+    // sign-LSH, since a true neighbor most often differs in exactly one
+    // marginal sign). Bucket count tracks n/8, so per-probe candidate
+    // volume stays ~8·(p+1) at ANY corpus size — total search work
+    // O(probes · log n), independent of n. The flip set is pure integer
+    // XOR and the planes are fixed literals, so the oracle replays the
+    // whole algorithm bit-exactly.
     "q102_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
       val planes = lshPool.take(lshNPlanes(emb.count()))
       val bucketed = emb.select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), planes).as("bucket"))
+      // probe buckets: own + p Hamming-1 flips (all distinct, so a
+      // candidate can match a probe through at most ONE probed bucket —
+      // no dedup needed on the join output)
+      val probeBuckets = array(col("bucket") +:
+        planes.indices.map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
       val probes = broadcast(bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-          col("bucket")))
+          explode(probeBuckets).as("bucket")))
       bucketed.join(probes, Seq("bucket"))
         .filter(col("probe_id") =!= col("vec_id"))
         .select(col("probe_id"), col("vec_id"),
@@ -354,14 +363,22 @@ object Similarity {
                AS bucket
            FROM embeddings e CROSS JOIN np JOIN planes pl ON pl.pid < np.p
            GROUP BY e.vec_id, e.embedding),
+         pb AS (
+           SELECT vec_id AS probe_id, embedding AS p_emb, bucket
+           FROM buck WHERE vec_id < 10
+           UNION ALL
+           SELECT b.vec_id, b.embedding,
+             CAST(xor(b.bucket, (1::BIGINT << CAST(t.i AS INT))) AS BIGINT)
+           FROM buck b CROSS JOIN np CROSS JOIN range(0, 24) t(i)
+           WHERE b.vec_id < 10 AND t.i < np.p),
          cands AS (
-           SELECT p.vec_id AS probe_id, c.vec_id,
-             round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+           SELECT p.probe_id, c.vec_id,
+             round(list_dot_product(p.p_emb::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.p_emb::DOUBLE[], p.p_emb::DOUBLE[]))
                 * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
                6) AS cos
-           FROM buck p JOIN buck c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
-           WHERE p.vec_id < 10),
+           FROM pb p JOIN buck c ON p.bucket = c.bucket
+           WHERE p.probe_id <> c.vec_id),
          ranked AS (
            SELECT probe_id, vec_id, cos,
              row_number() OVER (PARTITION BY probe_id

@@ -362,7 +362,11 @@ class DedupSimilaritySpec extends TestSpark {
     val emb = Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (probe, es) =>
+    val bySrc = rows.groupBy(_.getAs[Long]("probe_id"))
+    // multi-probe (own bucket + p Hamming-1 flips) gives every probe a
+    // candidate pool on this fixture
+    assert(bySrc.size == 10, s"only ${bySrc.size} of 10 probes found neighbors")
+    bySrc.foreach { case (probe, es) =>
       val sorted = es.sortBy(_.getAs[Int]("rk"))
       assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length).toSeq)
       assert(sorted.length <= 5)
@@ -373,6 +377,15 @@ class DedupSimilaritySpec extends TestSpark {
           Similarity.roundedCosine(emb(probe), emb(nbr)))
       }
     }
+    // recall vs the exact brute force — fully deterministic (fixed data,
+    // seeded planes), so the floor just pins today's measured behavior
+    val exact = Similarity.queries("q30_cosine_topk")(spark, sf0001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"multi-probe LSH recall@5 = $recall")
+    assert(recall > 0.0, "LSH found none of the true top-5 neighbors")
     // determinism (seeded planes + deterministic rule)
     assert(Similarity.queries("q102_ann_lsh")(spark, sf0001).collect()
       .sameElements(rows))
