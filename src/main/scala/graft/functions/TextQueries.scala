@@ -110,11 +110,12 @@ object TextQueries {
     // (C4/Gopher filter corpora on LM likelihood; a corpus-unigram model
     // is its cheapest deterministic stand-in): every doc scored by the
     // mean natural-log probability of its token occurrences under the
-    // corpus unigram distribution. One token explode feeds both the
-    // vocabulary counts and the per-doc score; the only shuffles are the
-    // vocabulary-sized count aggregation and the token-keyed score join —
-    // never doc-pairwise, and the 1-row total broadcasts. Mean magnitude
-    // ~1e1, so round(6) sits ~9 orders above cross-engine summation ulps.
+    // corpus unigram distribution. Two pruned scans of (doc_id, text) —
+    // one builds the vocabulary (map-side partial count, so its shuffle
+    // is vocabulary-sized), one carries (doc_id, tok) into the token-
+    // keyed score join — never doc-pairwise, and the 1-row total
+    // broadcasts. Mean magnitude ~1e1, so round(6) sits ~9 orders above
+    // cross-engine summation ulps.
     "q101_lm_quality" -> ((s, d) => {
       val toks = documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

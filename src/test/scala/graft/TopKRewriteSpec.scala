@@ -204,6 +204,45 @@ class TopKRewriteSpec extends TestSpark {
     assert(!hasHeapExec(viaDouble), "must not fire for a double partition key")
   }
 
+  test("randomized parity: heap equals window for random data, orderings, and k") {
+    // Seeded trials (PropertyParitySpec's idiom): random groups, scores
+    // with nulls/NaN/heavy ties, unique tiebreaks, random k, and all four
+    // direction × null-placement combos — the rewritten plan must keep
+    // exactly the window's row set every time.
+    import rw.implicits._
+    (1L to 8L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(200)
+      val rows: Seq[(Long, java.lang.Double, Long)] = Seq.fill(n)((
+        rnd.nextInt(8).toLong,
+        rnd.nextInt(6) match {
+          case 0 => null: java.lang.Double
+          case 1 => java.lang.Double.valueOf(Double.NaN)
+          case _ => java.lang.Double.valueOf(rnd.nextInt(10).toDouble) // ties
+        },
+        rnd.nextLong()))
+      val df = rows.toDF("g", "s", "t")
+      val k = 1 + rnd.nextInt(5)
+      val sCol = (rnd.nextBoolean(), rnd.nextBoolean()) match {
+        case (true, true) => col("s").asc_nulls_last
+        case (true, false) => col("s").asc
+        case (false, true) => col("s").desc_nulls_first
+        case (false, false) => col("s").desc
+      }
+      val w = Window.partitionBy(col("g")).orderBy(sCol, col("t"))
+      val base = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      val rewritten = base.select(col("g"), col("s"), col("t"))
+      assert(hasHeapExec(rewritten), s"seed=$seed: rule did not fire")
+      val viaWindow = base.select(col("g"), col("s"), col("t"), col("rk"))
+      assert(!hasHeapExec(viaWindow))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), String.valueOf(r.get(1)), r.getLong(2))
+      val a = rewritten.collect().map(key).sorted
+      val b = viaWindow.collect().map(key).sorted
+      assert(a.sameElements(b), s"seed=$seed k=$k order=$sCol")
+    }
+  }
+
   test("GraftExtensions wires the rule at session construction") {
     // getOrCreate would hand back the suite's session and silently skip
     // withExtensions — clear the default/active slots so the builder
