@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates the full query inventory: relational operators (q01-q18,
-  * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot),
+  * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot,
+  * q103 distribution windows, q104 map functions),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality), dedup and clustering (q26-q29, q67-q68, q72,
@@ -18,7 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (q84, q87), and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,
   * event-time-timer sessions, and the foreachBatch exactly-once sink
-  * (q33-q36, q46, q52-q54, q64-q66, q69-q70, q82).
+  * (q33-q36, q46, q52-q54, q64-q66, q69-q70, q82, q105 stream-static
+  * broadcast join).
   * EVERY query has a
   * DuckDB oracle in [[oracleSql]] — the probabilistic paths (MinHash,
   * SimHash, IVF) verify their candidates with exact deterministic math

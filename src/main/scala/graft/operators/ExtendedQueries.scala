@@ -91,6 +91,43 @@ object ExtendedQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Distribution window functions — percent_rank / cume_dist round out
+    // the window family (q07 rank, q08 running frames, q47 analytics,
+    // q48 range frames). Both are exact rational functions of (rank, n):
+    // identical integer inputs → identical doubles on both engines; the
+    // round(6) is belt-and-braces. One exchange on the partition key.
+    "q103_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Map scalar-function family (the one §2.4 scalar family not yet in
+    // the inventory): per-user event-type→count map assembled with
+    // map_from_entries over SORTED entries (deterministic key order), then
+    // map_keys / map_values / size / element_at consume it. The oracle
+    // replays the same values relationally (sorted lists + a CASE lookup)
+    // — map semantics in the engine, engine-neutral values out.
+    "q104_map_funcs" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(col("user_id"),
+          map_keys(col("m")).as("types"),
+          map_values(col("m")).as("counts"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"))
+        .orderBy(col("user_id"))
+    }),
+
     "q37_grouping_sets" -> ((s, d) => {
       lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql(
@@ -230,6 +267,23 @@ object ExtendedQueries {
                   WHERE c.c_nationkey = n.n_nationkey
                   ORDER BY c_acctbal DESC, c_name LIMIT 2) t
          ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
+    "q103_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q104_map_funcs" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+           list(event_type ORDER BY event_type) AS types,
+           list(n ORDER BY event_type) AS counts,
+           count(*) AS n_types,
+           coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks
+         FROM c GROUP BY user_id ORDER BY user_id""",
     "q37_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty

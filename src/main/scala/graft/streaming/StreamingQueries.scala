@@ -169,6 +169,28 @@ object StreamingQueries {
     // without limit on an unbounded stream. Inner-join matches are
     // emitted as both sides arrive, so bounded replay equals the batch
     // join (the oracle).
+    // STREAM-STATIC join — the most common production enrichment shape
+    // (a stream joined against a slowly-changing dimension): the event
+    // stream enriched with the customer table (user u ↦ customer u+1 —
+    // the fixtures' key ranges line up shifted by one), BROADCAST into
+    // every micro-batch, so the join is stateless (no watermark, no join
+    // state — only the downstream per-segment aggregation keeps state).
+    // At 100 TB the dimension is the small side by construction; a
+    // non-broadcastable dimension becomes a stream-stream join (q54).
+    "q105_stream_static_join" -> ((s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select((col("c_custkey") - 1).as("user_id"),
+          col("c_mktsegment").as("segment"))
+      runStream(s, d, "events", "sink_static_join") { src =>
+        src.join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"))
+      }
+        .select(col("segment"), col("n_events"), col("sum_value"))
+        .orderBy(col("segment"))
+    }),
+
     "q54_stream_stream_join" -> ((s, d) => {
       val path = s"$d/events.parq*"
       graft.Tables.nanosTs(s)
@@ -332,6 +354,11 @@ object StreamingQueries {
          ORDER BY user_id, sess_start""",
     // Inner stream-stream join emits every match once both sides arrive,
     // so bounded replay equals the batch interval join.
+    "q105_stream_static_join" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+         round(sum(e.value), 6) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey - 1
+         GROUP BY c.c_mktsegment ORDER BY segment""",
     "q54_stream_stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
          p.event_id AS purchase_id,
