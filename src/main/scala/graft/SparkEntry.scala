@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q103 distribution windows, q104 map functions),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
-  * q95, q101 LM quality), dedup and clustering (q26-q29, q67-q68, q72,
+  * q95, q101 LM quality, q106 heavy hitters), dedup and clustering (q26-q29, q67-q68, q72,
   * q74, q76-q77, q88, q99 stop-shingle LSH),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN),

