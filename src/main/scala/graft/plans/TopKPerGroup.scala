@@ -21,7 +21,15 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * difference between sort-spilling every group and a single pass.
   * `requiredChildDistribution` declares clustering on the group keys, so
   * EnsureRequirements inserts exactly one hash exchange — the same shuffle
-  * the window would need, minus the sort.
+  * the window would need, minus the sort — and the planner stacks a
+  * PARTIAL pre-cut under that exchange (see [[TopKPerGroupStrategy]]), so
+  * the shuffle carries at most k rows per (group, upstream partition).
+  *
+  * Memory contract: each task holds O(k × distinct groups in its input)
+  * rows on the JVM heap (no spill path — unlike the sort a window uses).
+  * That is exactly the regime where the heap wins; when k is huge a sort
+  * is the right plan anyway, so [[TopKWindowRewrite]] declines k > 10000
+  * rather than trade the window's spillability for heap pressure.
   *
   * Generality: grouping is any Seq of expressions and the ranking is any
   * Seq of `SortOrder` (direction + null ordering respected exactly).
@@ -46,7 +54,15 @@ case class TopKPerGroupNode(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      // two-level plan, like partial → final aggregation: top-k per group
+      // is ALGEBRAIC (a row outside its map-partition's per-group top-k
+      // can never be in the global top-k), so a PARTIAL pre-cut runs
+      // before the exchange and the shuffle carries ≤ k rows per (group ×
+      // input partition) instead of every row — the map-side-combine win
+      // a window top-k can never have, and at 100 TB usually the
+      // difference between shuffling gigabytes and shuffling the answer.
+      TopKPerGroupExec(g, o, k,
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -55,12 +71,17 @@ case class TopKPerGroupExec(
     groups: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  // the partial pre-cut runs on whatever partitioning the child has (its
+  // whole point is to run BEFORE the exchange); only the final cut needs
+  // group clustering
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groups) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groups) :: Nil
 
   // row-preserving per-partition operator: the child's (post-exchange)
   // partitioning survives, so a downstream group-keyed operator (e.g. the

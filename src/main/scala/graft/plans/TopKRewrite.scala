@@ -73,7 +73,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
           orderSpec.forall(_.child.deterministic) &&
           projList.forall(!_.references.contains(al.toAttribute)) =>
       limitOf(cond, al.toAttribute) match {
-        case Some(k) if k >= 1 =>
+        // k cap: the heap holds O(k × groups) rows with no spill path —
+        // past ~10k the window's spillable sort is the safer plan, so
+        // decline instead of trading spillability for heap pressure
+        case Some(k) if k >= 1 && k <= 10000 =>
           // Spark's InferWindowGroupLimit may already have inserted a
           // per-group pre-limit below the window; the heap subsumes it.
           val child = winChild match {

@@ -39,6 +39,23 @@ class CustomPlanSpec extends TestSpark {
     assert(!plan.contains("Sort ["), plan.take(2000))
   }
 
+  test("partial pre-cut runs below the exchange (map-side combine for top-k)") {
+    // top-k is algebraic: the planner stacks a partial TopKPerGroupExec
+    // under the exchange so the shuffle carries ≤ k rows per (group ×
+    // input partition) — assert partial → Exchange → final layering.
+    val df = TopKPerGroup(Tables.orders(spark, sf0001),
+      "o_custkey", "o_totalprice", "o_orderkey", 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val n = "TopKPerGroup ".r.findAllIn(plan).length
+    assert(n == 2, s"expected partial + final TopKPerGroup nodes, got $n:\n${plan.take(2000)}")
+    val iFinal = plan.indexOf("TopKPerGroup ")
+    val iExch = plan.indexOf("Exchange hashpartitioning")
+    val iPartial = plan.indexOf("TopKPerGroup ", iFinal + 1)
+    assert(iFinal < iExch && iExch < iPartial,
+      s"pre-cut not below the exchange (final@$iFinal exch@$iExch partial@$iPartial):\n${plan.take(2000)}")
+  }
+
   test("works for k larger than every group (returns all rows)") {
     val all = TopKPerGroup(Tables.orders(spark, sf0001),
       "o_custkey", "o_totalprice", "o_orderkey", 1000000)

@@ -202,6 +202,11 @@ class TopKRewriteSpec extends TestSpark {
       .withColumn("rk", row_number().over(wd)).filter(col("rk") <= 1)
       .select(col("o_orderkey"))
     assert(!hasHeapExec(viaDouble), "must not fire for a double partition key")
+    // huge k: the heap has no spill path — keep the window's sort
+    val big = Tables.orders(rw, sf0001)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 50000)
+      .select(col("o_custkey"), col("o_orderkey"))
+    assert(!hasHeapExec(big), "must not fire for k beyond the heap-memory cap")
   }
 
   test("randomized parity: heap equals window for random data, orderings, and k") {
