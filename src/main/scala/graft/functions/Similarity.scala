@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *    the search join is keyed on the bucket.
   *
   * All dot products cast elements to double BEFORE multiplying and fold
-  * left-to-right (functions.aggregate), so results are bit-deterministic
-  * and reproducible against the DuckDB oracle.
+  * left-to-right (the codegen'd [[VecDot]] expression), so results are
+  * bit-deterministic and reproducible against the DuckDB oracle.
   */
 object Similarity {
 
@@ -58,8 +58,9 @@ object Similarity {
 
   /** Planes used at corpus size n: the smallest p with 8·2^p ≥ n, clamped
     * to [4, 24] — bucket count 2^p tracks n/8, so expected bucket
-    * occupancy (≈8) and with it candidate volume PER PROBE stay constant
-    * as the corpus grows; total LSH search work is O(probes), not O(n).
+    * occupancy (≈8) stays constant as the corpus grows; with the
+    * Hamming-1 multi-probe, per-probe candidate volume is ~8·(p+1), so
+    * total LSH search work is O(probes · log n), independent of n.
     * Deliberately integer-only arithmetic: a float ceil(log2(n/8)) can
     * land on either side of an exact power in different engines, and the
     * oracle replays this rule as a count over range(1,25). */
