@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object StorageOps {
 
+  /** Morton (Z-order) code of two bucketed keys: interleaves `bits` bits
+    * of `a` (even positions) and `b` (odd positions) into one long. The
+    * multi-dimensional clustering key: `repartitionByRange + sort` on the
+    * code gives every output file a small RECTANGLE of (a, b) space, so
+    * parquet min/max stats skip files for predicates on EITHER column —
+    * a 1-D sort can only serve its own leading column (the second
+    * dimension's per-file span stays the full range). Pure integer bit
+    * expression (codegen'd, deterministic); inputs must already be
+    * bucketed into [0, 2^bits). ScaleTechniquesSpec measures the win
+    * directly against a 1-D layout. */
+  def mortonCode(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(1L) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(1L) * lit(1L << (2 * i + 1)))
+    }.reduce[org.apache.spark.sql.Column](_ + _)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Partitioned write → pruned read: events land partitioned by
     // event_type (the canonical low-cardinality layout key), then the

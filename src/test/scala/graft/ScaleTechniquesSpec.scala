@@ -210,6 +210,55 @@ class ScaleTechniquesSpec extends TestSpark {
     assert(viaSketch.sameElements(plain))
   }
 
+  test("Z-order layout: every file covers a small rectangle of BOTH key dimensions") {
+    // The multi-dimensional generalization of the range-clustered layout
+    // test: cluster orders by the Morton code of (custkey, orderdate)
+    // buckets, then compare per-file key spans against a 1-D date-sorted
+    // layout. The 1-D layout serves date predicates but each of its files
+    // spans ~the full custkey range; the Z-order layout must cut the
+    // average custkey span per file by ≥2× while keeping date spans
+    // far below the full range — file-skipping on EITHER predicate.
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min, unix_date}
+    val o = Tables.orders(spark, sf0001)
+      .withColumn("ck", col("o_custkey"))
+      .withColumn("day", unix_date(col("o_orderdate").cast("date")))
+    val bounds = o.agg(min("ck"), max("ck"), min("day"), max("day")).collect()(0)
+    val (ckLo, ckHi) = (bounds.getLong(0), bounds.getLong(1))
+    val (dayLo, dayHi) = (bounds.getInt(2).toLong, bounds.getInt(3).toLong)
+    // bucket both keys into [0, 2^8)
+    val bits = 8
+    def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lo) * ((1L << bits) - 1) / (hi - lo)).cast("long")
+    val coded = o.withColumn("z",
+      graft.operators.StorageOps.mortonCode(
+        bucket(col("ck"), ckLo, ckHi), bucket(col("day"), dayLo, dayHi), bits))
+    def spans(df: org.apache.spark.sql.DataFrame, sortCols: Seq[org.apache.spark.sql.Column])
+        : (Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      // 16 files = 4 bits of z-prefix per file → ~4×4-bucket rectangles
+      df.repartitionByRange(16, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite").parquet(dir)
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("ck") - min("ck")).as("ckSpan"),
+          (max("day") - min("day")).as("daySpan"))
+        .collect()
+      (perFile.map(_.getAs[Long]("ckSpan").toDouble).sum / perFile.length,
+        perFile.map(r => r.getAs[Number]("daySpan").doubleValue).sum / perFile.length)
+    }
+    val (zCk, zDay) = spans(coded, Seq(col("z")))
+    val (dCk, dDay) = spans(coded, Seq(col("day"), col("ck")))
+    info(f"avg per-file spans — z-order: ck=$zCk%.0f day=$zDay%.0f; " +
+      f"date-sorted: ck=$dCk%.0f day=$dDay%.0f (full: ck=${ckHi - ckLo} day=${dayHi - dayLo})")
+    // date-sorted files each span ~all custkeys; z-order must cut that ≥2×
+    assert(zCk * 2 <= dCk,
+      f"z-order did not narrow custkey spans: $zCk%.0f vs 1-D $dCk%.0f")
+    // and still keep the date dimension skippable (well below full range)
+    assert(zDay <= (dayHi - dayLo) * 0.6,
+      f"z-order date span $zDay%.0f ~ full range ${dayHi - dayLo}")
+  }
+
   test("observe() collects pipeline metrics without a second job") {
     // Observation metrics ride the main action — the production way to
     // count rows/nulls mid-pipeline without re-running the plan.
