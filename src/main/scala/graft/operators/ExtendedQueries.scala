@@ -207,6 +207,35 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Batch sessionization (gaps-and-islands): per-user sessions split at
+    // 30-minute inactivity gaps — the batch twin of q35's streaming
+    // session windows, with session_window's exact boundary rule (a gap
+    // of EXACTLY 30 minutes starts a new session: windows are
+    // end-exclusive), so the two engine paths are interchangeable —
+    // ExtendedSpec asserts q107 ≡ q35 session-for-session. lag flags
+    // session starts, a running sum numbers the islands, and the
+    // per-session rollup groups on (user, session).
+    // ONE exchange total: both windows and the final aggregation cluster
+    // on user_id, so Catalyst reuses the same hash partitioning for all
+    // three (the aggregation's (user_id, sess_id) clustering is satisfied
+    // by the user_id partitioning).
+    "q107_batch_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
     // Banded range join: same-user event pairs within 30 minutes. The
     // scalable plan: band each event into 30-min buckets, equi-join on
     // (user, bucket) and (user, bucket+1), then filter the exact range —
@@ -327,6 +356,27 @@ object ExtendedQueries {
            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
            AS n_orders_30d
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q107_batch_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sess_id
+           FROM f)
+         SELECT user_id, sess_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end
+         FROM g GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "q40_range_join" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
          epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

@@ -391,4 +391,25 @@ class StreamingSpec extends TestSpark {
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perUser == batch, "session event counts must partition per-user events")
   }
+  test("q107 batch gaps-and-islands sessions equal q35 streaming session windows") {
+    // Two independent engine paths for the same semantics (the q72≡q88
+    // pattern): the batch islands formulation must reproduce streaming
+    // session_window's sessions one-for-one — same boundary rule (a gap
+    // of exactly the 30-minute timeout starts a new session).
+    val batch = graft.operators.ExtendedQueries
+      .queries("q107_batch_sessionize")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("sess_start").substring(0, 19), // micros → seconds
+        r.getAs[Long]("n_events")))
+      .sorted
+    val streamed = graft.streaming.StreamingQueries
+      .queries("q35_stream_session")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("sess_start"),
+        r.getAs[Long]("n_events")))
+      .sorted
+    assert(batch.nonEmpty && batch.sameElements(streamed),
+      s"batch sessions (${batch.length}) != streaming sessions (${streamed.length})")
+  }
 }
