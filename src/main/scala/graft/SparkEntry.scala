@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates the full query inventory: relational operators (q01-q18,
-  * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot,
+  * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot, q108 moments,
   * q103 distribution windows, q104 map functions, q107 sessionization),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,

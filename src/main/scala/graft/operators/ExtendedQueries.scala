@@ -52,6 +52,24 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Higher central moments — skewness and excess kurtosis complete the
+    // moments family (q96 covers mean/stddev/corr/covar). One partial-
+    // aggregated pass like every Spark moment aggregate. Spark's
+    // definitions are the POPULATION forms (skew = √n·m3/m2^1.5, kurt =
+    // n·m4/m2² − 3 over central-moment sums); DuckDB's built-ins are the
+    // bias-corrected SAMPLE forms, so the oracle replays the population
+    // formulas from explicit two-pass moments — verified digit-exact at
+    // round(6) (the moment RATIOS are O(1), ~9 orders above the engines'
+    // one-pass-vs-two-pass summation ulps).
+    "q108_skew_kurtosis" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(skewness(col("l_extendedprice")), 6).as("price_skew"),
+          round(kurtosis(col("l_extendedprice")), 6).as("price_kurt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Equi-width histogram: bucket bounds from one scalar min/max
     // aggregate (a 1-row broadcast), bucket assignment map-side, counts
     // partial-aggregated — the profiling primitive for any numeric
@@ -268,6 +286,22 @@ object ExtendedQueries {
          round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
          round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q108_skew_kurtosis" ->
+      """WITH mu AS (
+           SELECT l_returnflag, avg(l_extendedprice) AS m, count(*) AS n
+           FROM lineitem GROUP BY 1),
+         mom AS (
+           SELECT l.l_returnflag,
+             sum(pow(l.l_extendedprice - mu.m, 2)) AS m2,
+             sum(pow(l.l_extendedprice - mu.m, 3)) AS m3,
+             sum(pow(l.l_extendedprice - mu.m, 4)) AS m4,
+             any_value(mu.n) AS n
+           FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+           GROUP BY 1)
+         SELECT l_returnflag, n,
+           round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS price_skew,
+           round(n * m4 / (m2 * m2) - 3, 6) AS price_kurt
+         FROM mom ORDER BY l_returnflag""",
     "q97_histogram" ->
       """WITH bounds AS (
            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
