@@ -11,12 +11,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   // One representative per family: scan-agg, star join, window, top-k,
   // wordcount (shuffle-heavy text), MR-façade path, MinHash LSH dedup,
-  // exact jaccard, cosine top-k, streaming tumbling.
+  // exact jaccard, cosine top-k, streaming tumbling. The original 11 are
+  // kept verbatim for cross-round comparability; rounds 5-6 added four
+  // more families, each now perf-tracked by its representative: cleaning
+  // pipeline (q79), quota sampling through the heap operator (q95),
+  // hyperplane-LSH ANN (q102), batch sessionization (q107).
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
     "q26_dedup_exact", "q27_dedup_minhash", "q30_cosine_topk",
-    "q33_stream_tumbling")
+    "q33_stream_tumbling",
+    "q79_clean_pipeline", "q95_quota_sample", "q102_ann_lsh",
+    "q107_batch_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Top-level columns the driver's canonicalizer cannot sort: its pandas
+    * `sort_values` factorizes raw cell values, and ndarray/dict cells are
+    * unhashable (round-6 q104 shipped unverified exactly this way — the
+    * builder-side check stringifies first and stayed green while the
+    * driver's crashed). Every inventory query must emit scalar-only
+    * schemas; arrays/maps/structs get concat_ws/to_json-serialized in the
+    * query's final projection instead. */
+  def nonSortable(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType]
+        || f.dataType.isInstanceOf[MapType]
+        || f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name substrings to run (dev
@@ -34,8 +51,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // fail the query (loudly, via the sentinel path below) before the
+        // driver's gate can crash on it — a non-scalar output column is a
+        // builder bug, not a driver quirk
+        val bad = nonSortable(df.schema)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"driver-unsortable output schema — serialize (concat_ws/to_json) " +
+            s"these columns: ${bad.mkString("; ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         failures(name) = msg

@@ -108,37 +108,36 @@ object TextQueries {
 
     // EXACT heavy hitters via sketch-then-verify — the scale recipe when
     // the vocabulary itself is too big to aggregate comfortably: pass 1
-    // runs a per-partition Misra-Gries summary ([[mgCandidates]], bounded
+    // runs a per-partition Misra-Gries summary ([[mgSummary]], bounded
     // state cap=1024) whose union PROVABLY contains every token with
-    // partition frequency > N_p/(cap+1) — a superset of the global top-k
-    // whenever the k-th count clears that bound (on this fixture by 33×;
-    // the guarantee is checked, not hoped: the final exact recount makes
-    // the answer independent of WHICH superset pass 1 produced, so
-    // partitioning never changes the result). Pass 2 exact-counts the
-    // candidates only (broadcast semi-join — the full-vocabulary shuffle
-    // never happens). Deterministic tiebreak on the token.
+    // global frequency > N/(cap+1); pass 2 exact-counts the candidates
+    // only (broadcast semi-join — the full-vocabulary shuffle never
+    // happens). The superset guarantee is now RUNTIME-GUARDED, not just
+    // spec-pinned: [[exactHeavyHitters]] raises unless the k-th recounted
+    // candidate provably dominates every token the sketch could have
+    // dropped (on this fixture the bound is cleared ~33×).
     "q106_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       val toks = documents(s, d).select(explode(tokens).as("tok")).as[String]
-      toks.toDF("tok")
-        .join(broadcast(mgCandidates(toks, cap = 1024)), Seq("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tok"))
-        .limit(20)
+      exactHeavyHitters(toks, k = 20, cap = 1024)
     }),
 
     // Unigram-LM quality score — the perplexity-shaped cleaning signal
     // (C4/Gopher filter corpora on LM likelihood; a corpus-unigram model
     // is its cheapest deterministic stand-in): every doc scored by the
     // mean natural-log probability of its token occurrences under the
-    // corpus unigram distribution. Two pruned scans of (doc_id, text) —
-    // one builds the vocabulary (map-side partial count, so its shuffle
-    // is vocabulary-sized), one carries (doc_id, tok) into the token-
-    // keyed score join — never doc-pairwise, and the 1-row total
-    // broadcasts. Mean magnitude ~1e1, so round(6) sits ~9 orders above
-    // cross-engine summation ulps.
+    // corpus unigram distribution. The exploded (doc_id, tok) relation is
+    // PERSISTED (MEMORY_AND_DISK — spills, never OOMs; CacheManager
+    // dedupes by canonicalized plan, same contract as
+    // [[Dedup.sharedShingles]]), so vocabulary build and score join read
+    // ONE parquet scan of documents instead of re-tokenizing per
+    // consumer. The vocabulary shuffle is vocabulary-sized, the join is
+    // token-keyed (never doc-pairwise), and the 1-row total broadcasts.
+    // Mean magnitude ~1e1, so round(6) sits ~9 orders above cross-engine
+    // summation ulps.
     "q101_lm_quality" -> ((s, d) => {
       val toks = documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).cast("double").as("t_total"))
       toks.join(vocab, "tok")
@@ -147,6 +146,29 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(log(col("cnt") / col("t_total"))), 6).as("mean_log_prob"))
         .orderBy(col("doc_id"))
+    }),
+
+    // KMV (k-minimum-values) distinct-count sketch — the DETERMINISTIC
+    // sketch counterpart of HLL (approx_count_distinct is
+    // implementation-defined and can't be oracle-replayed; KMV with a
+    // fixed hash can, value-exactly). Estimates the distinct (doc, token)
+    // pair count — the doc-term matrix's nnz, a corpus-profiling number —
+    // from only the K=256 smallest md5 hashes: one bounded typed pass
+    // keeps the K smallest DISTINCT hashes per partition (TreeSet, O(K)
+    // memory — the same bounded-state shape as [[mgSummary]]), the union
+    // (≤ K × partitions rows) sorts once, and the estimator (K-1)/u_K
+    // reads the K-th minimum's leading 60 bits as a uniform [0,1) draw.
+    // At 100 TB nothing data-sized ever shuffles — the full distinct
+    // aggregation this replaces is exactly the shuffle being avoided.
+    // The oracle replays hash, order and estimator arithmetic bit-exactly
+    // (hex→int via the same fold, division in the same order).
+    "q110_kmv_distinct" -> ((s, d) => {
+      import s.implicits._
+      val hashes = documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .select(md5(concat(col("doc_id").cast("string"), lit(":"), col("tok")))
+          .as("h")).as[String]
+      kmvEstimate(hashes, k = 256)
     }),
 
     // Repetition-based quality filters (the Gopher/MassiveText recipe):
@@ -192,35 +214,130 @@ object TextQueries {
     })
   )
 
-  /** Misra-Gries candidate pass (q106 pass 1): one bounded summary of at
+  /** Misra-Gries summary pass (q106 pass 1): one bounded scan keeping at
     * most `cap` (token, count) slots per partition — on a full summary, an
     * unseen token decrements every slot instead of entering (zeroed slots
     * free). Classic guarantee: any token occurring more than
     * N_p/(cap + 1) times in its partition survives, so the UNION across
-    * partitions is a superset of every global heavy hitter above that
-    * rate. O(cap) memory per task, one streaming pass, output ≤ cap ×
-    * partitions rows — the shuffle-free candidate generator for exact
-    * top-k over unbounded vocabularies. */
-  def mgCandidates(toks: org.apache.spark.sql.Dataset[String], cap: Int)
-      : DataFrame = {
+    * partitions is a superset of every global heavy hitter above N/(cap+1)
+    * (pigeonhole over the partition totals). O(cap) memory per task, one
+    * streaming pass, output ≤ (cap + 1) × partitions rows.
+    *
+    * Besides the surviving tokens (null n_part), each partition emits ONE
+    * sentinel row (null tok) carrying its token total and whether its
+    * summary ever decremented — the inputs [[exactHeavyHitters]]'s
+    * runtime guarantee check needs, riding the same scan instead of
+    * costing a second pass: sum(n_part) = N, and if NO partition was
+    * lossy the candidate set is the complete vocabulary with no bound to
+    * check at all. */
+  private[graft] def mgSummary(toks: org.apache.spark.sql.Dataset[String],
+      cap: Int): DataFrame = {
     import toks.sparkSession.implicits._
     toks.mapPartitions { it =>
       val mg = scala.collection.mutable.HashMap.empty[String, Long]
+      var nPart = 0L
+      var lossy = false
       it.foreach { t =>
+        nPart += 1
         mg.get(t) match {
           case Some(v) => mg(t) = v + 1
           case None if mg.size < cap => mg(t) = 1L
           case None =>
             // decrement-all (collect keys first: mutating while iterating
             // a mutable.HashMap is undefined)
+            lossy = true
             mg.keysIterator.toArray.foreach { k =>
               val nv = mg(k) - 1
               if (nv == 0L) mg.remove(k) else mg(k) = nv
             }
         }
       }
-      mg.keysIterator
-    }.toDF("tok").distinct()
+      mg.keysIterator.map(k => (Option(k), 0L, false)) ++
+        Iterator((Option.empty[String], nPart, lossy))
+    }.toDF("tok", "n_part", "lossy")
+  }
+
+  /** Candidate tokens only — the union of every partition's surviving
+    * Misra-Gries slots (see [[mgSummary]] for the superset guarantee). */
+  def mgCandidates(toks: org.apache.spark.sql.Dataset[String], cap: Int)
+      : DataFrame =
+    mgSummary(toks, cap).filter(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+
+  /** EXACT top-k heavy hitters with the Misra-Gries guarantee enforced at
+    * runtime: sketch candidates (pass 1), exact-recount them (pass 2),
+    * then PROVE the answer — if any partition's summary was lossy, the
+    * k-th recounted candidate must exceed N/(cap+1), the ceiling on any
+    * token the sketch could have dropped; otherwise a pathological flat
+    * distribution (k-th count under the bound) would silently return a
+    * wrong top-k, so the query raises instead, naming the exact
+    * aggregation as the fallback. The summary is persisted (≤ (cap+1) ×
+    * partitions rows) so candidates + guard metadata cost ONE corpus
+    * scan; the guard itself is a 1-row broadcast and a ≤k-row window —
+    * nothing data-sized moves for it. */
+  def exactHeavyHitters(toks: org.apache.spark.sql.Dataset[String], k: Int,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val summary = mgSummary(toks, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = summary.filter(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+    val meta = summary.filter(col("tok").isNull)
+      .agg(sum(col("n_part")).as("n_total"),
+        max(col("lossy")).as("any_lossy"))
+    val top = toks.toDF("tok")
+      .join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+    top.crossJoin(broadcast(meta))
+      // k-th (= worst kept) count via a global window over the ≤k
+      // surviving rows — one tiny task, no recomputation of `top`
+      .withColumn("kth_n", min(col("n")).over(Window.partitionBy(lit(1))))
+      .select(col("tok"),
+        when(col("any_lossy") && col("kth_n") * (cap + 1) <= col("n_total"),
+          raise_error(format_string(
+            s"heavy-hitter guarantee violated: kth count %s <= N/(cap+1) = %s/${cap + 1}" +
+              " — a dropped token could outrank the sketch candidates; " +
+              "use the exact groupBy aggregation for this distribution",
+            col("kth_n"), col("n_total"))).cast("long"))
+          .otherwise(col("n")).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  /** KMV estimator over a pre-hashed key column (lowercase hex md5
+    * strings): bounded per-partition pass keeping the k smallest DISTINCT
+    * hashes (O(k) TreeSet memory per task, like [[mgSummary]]'s cap), a
+    * tiny global merge (≤ k × partitions rows), then the standard
+    * (k-1)/u_k estimate where u_k = the k-th minimum hash's leading 15
+    * hex digits as a fraction of 16^15. Hex ordering IS numeric ordering
+    * here (fixed-width lowercase hex), so string TreeSets suffice and the
+    * DuckDB oracle's ORDER BY h replays the selection exactly; 16^15 is a
+    * power of two, so the one int→double conversion rounds identically
+    * in both engines. Degenerate case: fewer than k distinct hashes means
+    * the sketch HOLDS the whole distinct set — the estimate is the exact
+    * count. */
+  def kmvEstimate(hashes: org.apache.spark.sql.Dataset[String], k: Int)
+      : DataFrame = {
+    import hashes.sparkSession.implicits._
+    val kmin = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[String]()
+      it.foreach { h =>
+        if (!set.contains(h)) {
+          if (set.size < k) set.add(h)
+          else if (h.compareTo(set.last()) < 0) { set.add(h); set.pollLast() }
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator()).asScala
+    }.toDF("h").distinct()
+      .orderBy(col("h")).limit(k)
+    kmin.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")
+              .cast("double") / lit(1.152921504606846976e18)), 4))
+          .as("est_distinct"))
   }
 
   /** Half-up 6-dp rounding — what Catalyst's Round does for doubles and
@@ -300,6 +417,26 @@ object TextQueries {
            round(avg(ln(cnt / t_total)), 6) AS mean_log_prob
          FROM tk JOIN vocab USING (tok) CROSS JOIN tot
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+    // KMV replay: same md5 keys, same distinct + ORDER BY h LIMIT k
+    // selection (fixed-width lowercase hex sorts numerically), same
+    // estimator arithmetic — hex→int via an explicit base-16 fold, then
+    // the two double divisions in the identical order.
+    "q110_kmv_distinct" ->
+      """WITH keys AS (
+           SELECT DISTINCT md5(doc_id::VARCHAR || ':' || tok) AS h FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) t WHERE tok <> ''),
+         kmin AS (SELECT h FROM keys ORDER BY h LIMIT 256),
+         agg AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM kmin)
+         SELECT k_used, kth_hash,
+           CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+           ELSE round(255.0 / (list_reduce(list_prepend(0::BIGINT,
+             [strpos('0123456789abcdef', c)::BIGINT - 1
+              for c in string_split(substr(kth_hash, 1, 15), '')]),
+             (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
+           END AS est_distinct
+         FROM agg""",
     // n-grams come from list_transform over range(...) + unnest (DuckDB
     // can't lateral-join range() on a column); bigram/trigram stats LEFT
     // JOIN back so short docs keep 0-valued ratios, matching the Scala

@@ -70,6 +70,27 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact interpolated percentiles (quartiles + deciles of the price
+    // distribution per return flag) — the profiling complement to q97's
+    // histogram and q96/q108's moments. Spark's `percentile` is the exact
+    // sort-based aggregate (rank = p·(n-1), linear interpolation between
+    // neighbors — the same definition DuckDB's quantile_cont implements),
+    // partial-aggregated per group so the shuffle carries per-group
+    // digests, not rows. round(4) absorbs the engines' interpolation-
+    // association ulps (values ~1e4, relative ulp ~1e-16).
+    "q111_percentiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("l_extendedprice"), lit(0.1)), 4).as("p10"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("qty_median"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Equi-width histogram: bucket bounds from one scalar min/max
     // aggregate (a 1-row broadcast), bucket assignment map-side, counts
     // partial-aggregated — the profiling primitive for any numeric
@@ -127,9 +148,11 @@ object ExtendedQueries {
     // Map scalar-function family (the one §2.4 scalar family not yet in
     // the inventory): per-user event-type→count map assembled with
     // map_from_entries over SORTED entries (deterministic key order), then
-    // map_keys / map_values / size / element_at consume it. The oracle
-    // replays the same values relationally (sorted lists + a CASE lookup)
-    // — map semantics in the engine, engine-neutral values out.
+    // map_keys / map_values / size / element_at consume it. The final
+    // projection serializes the key/value arrays with concat_ws — map
+    // semantics stay exercised in-engine, but the emitted schema is
+    // all-scalar so ANY downstream canonicalizer (the driver's pandas
+    // sort included, which cannot factorize ndarray cells) can sort it.
     "q104_map_funcs" -> ((s, d) => {
       val counts = events(s, d)
         .groupBy(col("user_id"), col("event_type"))
@@ -139,10 +162,45 @@ object ExtendedQueries {
           sort_array(collect_list(struct(col("event_type"), col("n")))))
           .as("m"))
         .select(col("user_id"),
-          map_keys(col("m")).as("types"),
-          map_values(col("m")).as("counts"),
+          concat_ws(",", map_keys(col("m"))).as("types"),
+          concat_ws(",", map_values(col("m")).cast("array<string>"))
+            .as("counts"),
           size(col("m")).as("n_types"),
           coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Map TRANSFORMATION family — map_filter / transform_values /
+    // map_zip_with complete §2.4's map functions beyond the
+    // construction/consumption q104 covers. Both maps are built over
+    // SORTED entries with identical key sets, so map_zip_with's
+    // first-map-order key walk is deterministic and never sees a null
+    // side. All map work happens in-engine; the projection serializes to
+    // scalar strings (same driver-sortability contract as q104), and the
+    // oracle replays each lambda relationally (CASE filter / n*2 /
+    // n+mid) under the same ORDER BY event_type.
+    "q109_map_transform" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("mid"))
+      counts.groupBy(col("user_id"))
+        .agg(
+          map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("m1"),
+          map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("mid")))))
+            .as("m2"))
+        .select(col("user_id"),
+          concat_ws(",",
+            map_keys(map_filter(col("m1"), (_, v) => v >= 2)))
+            .as("frequent_types"),
+          concat_ws(",",
+            map_values(transform_values(col("m1"), (_, v) => v * 2))
+              .cast("array<string>")).as("doubled_counts"),
+          concat_ws(",",
+            map_values(map_zip_with(col("m1"), col("m2"), (_, a, b) => a + b))
+              .cast("array<string>")).as("count_plus_minid"))
         .orderBy(col("user_id"))
     }),
 
@@ -302,6 +360,15 @@ object ExtendedQueries {
            round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS price_skew,
            round(n * m4 / (m2 * m2) - 3, 6) AS price_kurt
          FROM mom ORDER BY l_returnflag""",
+    "q111_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+         round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q97_histogram" ->
       """WITH bounds AS (
            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
@@ -342,10 +409,22 @@ object ExtendedQueries {
            SELECT user_id, event_type, count(*) AS n
            FROM events GROUP BY 1, 2)
          SELECT user_id,
-           list(event_type ORDER BY event_type) AS types,
-           list(n ORDER BY event_type) AS counts,
+           string_agg(event_type, ',' ORDER BY event_type) AS types,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY event_type) AS counts,
            count(*) AS n_types,
            coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks
+         FROM c GROUP BY user_id ORDER BY user_id""",
+    "q109_map_transform" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n, min(event_id) AS mid
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+           coalesce(string_agg(CASE WHEN n >= 2 THEN event_type END, ','
+             ORDER BY event_type), '') AS frequent_types,
+           string_agg(CAST(n * 2 AS VARCHAR), ',' ORDER BY event_type)
+             AS doubled_counts,
+           string_agg(CAST(n + mid AS VARCHAR), ',' ORDER BY event_type)
+             AS count_plus_minid
          FROM c GROUP BY user_id ORDER BY user_id""",
     "q37_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -185,6 +185,23 @@ object TopKPerGroup {
       child.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${child.output.map(_.name).mkString(",")}"))
+    // same contracts TopKWindowRewrite checks structurally before
+    // rewriting, enforced here because the explicit API skips the rule:
+    // group keys are compared as raw UnsafeRow bytes, so float/double
+    // (-0.0 vs 0.0, NaN bit patterns) and map layouts would silently
+    // split one logical group — fail fast instead; and the heap holds
+    // O(k × groups) rows with NO spill path, so past k=10000 the
+    // window's spillable sort is the safer plan.
+    require(k >= 1 && k <= 10000,
+      s"k=$k outside the heap's no-spill contract [1, 10000] — use the " +
+        "window top-k formulation for larger k")
+    groups.foreach { g =>
+      val dt = attr(g).dataType
+      require(TopKWindowRewrite.groupable(dt),
+        s"group column $g: ${dt.simpleString} keys are compared as raw " +
+          "UnsafeRow bytes (float/double -0.0/NaN bit patterns and map " +
+          "layouts split logical groups) — cast or normalize the key first")
+    }
     GraftBridge.ofRows(spark,
       TopKPerGroupNode(
         groups.map(attr),

@@ -42,8 +42,10 @@ import org.apache.spark.sql.types._
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
-  /** Partition-key types whose UnsafeRow bytes define value equality. */
-  private def groupable(dt: DataType): Boolean = dt match {
+  /** Partition-key types whose UnsafeRow bytes define value equality —
+    * shared with [[TopKPerGroup.topK]], which enforces the same contract
+    * on its explicit API instead of silently splitting groups. */
+  private[plans] def groupable(dt: DataType): Boolean = dt match {
     case _: MapType | FloatType | DoubleType => false
     case s: StructType => s.fields.forall(f => groupable(f.dataType))
     case a: ArrayType => groupable(a.elementType)

@@ -57,9 +57,30 @@ class CustomPlanSpec extends TestSpark {
   }
 
   test("works for k larger than every group (returns all rows)") {
+    // 10000 is the cap of the heap's no-spill contract — still far above
+    // any per-customer order count at this SF, so every row survives
     val all = TopKPerGroup(Tables.orders(spark, sf0001),
-      "o_custkey", "o_totalprice", "o_orderkey", 1000000)
+      "o_custkey", "o_totalprice", "o_orderkey", 10000)
     assert(all.count() == Tables.orders(spark, sf0001).count())
+  }
+
+  test("topK rejects group keys whose UnsafeRow bytes don't define value equality") {
+    // double keys: -0.0 vs 0.0 and NaN bit patterns would silently split
+    // one logical group — the explicit API must fail fast with the same
+    // groupable() contract the rewrite rule checks (round-6 advisor)
+    val withDouble = Tables.orders(spark, sf0001)
+      .withColumn("dkey", col("o_totalprice").cast("double"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerGroup.topK(withDouble, Seq("dkey"),
+        Seq("o_orderkey" -> true), 3)
+    }
+    assert(ex.getMessage.contains("UnsafeRow bytes"), ex.getMessage)
+    // and k outside the no-spill contract is declined, not attempted
+    val exK = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerGroup.topK(Tables.orders(spark, sf0001),
+        Seq("o_custkey"), Seq("o_orderkey" -> true), 10001)
+    }
+    assert(exK.getMessage.contains("no-spill"), exK.getMessage)
   }
 
   test("string group keys are copied safely out of reused row buffers") {
