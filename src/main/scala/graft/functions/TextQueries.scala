@@ -171,6 +171,38 @@ object TextQueries {
       kmvEstimate(hashes, k = 256)
     }),
 
+    // Per-GROUP KMV: distinct (doc, token) pair count per language — the
+    // doc-term matrix's nnz by corpus slice — estimated from each
+    // language's 256 smallest distinct pair hashes. The grouped variant
+    // of q110, and a third production consumer of the TopKPerGroup heap
+    // (after q95's quota sample and the ANN re-ranks): per-group
+    // k-minimum selection IS top-k-ascending, so the heap's partial
+    // pre-cut bounds the exchange to ≤ k hashes per (lang × input
+    // partition) and no per-language sort ever sees a whole group. The
+    // distinct shuffles (lang, hash) pairs with map-side partial dedup.
+    // Estimator and degenerate small-group case exactly as
+    // [[kmvEstimate]]; the oracle replays the selection as a row_number
+    // window.
+    "q112_kmv_per_lang" -> ((s, d) => {
+      val K = 256
+      val hashed = documents(s, d)
+        .select(col("lang"), col("doc_id"), explode(tokens).as("tok"))
+        .select(col("lang"),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("tok")))
+            .as("h"))
+        .distinct()
+      graft.plans.TopKPerGroup.topK(hashed, Seq("lang"), Seq("h" -> true), K)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+        .select(col("lang"), col("k_used"),
+          when(col("k_used") < K, col("k_used").cast("double"))
+            .otherwise(round(lit((K - 1).toDouble) /
+              (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")
+                .cast("double") / lit(1.152921504606846976e18)), 4))
+            .as("est_pairs"))
+        .orderBy(col("lang"))
+    }),
+
     // Repetition-based quality filters (the Gopher/MassiveText recipe):
     // per-doc unique-token ratio, top-bigram occupancy, duplicate-trigram
     // fraction, and the resulting keep/drop flag. One typed map pass per
@@ -437,6 +469,29 @@ object TextQueries {
              (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
            END AS est_distinct
          FROM agg""",
+    // grouped KMV replay: per-lang row_number selection over the same
+    // distinct pair hashes, same estimator fold
+    "q112_kmv_per_lang" ->
+      """WITH pairs AS (
+           SELECT DISTINCT lang, md5(doc_id::VARCHAR || ':' || tok) AS h FROM (
+             SELECT lang, doc_id,
+               unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) t WHERE tok <> ''),
+         sel AS (
+           SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+           FROM pairs),
+         agg AS (
+           SELECT lang, count(*) AS k_used, max(h) AS kth_hash
+           FROM sel WHERE rk <= 256 GROUP BY lang)
+         SELECT lang, k_used,
+           CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+           ELSE round(255.0 / (list_reduce(list_prepend(0::BIGINT,
+             [strpos('0123456789abcdef', c)::BIGINT - 1
+              for c in string_split(substr(kth_hash, 1, 15), '')]),
+             (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
+           END AS est_pairs
+         FROM agg ORDER BY lang""",
     // n-grams come from list_transform over range(...) + unnest (DuckDB
     // can't lateral-join range() on a column); bigram/trigram stats LEFT
     // JOIN back so short docs keep 0-valued ratios, matching the Scala

@@ -263,6 +263,31 @@ class ScaleTechniquesSpec extends TestSpark {
     assert(relErr < 0.15, s"estimate $est vs exact $exact — off by ${relErr * 100}%")
   }
 
+  test("grouped KMV (q112): every language's estimate lands near its exact pair count") {
+    val est = functions.TextQueries.queries("q112_kmv_per_lang")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("est_pairs")).toMap
+    val exact = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"),
+        explode(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+          .as("tok"))
+      .distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    assert(est.keySet == exact.keySet && est.size == 5)
+    est.foreach { case (lang, e) =>
+      val relErr = math.abs(e - exact(lang)) / exact(lang)
+      info(f"$lang: est $e%.0f vs exact ${exact(lang)} (rel err ${relErr * 100}%.1f%%)")
+      assert(exact(lang) > 256, s"$lang group too small to exercise the estimator")
+      assert(relErr < 0.15, s"$lang estimate $e vs ${exact(lang)}")
+    }
+    // plan: the selection runs through the heap operator, not a window
+    val df = functions.TextQueries.queries("q112_kmv_per_lang")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerGroup "), s"q112 lost its heap cut:\n${plan.take(2000)}")
+  }
+
   test("Z-order layout: every file covers a small rectangle of BOTH key dimensions") {
     // The multi-dimensional generalization of the range-clustered layout
     // test: cluster orders by the Morton code of (custkey, orderdate)
