@@ -70,27 +70,6 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Exact interpolated percentiles (quartiles + deciles of the price
-    // distribution per return flag) — the profiling complement to q97's
-    // histogram and q96/q108's moments. Spark's `percentile` is the exact
-    // sort-based aggregate (rank = p·(n-1), linear interpolation between
-    // neighbors — the same definition DuckDB's quantile_cont implements),
-    // partial-aggregated per group so the shuffle carries per-group
-    // digests, not rows. round(4) absorbs the engines' interpolation-
-    // association ulps (values ~1e4, relative ulp ~1e-16).
-    "q111_percentiles" -> ((s, d) => {
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          round(percentile(col("l_extendedprice"), lit(0.1)), 4).as("p10"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-          round(percentile(col("l_quantity"), lit(0.5)), 4).as("qty_median"))
-        .orderBy(col("l_returnflag"))
-    }),
-
     // Equi-width histogram: bucket bounds from one scalar min/max
     // aggregate (a 1-row broadcast), bucket assignment map-side, counts
     // partial-aggregated — the profiling primitive for any numeric
@@ -360,15 +339,6 @@ object ExtendedQueries {
            round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS price_skew,
            round(n * m4 / (m2 * m2) - 3, 6) AS price_kurt
          FROM mom ORDER BY l_returnflag""",
-    "q111_percentiles" ->
-      """SELECT l_returnflag, count(*) AS n,
-         round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,
-         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-         round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q97_histogram" ->
       """WITH bounds AS (
            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
