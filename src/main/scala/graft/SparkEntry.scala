@@ -6,10 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Aggregates the full query inventory: relational operators (q01-q18,
   * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot, q108 moments,
-  * q103 distribution windows, q104 map functions, q107 sessionization),
+  * q103 distribution windows, q104 map functions + q109 map transforms,
+  * q107 sessionization),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
-  * q95, q101 LM quality, q106 heavy hitters), dedup and clustering (q26-q29, q67-q68, q72,
+  * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
+  * Misra-Gries bound, q110/q112 KMV distinct-count sketches),
+  * dedup and clustering (q26-q29, q67-q68, q72,
   * q74, q76-q77, q88, q99 stop-shingle LSH),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN),

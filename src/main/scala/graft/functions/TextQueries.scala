@@ -175,14 +175,16 @@ object TextQueries {
     // doc-term matrix's nnz by corpus slice — estimated from each
     // language's 256 smallest distinct pair hashes. The grouped variant
     // of q110, and a third production consumer of the TopKPerGroup heap
-    // (after q95's quota sample and the ANN re-ranks): per-group
-    // k-minimum selection IS top-k-ascending, so the heap's partial
-    // pre-cut bounds the exchange to ≤ k hashes per (lang × input
-    // partition) and no per-language sort ever sees a whole group. The
-    // distinct shuffles (lang, hash) pairs with map-side partial dedup.
+    // (after q95's quota sample and the ANN re-ranks). NOTHING
+    // vocabulary-sized ever shuffles: a bounded keyed pass
+    // ([[kmvPartitionMins]]) first cuts each partition to its k smallest
+    // distinct hashes PER LANGUAGE (per-partition k-min-distinct unions
+    // are a superset of the global k-min-distinct, so the final answer is
+    // unchanged), the distinct then dedupes ≤ k × langs × partitions
+    // rows, and the heap's top-k-ascending selection finishes per group.
     // Estimator and degenerate small-group case exactly as
-    // [[kmvEstimate]]; the oracle replays the selection as a row_number
-    // window.
+    // [[kmvEstimate]]; the oracle replays the whole selection as a
+    // row_number window over the distinct pair hashes.
     "q112_kmv_per_lang" -> ((s, d) => {
       val K = 256
       val hashed = documents(s, d)
@@ -190,8 +192,8 @@ object TextQueries {
         .select(col("lang"),
           md5(concat(col("doc_id").cast("string"), lit(":"), col("tok")))
             .as("h"))
-        .distinct()
-      graft.plans.TopKPerGroup.topK(hashed, Seq("lang"), Seq("h" -> true), K)
+      val candidates = kmvPartitionMins(hashed, K).distinct()
+      graft.plans.TopKPerGroup.topK(candidates, Seq("lang"), Seq("h" -> true), K)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
         .select(col("lang"), col("k_used"),
@@ -370,6 +372,32 @@ object TextQueries {
             (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")
               .cast("double") / lit(1.152921504606846976e18)), 4))
           .as("est_distinct"))
+  }
+
+  /** Keyed KMV pre-cut (q112 pass 1): each partition keeps the k smallest
+    * DISTINCT hashes per group value — O(k × groups-in-partition) TreeSet
+    * memory, the same bounded-state contract as the heap operator it
+    * feeds. Per-partition k-min-distinct unions are a superset of the
+    * global per-group k-min-distinct, so downstream selection over the
+    * ≤ k × groups × partitions surviving rows is exact; the vocabulary-
+    * sized (group, hash) relation itself never reaches an exchange. */
+  private[graft] def kmvPartitionMins(df: DataFrame, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.as[(String, String)].mapPartitions { it =>
+      val sets = scala.collection.mutable.HashMap
+        .empty[String, java.util.TreeSet[String]]
+      it.foreach { case (g, h) =>
+        val set = sets.getOrElseUpdate(g, new java.util.TreeSet[String]())
+        if (!set.contains(h)) {
+          if (set.size < k) set.add(h)
+          else if (h.compareTo(set.last()) < 0) { set.add(h); set.pollLast() }
+        }
+      }
+      sets.iterator.flatMap { case (g, s) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+          .map(h => (g, h))
+      }
+    }.toDF("lang", "h")
   }
 
   /** Half-up 6-dp rounding — what Catalyst's Round does for doubles and
