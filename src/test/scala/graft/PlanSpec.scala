@@ -44,6 +44,21 @@ class PlanSpec extends TestSpark {
       "expected partial + final HashAggregate")
   }
 
+  test("q107 sessionization: both windows and the rollup share ONE hash exchange") {
+    // gaps-and-islands at scale: lag, the running sum, and the
+    // (user_id, sess_id) aggregation all cluster on user_id, so Catalyst
+    // must reuse a single hashpartitioning(user_id) exchange — a second
+    // exchange would re-shuffle every event row
+    val df = graft.operators.ExtendedQueries
+      .queries("q107_batch_sessionize")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q107 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
+  }
+
   test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
     // round-1 regression: assignment used groupBy(vec_id, embedding) and
     // shuffled every vector. Now assignment is a map-side argmax over
