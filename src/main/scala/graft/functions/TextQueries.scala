@@ -205,6 +205,66 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Tokenizer-fertility profiling: per-doc token counts under a GPT-2-
+    // style BPE PRE-tokenizer regex (contractions, optionally-space-
+    // prefixed letter/digit/punctuation runs, residual whitespace) next
+    // to the plain whitespace count, plus their ratio — the
+    // tokens-per-word fertility metric used to QA a tokenizer against a
+    // corpus slice. Entirely map-side (regexp_extract_all + size stay in
+    // codegen; the shuffle is only the final orderBy). The pattern avoids
+    // lookahead so Java regex (Spark) and RE2 (DuckDB) match identically;
+    // alternation is leftmost-first in both.
+    "q113_bpe_token_count" -> ((s, d) => {
+      val bpe = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|" +
+        " ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .as("n_ws"))
+        .select(col("doc_id"), col("n_bpe"), col("n_ws"),
+          round(col("n_bpe").cast("double") / col("n_ws"), 4).as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rolling-hash document fingerprinting (the Rabin-Karp primitive
+    // under content-defined chunking): a degree-7 polynomial hash (base
+    // 31, mod 1e9+7) slides over each doc's code points; positions where
+    // h % 64 == 0 are content-defined boundaries (expected chunk ~64
+    // chars), so INSERTIONS only shift boundaries locally — the property
+    // fixed-width chunking (q91) lacks. One typed map pass per doc
+    // (per-record while-loop, the q75 rationale: Catalyst HOFs are
+    // interpreted), map-only at any corpus size; integer arithmetic end
+    // to end, so the oracle replays every window hash exactly via an
+    // explicit 8-term polynomial over the same code points.
+    "q114_rolling_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val a = text.codePoints.toArray
+          val n = a.length
+          val P = 1000000007L
+          val pow = Array(27512614111L, 887503681L, 28629151L, 923521L,
+            29791L, 961L, 31L, 1L)
+          var nWin = 0L
+          var nB = 0L
+          var firstB = -1L
+          var i = 0
+          while (i + 7 < n) {
+            var h = 0L
+            var j = 0
+            while (j < 8) { h += a(i + j) * pow(j); j += 1 }
+            h %= P
+            nWin += 1
+            if (h % 64 == 0) { nB += 1; if (firstB < 0) firstB = i + 1 }
+            i += 1
+          }
+          (id, nWin, nB, firstB)
+        }
+        .toDF("doc_id", "n_windows", "n_boundaries", "first_boundary")
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition-based quality filters (the Gopher/MassiveText recipe):
     // per-doc unique-token ratio, top-bigram occupancy, duplicate-trigram
     // fraction, and the resulting keep/drop flag. One typed map pass per
@@ -497,6 +557,39 @@ object TextQueries {
              (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
            END AS est_distinct
          FROM agg""",
+    "q113_bpe_token_count" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+           AS n_bpe,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_ws,
+         round(CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+           AS DOUBLE)
+           / len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 4)
+           AS fertility
+         FROM documents ORDER BY doc_id""",
+    // rolling-hash replay: same code points (string_split('') yields one
+    // element per code point; ascii() is its code point), same 8-term
+    // polynomial, same mod chain — integer arithmetic, bit-exact
+    "q114_rolling_fingerprint" ->
+      """WITH cp AS (
+           SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
+           FROM documents),
+         win AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(a) - 6, 1)),
+               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
+                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
+                   + a[i+7]) % 1000000007) AS hs
+           FROM cp)
+         SELECT doc_id, len(hs) AS n_windows,
+           len(list_filter(hs, h -> h % 64 = 0)) AS n_boundaries,
+           CAST(coalesce(nullif(list_position(list_transform(hs, h -> h % 64 = 0),
+             true), 0), -1) AS BIGINT) AS first_boundary
+         FROM win ORDER BY doc_id""",
     // grouped KMV replay: per-lang row_number selection over the same
     // distinct pair hashes, same estimator fold
     "q112_kmv_per_lang" ->
