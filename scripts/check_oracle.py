@@ -35,9 +35,17 @@ for name in names:
         fails.append((name, f"columns {list(a.columns)} vs {list(b.columns)}")); continue
     if len(a) != len(b):
         fails.append((name, f"rows {len(a)} vs {len(b)}")); continue
-    # normalize: stringify everything (timestamps, decimals), sort rows
-    astr = a.astype(str).sort_values(by=list(a.columns)).reset_index(drop=True)
-    bstr = b.astype(str).sort_values(by=list(b.columns)).reset_index(drop=True)
+    # normalize EXACTLY like the driver's gate: sort the RAW frame first
+    # (array/map cells crash pandas here, as they crash the driver —
+    # round-6 q104 passed locally only because this script used to
+    # stringify before sorting; Verify's schema guard now rejects such
+    # queries, and this script must reproduce the driver's behavior so
+    # local green always predicts driver green), then stringify.
+    try:
+        astr = a.sort_values(by=list(a.columns)).reset_index(drop=True).astype(str)
+        bstr = b.sort_values(by=list(b.columns)).reset_index(drop=True).astype(str)
+    except Exception as e:
+        fails.append((name, f"driver-style canonicalization failed: {e}")); continue
     if astr.equals(bstr):
         passes.append((name, len(a)))
     else:

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
-  * Misra-Gries bound, q110/q112 KMV distinct-count sketches),
+  * Misra-Gries bound, q110/q112 KMV distinct-count sketches, q113 BPE
+  * tokenizer fertility, q114 rolling-hash fingerprinting),
   * dedup and clustering (q26-q29, q67-q68, q72,
   * q74, q76-q77, q88, q99 stop-shingle LSH),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,

@@ -223,7 +223,11 @@ object TextQueries {
           size(filter(split(col("text"), "\\s+"), x => x =!= ""))
             .as("n_ws"))
         .select(col("doc_id"), col("n_bpe"), col("n_ws"),
-          round(col("n_bpe").cast("double") / col("n_ws"), 4).as("fertility"))
+          // token-free doc: Spark 0/0 → NaN but DuckDB → NULL; pin NULL
+          // on both engines (q97's degenerate-range lesson)
+          when(col("n_ws") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_bpe").cast("double") / col("n_ws"), 4))
+            .as("fertility"))
         .orderBy(col("doc_id"))
     }),
 
@@ -564,11 +568,13 @@ object TextQueries {
            AS n_bpe,
          len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
            AS n_ws,
-         round(CAST(len(regexp_extract_all(text,
-           '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
-           AS DOUBLE)
-           / len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 4)
-           AS fertility
+         CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) = 0
+           THEN NULL
+           ELSE round(CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             AS DOUBLE)
+             / len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 4)
+           END AS fertility
          FROM documents ORDER BY doc_id""",
     // rolling-hash replay: same code points (string_split('') yields one
     // element per code point; ascii() is its code point), same 8-term

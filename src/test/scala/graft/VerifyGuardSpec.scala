@@ -35,11 +35,17 @@ class VerifyGuardSpec extends TestSpark {
 
   test("every inventory query's FINAL projection is statically scalar where cheap to check") {
     // Full execution of the inventory belongs to the driver gate; here we
-    // spot-pin the two queries that exercise map/array semantics in-engine
-    // (the family that regressed in round 6) — their analyzed schemas must
-    // be scalar-only without running a job.
+    // spot-pin the queries that exercise map/array semantics in-engine
+    // (the family that regressed in round 6) plus every round-7 addition
+    // — their analyzed schemas must be scalar-only without running a job.
     for (name <- Seq("q104_map_funcs", "q109_map_transform")) {
       val df = graft.operators.ExtendedQueries.queries(name)(spark, sf0001)
+      assert(Verify.nonSortable(df.schema).isEmpty,
+        s"$name emits driver-unsortable columns: ${Verify.nonSortable(df.schema)}")
+    }
+    for (name <- Seq("q110_kmv_distinct", "q112_kmv_per_lang",
+        "q113_bpe_token_count", "q114_rolling_fingerprint")) {
+      val df = graft.functions.TextQueries.queries(name)(spark, sf0001)
       assert(Verify.nonSortable(df.schema).isEmpty,
         s"$name emits driver-unsortable columns: ${Verify.nonSortable(df.schema)}")
     }
