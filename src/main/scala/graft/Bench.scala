@@ -88,6 +88,7 @@ object Bench {
       s""""sf":"$sfDir"}""")
     functions.Dedup.releaseCaches(spark)
     functions.Similarity.releaseCaches(spark)
+    functions.TextQueries.releaseCaches(spark)
     spark.stop()
   }
 }

@@ -93,6 +93,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     functions.Dedup.releaseCaches(spark)
     functions.Similarity.releaseCaches(spark)
+    functions.TextQueries.releaseCaches(spark)
     spark.stop()
     // exit 0 even on failures: the sentinel parquet makes each failure a
     // visible per-query mismatch in the driver's compare, which is the

@@ -21,6 +21,30 @@ object TextQueries {
     * the reference tokenizer contract (src/mrapps/wc.go:22-26). */
   private def tokens = filter(split(col("text"), "[^\\p{L}]+"), x => x =!= "")
 
+  /** Persisted relations per session UUID (q101's token relation, q106's
+    * MG summary), tracked so [[releaseCaches]] can unpersist them — the
+    * same teardown contract Dedup and Similarity expose. CacheManager
+    * dedupes by canonicalized plan, so re-registering an equivalent plan
+    * costs nothing. */
+  private val persistCache = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistCache.synchronized {
+      persistCache.getOrElseUpdate(sessionKey(df.sparkSession),
+        scala.collection.mutable.ListBuffer.empty) += p
+    }
+    p
+  }
+
+  /** Unpersist this session's cached relations (test/app teardown). Only
+    * call once no outstanding DataFrame still references them. */
+  def releaseCaches(s: SparkSession): Unit = persistCache.synchronized {
+    persistCache.remove(graft.Tables.sessionKey(s))
+      .foreach(_.foreach(df => df.unpersist()))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,8 +160,8 @@ object TextQueries {
     // Mean magnitude ~1e1, so round(6) sits ~9 orders above cross-engine
     // summation ulps.
     "q101_lm_quality" -> ((s, d) => {
-      val toks = documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = tracked(
+        documents(s, d).select(col("doc_id"), explode(tokens).as("tok")))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).cast("double").as("t_total"))
       toks.join(vocab, "tok")
@@ -376,8 +400,7 @@ object TextQueries {
   def exactHeavyHitters(toks: org.apache.spark.sql.Dataset[String], k: Int,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val summary = mgSummary(toks, cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = tracked(mgSummary(toks, cap))
     val cands = summary.filter(col("tok").isNotNull)
       .select(col("tok")).distinct()
     val meta = summary.filter(col("tok").isNull)

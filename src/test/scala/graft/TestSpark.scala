@@ -33,5 +33,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     // consumer rebuilds them.
     graft.functions.Dedup.releaseCaches(spark)
     graft.functions.Similarity.releaseCaches(spark)
+    graft.functions.TextQueries.releaseCaches(spark)
   }
 }
