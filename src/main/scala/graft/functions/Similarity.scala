@@ -278,6 +278,12 @@ object Similarity {
     centCache.filterInPlace { case ((sid, _), bc) =>
       if (sid == id) { bc.destroy(); false } else true
     }
+    // Row counts are a property of the data, not the session, but a
+    // fixture REWRITTEN in-process (tests regenerating a dir) would
+    // otherwise serve a stale count to the next build (round-7 advisor
+    // finding) — teardown is the natural invalidation point, and the
+    // next build repays one count() job.
+    corpusCountCache.clear()
   }
 
   private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
