@@ -190,6 +190,45 @@ class CorpusCleaningSpec extends TestSpark {
     }
   }
 
+  test("BPE encode: min-rank leftmost merges reproduce hand-traced encodings") {
+    // the frozen table merges (e,r) first, then builds up to whole
+    // fixture words — trace two by hand and pin intermediate-free facts
+    import graft.functions.TextQueries.bpeTokenCount
+    // "query": q|u|e|r|y → (e,r) → q|u|er|y → (u,er) → q|uer|y →
+    //          (uer,y) → q|uery → (q,uery) → query = 1 token
+    assert(bpeTokenCount("query") == 1)
+    // "window": (i,n) first (rank 2 beats (o,w) rank 3), then (o,w),
+    //           then w+in, wind, window = 1 token
+    assert(bpeTokenCount("window") == 1)
+    // unseen word: only (a,t) and (s,c)/(s,t) families apply
+    // "cat": c|a|t → (a,t) → c|at = 2 tokens
+    assert(bpeTokenCount("cat") == 2)
+    // no applicable merges: every char stays its own token
+    assert(bpeTokenCount("zzz") == 3)
+    assert(bpeTokenCount("x") == 1)
+    // leftmost-occurrence rule: "erer" = e|r|e|r → leftmost (e,r) →
+    // er|e|r → remaining (e,r) → er|er ((er,er) is no rule) = 2 tokens
+    assert(bpeTokenCount("erer") == 2)
+    // e2e: fertility is words-normalized and bounded by chars/word
+    val rows = graft.functions.TextQueries
+      .queries("q115_bpe_fertility")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nw, nb) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe"))
+      if (nw > 0) {
+        val f = r.getAs[Double]("fertility")
+        assert(nb >= nw, s"fewer BPE tokens than words: $nb < $nw")
+        assert(f >= 1.0 && f <= 30.0, s"implausible fertility $f")
+      } else assert(r.isNullAt(r.fieldIndex("fertility")))
+    }
+    // the merge table genuinely compresses: corpus-wide fertility must
+    // sit well under the no-merge upper bound (chars per word)
+    val totF = rows.map(_.getAs[Long]("n_bpe")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_words")).sum
+    info(f"corpus fertility: $totF%.3f BPE tokens/word")
+    assert(totF < 4.0, f"merges barely apply — fertility $totF%.2f")
+  }
+
   test("lm quality: one parquet scan feeds vocabulary build and score join") {
     // Round-6 judge ask #6: the exploded (doc_id, tok) relation is
     // persisted, so documents is read ONCE — the vocabulary aggregate and
