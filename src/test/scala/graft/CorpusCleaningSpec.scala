@@ -190,6 +190,44 @@ class CorpusCleaningSpec extends TestSpark {
     }
   }
 
+  test("CDC chunk dedup: an insertion-shifted near-dup shares chunks; fixed-width misses it") {
+    // THE reason content-defined chunking exists: insert one char at the
+    // front of a doc and every fixed-width 64-char chunk shifts (zero
+    // hash overlap), while CDC boundaries re-anchor — all chunks past
+    // the edit's neighborhood are byte-identical.
+    import graft.functions.TextQueries.cdcChunks
+    val base = Tables.documents(spark, sf0001)
+      .select(col("text")).limit(20).collect().map(_.getString(0))
+      .maxBy(_.length)
+    def md5s(cs: Seq[String]) = cs.map(c =>
+      java.security.MessageDigest.getInstance("MD5").digest(c.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).toSet
+    val b = cdcChunks(base)
+    assert(b.mkString == base, "chunks must concatenate back to the text")
+    assert(b.length >= 3, s"doc too boundary-sparse for the test (${b.length} chunks)")
+    val ins = cdcChunks("X" + base)
+    val cdcShared = md5s(b).intersect(md5s(ins)).size
+    // all but the chunk(s) touching the edit survive
+    assert(cdcShared >= b.length - 2,
+      s"CDC not shift-stable: only $cdcShared of ${b.length} chunks survive an insertion")
+    val fixShared = md5s(base.grouped(64).toSeq)
+      .intersect(md5s(("X" + base).grouped(64).toSeq)).size
+    assert(fixShared == 0,
+      s"fixed-width unexpectedly survived the shift ($fixShared chunks)")
+    info(s"insertion: CDC keeps $cdcShared/${b.length} chunks, fixed-width keeps $fixShared")
+    // e2e: the fixture's near-dup families actually share chunks, and
+    // the ratio column is consistent
+    val rows = graft.functions.TextQueries
+      .queries("q116_cdc_chunk_dedup")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    assert(rows.exists(_.getAs[Long]("n_shared") > 0),
+      "no cross-doc chunk sharing found — fixture near-dups should share")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("n_chunks") >= 1)
+    }
+  }
+
   test("BPE encode: min-rank leftmost merges reproduce hand-traced encodings") {
     // the frozen table merges (e,r) first, then builds up to whole
     // fixture words — trace two by hand and pin intermediate-free facts
