@@ -347,12 +347,7 @@ object TextQueries {
     // cost ONE text scan; at 100 TB the shuffle carries ~text/64 hash
     // rows, nothing document-sized.
     "q116_cdc_chunk_dedup" -> ((s, d) => {
-      import s.implicits._
-      val chunks = tracked(
-        documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-          .flatMap { case (id, text) => cdcChunks(text).map(c => (id, c)) }
-          .toDF("doc_id", "chunk")
-          .select(col("doc_id"), md5(col("chunk")).as("h")))
+      val chunks = cdcChunkHashes(s, d)
       val hashDocs = chunks.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       chunks.join(hashDocs, "h")
@@ -363,6 +358,33 @@ object TextQueries {
           round(col("n_shared").cast("double") / col("n_chunks"), 4)
             .as("shared_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The PAIRWISE CDC report — which docs actually share content, for
+    // the dedup decision q116's per-doc ratios only hint at: distinct
+    // (doc, chunk-hash) pairs self-join on the HASH (never doc-pairwise
+    // — only docs that truly share a chunk ever meet), restricted to
+    // hashes seen in 2..64 docs. The upper cap is the hot-chunk guard
+    // (q99's stop-shingle rationale): a boilerplate chunk shared by
+    // thousands of docs would explode the self-join quadratically and
+    // carries no dedup signal — pairs must share ≥2 DISTINCT chunks, so
+    // dropping ubiquitous chunks loses nothing a reviewer would act on.
+    // Output is pairs (d1 < d2) with their shared-chunk count — the
+    // actionable duplicate list, as the copy-paste-overlap complement
+    // of doc-level q27/q76.
+    "q117_cdc_dup_pairs" -> ((s, d) => {
+      val chunks = cdcChunkHashes(s, d).distinct()
+      val hd = chunks.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      val eligible = chunks
+        .join(hd.filter(col("nd") >= 2 && col("nd") <= 64), "h")
+        .select(col("doc_id"), col("h"))
+      eligible.select(col("doc_id").as("d1"), col("h"))
+        .join(eligible.select(col("doc_id").as("d2"), col("h")), "h")
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // Repetition-based quality filters (the Gopher/MassiveText recipe):
@@ -622,6 +644,20 @@ object TextQueries {
     (0 until bounds.length - 1).map { j =>
       new String(a, bounds(j) - 1, bounds(j + 1) - bounds(j))
     }
+  }
+
+  /** The slim (doc_id, chunk-md5) relation q116/q117 share: one typed
+    * chunking pass over documents, hashes computed in the same
+    * projection so raw chunk text never leaves the map side, persisted
+    * via [[tracked]] so the sharing aggregate, the join-back and the
+    * pair self-join all read one text scan. */
+  private def cdcChunkHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tracked(
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) => cdcChunks(text).map(c => (id, c)) }
+        .toDF("doc_id", "chunk")
+        .select(col("doc_id"), md5(col("chunk")).as("h")))
   }
 
   /** q115's frozen BPE merge table: 50 pair merges learned offline from
@@ -930,6 +966,42 @@ object TextQueries {
              / count(*), 4) AS shared_ratio
          FROM chunks c JOIN hd USING (h)
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+
+    // pairwise replay: same chunks, distinct (doc, hash), df-capped
+    // hash self-join, ≥2-shared-chunk threshold
+    "q117_cdc_dup_pairs" ->
+      """WITH cp AS (
+           SELECT doc_id, text,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
+           FROM documents),
+         win AS (
+           SELECT doc_id, text,
+             list_transform(range(1, greatest(len(a) - 6, 1)),
+               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
+                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
+                   + a[i+7]) % 1000000007) AS hs,
+             len(a) AS n
+           FROM cp),
+         bnd AS (
+           SELECT doc_id, text,
+             list_prepend(1::BIGINT,
+               list_filter(range(1, greatest(len(hs) + 1, 1)),
+                 i -> hs[i] % 64 = 0 AND i > 1)) || [n + 1] AS bs
+           FROM win),
+         chunkstr AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(bs)),
+             j -> array_to_string(ch[bs[j] : bs[j+1] - 1], ''))) AS c
+           FROM (SELECT doc_id, string_split(text, '') AS ch, bs FROM bnd) t),
+         chunks AS (SELECT DISTINCT doc_id, md5(c) AS h FROM chunkstr),
+         hd AS (SELECT h, count(*) AS nd FROM chunks GROUP BY h),
+         eligible AS (
+           SELECT c.doc_id, c.h FROM chunks c JOIN hd USING (h)
+           WHERE hd.nd >= 2 AND hd.nd <= 64)
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         FROM eligible a JOIN eligible b
+           ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY d1, d2""",
 
     // n-grams come from list_transform over range(...) + unnest (DuckDB
     // can't lateral-join range() on a column); bigram/trigram stats LEFT

@@ -226,6 +226,28 @@ class CorpusCleaningSpec extends TestSpark {
       assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_chunks"))
       assert(r.getAs[Long]("n_chunks") >= 1)
     }
+    // the pairwise report is consistent with the per-doc view: every
+    // reported pair's docs each show shared chunks in q116
+    val sharedDocs = rows.filter(_.getAs[Long]("n_shared") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val pairDf = graft.functions.TextQueries
+      .queries("q117_cdc_dup_pairs")(spark, sf0001)
+    val pairs = pairDf.collect()
+    assert(pairs.nonEmpty, "fixture near-dups should produce duplicate pairs")
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("n_shared") >= 2)
+      assert(sharedDocs.contains(p.getAs[Long]("d1"))
+        && sharedDocs.contains(p.getAs[Long]("d2")),
+        s"pair (${p.get(0)},${p.get(1)}) not reflected in per-doc sharing")
+    }
+    // and the chunk relation is persisted: the pair query's executed
+    // plan reads the cache, not a second parquet scan (q101's contract)
+    val plan = pairDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan".r.findAllIn(plan).length
+    val cached = "InMemoryRelation".r.findAllIn(plan).length
+    assert(scans <= cached,
+      s"q117 re-scanned parquet ($scans FileScans, $cached cached relations)")
   }
 
   test("BPE encode: min-rank leftmost merges reproduce hand-traced encodings") {
