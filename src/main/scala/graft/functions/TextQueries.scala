@@ -274,22 +274,34 @@ object TextQueries {
     // merge per step — see [[bpeTokenCount]] for why the two engines
     // can't diverge).
     "q115_bpe_fertility" -> ((s, d) => {
-      import s.implicits._
-      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val memo = scala.collection.mutable.HashMap.empty[String, Int]
-          it.map { case (id, text) =>
-            val toks = TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
-            var nBpe = 0L
-            toks.foreach(t => nBpe += memo.getOrElseUpdate(t, bpeTokenCount(t)))
-            (id, toks.length.toLong, nBpe)
-          }
-        }
-        .toDF("doc_id", "n_words", "n_bpe")
+      bpeDocCounts(s, d)
         .select(col("doc_id"), col("n_words"), col("n_bpe"),
           when(col("n_words") === 0, lit(null).cast("double"))
             .otherwise(round(col("n_bpe").cast("double") / col("n_words"), 4))
             .as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-BUDGET sequence packing — q60's packing discipline driven by
+    // the REAL tokenizer cost instead of its whitespace proxy: training
+    // sequences have a budget in merged BPE tokens, and per-doc
+    // fertility varies ~2-2.5× across this fixture, so proxy-packed
+    // sequences systematically over/under-fill. Same greedy start-offset
+    // rule and per-shard windows as q60 (32 independent running sums —
+    // no global sort at any scale); the token cost comes from the q115
+    // encode pass. Oracle = the recursive-CTE encode chained into q60's
+    // window replay.
+    "q118_bpe_packing" -> ((s, d) => {
+      val budget = 2048
+      val shards = 32
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      bpeDocCounts(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+        .withColumn("prev_bpe", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_bpe"), col("shard"),
+          floor(col("prev_bpe") / budget).cast("long").as("seq_in_shard"))
         .orderBy(col("doc_id"))
     }),
 
@@ -719,6 +731,37 @@ object TextQueries {
     syms.length
   }
 
+  /** Per-doc true-BPE counts (q115/q118 share this pass): one typed map
+    * over documents applying [[bpeTokenCount]] to every letter-run
+    * token, with a per-task memo BOUNDED at 2^20 entries (~tens of MB):
+    * under Zipf, the hit rate is carried by the head of the vocabulary,
+    * so once full we stop inserting and encode the (rare, short) tail
+    * directly — bounded state per task at any corpus size, the same
+    * contract as the sketch passes. */
+  private def bpeDocCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        val memoCap = 1 << 20
+        it.map { case (id, text) =>
+          val toks = TokenizeUdtf.SplitRe.split(text).filter(_.nonEmpty)
+          var nBpe = 0L
+          toks.foreach { t =>
+            nBpe += (memo.get(t) match {
+              case Some(n) => n
+              case None =>
+                val n = bpeTokenCount(t)
+                if (memo.size < memoCap) memo(t) = n
+                n
+            })
+          }
+          (id, toks.length.toLong, nBpe)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe")
+  }
+
   /** The merge table as DuckDB VALUES rows: (rank, ' a b ', ' ab ') —
     * space-delimited symbol patterns for the oracle's replace-leftmost
     * step (symbols are letter-only, so the delimiters are unambiguous
@@ -886,6 +929,50 @@ object TextQueries {
              ELSE round(CAST(s.n_bpe AS DOUBLE) / s.n_words, 4) END AS fertility
          FROM documents d LEFT JOIN docstats s USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // BPE packing replay: the q115 encode chain (same frozen merges,
+    // same recursive loop) feeding q60's per-shard running-sum window
+    "q118_bpe_packing" ->
+      raw"""WITH RECURSIVE
+         mt(r, pat, rep) AS (SELECT * FROM (VALUES
+           $bpeMergeValuesSql) v(r, pat, rep)),
+         toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) t WHERE tok <> ''),
+         vocab AS (SELECT DISTINCT tok FROM toks),
+         enc AS (SELECT tok,
+           ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS ws
+           FROM vocab),
+         bpe(tok, ws) AS (
+           SELECT tok, ws FROM enc
+           UNION ALL
+           SELECT b.tok, regexp_replace(b.ws, m.pat, m.rep)
+           FROM bpe b JOIN mt m
+             ON m.r = (SELECT min(r) FROM mt WHERE contains(b.ws, pat))
+         ),
+         fin AS (
+           SELECT tok, len(string_split(trim(ws), ' ')) AS n_sym
+           FROM bpe b
+           WHERE NOT EXISTS (SELECT 1 FROM mt WHERE contains(b.ws, pat))
+         ),
+         counts AS (
+           SELECT d.doc_id,
+             coalesce(CAST(sum(f.n_sym) AS BIGINT), 0) AS n_bpe,
+             d.doc_id % 32 AS shard
+           FROM documents d
+           LEFT JOIN toks t ON d.doc_id = t.doc_id
+           LEFT JOIN fin f ON t.tok = f.tok
+           GROUP BY d.doc_id),
+         c AS (
+           SELECT doc_id, n_bpe, shard,
+             coalesce(sum(n_bpe) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_bpe
+           FROM counts)
+         SELECT doc_id, n_bpe, shard,
+           CAST(floor(prev_bpe / 2048.0) AS BIGINT) AS seq_in_shard
+         FROM c ORDER BY doc_id""",
 
     // rolling-hash replay: same code points (string_split('') yields one
     // element per code point; ascii() is its code point), same 8-term

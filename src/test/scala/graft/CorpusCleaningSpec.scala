@@ -289,6 +289,29 @@ class CorpusCleaningSpec extends TestSpark {
     assert(totF < 4.0, f"merges barely apply — fertility $totF%.2f")
   }
 
+  test("BPE packing: sequences fill monotonically and the whitespace proxy mispacks") {
+    val bpe = graft.functions.TextQueries
+      .queries("q118_bpe_packing")(spark, sf0001).collect()
+    assert(bpe.length == 500)
+    // within a shard (doc_id order), greedy start-offset packing can
+    // only move forward
+    bpe.groupBy(_.getAs[Long]("shard")).values.foreach { rows =>
+      val seqs = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("seq_in_shard"))
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => a <= b },
+        s"sequence ids regressed within a shard: ${seqs.mkString(",")}")
+    }
+    // the point of q118: real token costs ≠ the whitespace proxy, so the
+    // proxy-packed q60 assigns some docs to different sequences
+    val proxy = graft.operators.PipelineOps
+      .queries("q60_token_packing")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq_in_shard")).toMap
+    val moved = bpe.count(r =>
+      proxy(r.getAs[Long]("doc_id")) != r.getAs[Long]("seq_in_shard"))
+    info(s"$moved/500 docs packed into a different sequence under true BPE costs")
+    assert(moved > 0, "proxy and true-BPE packing agree everywhere — " +
+      "fertility variance should move at least some docs")
+  }
+
   test("lm quality: one parquet scan feeds vocabulary build and score join") {
     // Round-6 judge ask #6: the exploded (doc_id, tok) relation is
     // persisted, so documents is read ONCE — the vocabulary aggregate and
