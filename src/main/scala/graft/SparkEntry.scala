@@ -12,9 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
   * Misra-Gries bound, q110/q112 KMV distinct-count sketches, q113 BPE
-  * tokenizer fertility, q114 rolling-hash fingerprinting),
+  * pre-tokenizer fertility, q115 TRUE BPE encode under a frozen merge
+  * table, q118 BPE-budget sequence packing, q114 rolling-hash
+  * fingerprinting),
   * dedup and clustering (q26-q29, q67-q68, q72,
-  * q74, q76-q77, q88, q99 stop-shingle LSH),
+  * q74, q76-q77, q88, q99 stop-shingle LSH, q116/q117/q119 CDC
+  * chunk-level dedup: per-doc sharing, duplicate pairs, and the
+  * clustered survivor list),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN),
   * multimodal decode/resize/frame-sample (q32, q93-q94),

@@ -384,19 +384,26 @@ object TextQueries {
     // Output is pairs (d1 < d2) with their shared-chunk count — the
     // actionable duplicate list, as the copy-paste-overlap complement
     // of doc-level q27/q76.
-    "q117_cdc_dup_pairs" -> ((s, d) => {
-      val chunks = cdcChunkHashes(s, d).distinct()
-      val hd = chunks.groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      val eligible = chunks
-        .join(hd.filter(col("nd") >= 2 && col("nd") <= 64), "h")
-        .select(col("doc_id"), col("h"))
-      eligible.select(col("doc_id").as("d1"), col("h"))
-        .join(eligible.select(col("doc_id").as("d2"), col("h")), "h")
-        .filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy(col("d1"), col("d2"))
+    "q117_cdc_dup_pairs" -> ((s, d) =>
+      cdcDupPairs(s, d).orderBy(col("d1"), col("d2"))),
+
+    // CDC-clustered SURVIVOR list — the CDC family's q76: q117's pairs
+    // become an undirected graph, [[Dedup.connectedComponents]]'
+    // checkpointed star-contraction labels the components (O(log n)
+    // rounds at any scale), and the corpus anti-joins the non-canonical
+    // members. This closes the same keep-list loop as the MinHash path
+    // (q27→q72→q76) but keyed on SHARED CONTENT SPANS, so it catches
+    // partial copy-paste families that whole-doc similarity scores
+    // below threshold. Drops 31 of 500 docs at sf0.01.
+    "q119_cdc_dedup_keep" -> ((s, d) => {
+      val edges = cdcDupPairs(s, d)
+        .select(col("d1").as("doc_a"), col("d2").as("doc_b"))
+      val dropped = Dedup.connectedComponents(s, edges)
+        .filter(col("doc_id") =!= col("cluster_id"))
+      documents(s, d)
+        .join(dropped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // Repetition-based quality filters (the Gopher/MassiveText recipe):
@@ -670,6 +677,24 @@ object TextQueries {
         .flatMap { case (id, text) => cdcChunks(text).map(c => (id, c)) }
         .toDF("doc_id", "chunk")
         .select(col("doc_id"), md5(col("chunk")).as("h")))
+  }
+
+  /** q117/q119's duplicate pairs: distinct (doc, chunk-hash) pairs
+    * self-joined on the hash — only docs that truly share a chunk ever
+    * meet — restricted to hashes seen in 2..64 docs (the hot-chunk
+    * guard; see the q117 entry), pairs keeping ≥2 shared chunks. */
+  private def cdcDupPairs(s: SparkSession, d: String): DataFrame = {
+    val chunks = cdcChunkHashes(s, d).distinct()
+    val hd = chunks.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val eligible = chunks
+      .join(hd.filter(col("nd") >= 2 && col("nd") <= 64), "h")
+      .select(col("doc_id"), col("h"))
+    eligible.select(col("doc_id").as("d1"), col("h"))
+      .join(eligible.select(col("doc_id").as("d2"), col("h")), "h")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
   }
 
   /** q115's frozen BPE merge table: 50 pair merges learned offline from
@@ -1089,6 +1114,57 @@ object TextQueries {
            ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY d1, d2""",
+
+    // CDC survivor replay: the q117 pair chain, then q72's recursive
+    // transitive-closure labeling and q76's NOT-IN survivor filter
+    "q119_cdc_dedup_keep" ->
+      """WITH RECURSIVE cp AS (
+           SELECT doc_id, text,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
+           FROM documents),
+         win AS (
+           SELECT doc_id, text,
+             list_transform(range(1, greatest(len(a) - 6, 1)),
+               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
+                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
+                   + a[i+7]) % 1000000007) AS hs,
+             len(a) AS n
+           FROM cp),
+         bnd AS (
+           SELECT doc_id, text,
+             list_prepend(1::BIGINT,
+               list_filter(range(1, greatest(len(hs) + 1, 1)),
+                 i -> hs[i] % 64 = 0 AND i > 1)) || [n + 1] AS bs
+           FROM win),
+         chunkstr AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(bs)),
+             j -> array_to_string(ch[bs[j] : bs[j+1] - 1], ''))) AS c
+           FROM (SELECT doc_id, string_split(text, '') AS ch, bs FROM bnd) t),
+         chunks AS (SELECT DISTINCT doc_id, md5(c) AS h FROM chunkstr),
+         hd AS (SELECT h, count(*) AS nd FROM chunks GROUP BY h),
+         eligible AS (
+           SELECT c.doc_id, c.h FROM chunks c JOIN hd USING (h)
+           WHERE hd.nd >= 2 AND hd.nd <= 64),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2
+           FROM eligible a JOIN eligible b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (
+           SELECT d1 AS s, d2 AS e FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+         reach(src, node) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.src, g.e FROM reach r JOIN edges g ON r.node = g.s),
+         labels AS (
+           SELECT src AS doc_id, min(node) AS cluster_id
+           FROM reach GROUP BY src)
+         SELECT d.doc_id, length(d.text) AS n_chars
+         FROM documents d
+         WHERE d.doc_id NOT IN
+           (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         ORDER BY d.doc_id""",
 
     // n-grams come from list_transform over range(...) + unnest (DuckDB
     // can't lateral-join range() on a column); bigram/trigram stats LEFT

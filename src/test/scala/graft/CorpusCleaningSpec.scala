@@ -248,6 +248,22 @@ class CorpusCleaningSpec extends TestSpark {
     val cached = "InMemoryRelation".r.findAllIn(plan).length
     assert(scans <= cached,
       s"q117 re-scanned parquet ($scans FileScans, $cached cached relations)")
+    // survivor list (q119): keeps exactly the docs outside any pair
+    // component plus one canonical per component — so survivors plus
+    // the pair graph's non-minimum members partition the corpus
+    val survivors = graft.functions.TextQueries
+      .queries("q119_cdc_dedup_keep")(spark, sf0001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors.size < 500, "no doc was dropped — pairs exist, so some must be")
+    val inPairs = pairs.flatMap(p =>
+      Seq(p.getAs[Long]("d1"), p.getAs[Long]("d2"))).toSet
+    assert((0L until 500L).toSet.diff(inPairs).subsetOf(survivors),
+      "a doc outside every duplicate pair was dropped")
+    pairs.foreach { p =>
+      val (a, b) = (p.getAs[Long]("d1"), p.getAs[Long]("d2"))
+      assert(!(survivors.contains(a) && survivors.contains(b)),
+        s"duplicate pair ($a,$b) fully survived — dedup kept both copies")
+    }
   }
 
   test("BPE encode: min-rank leftmost merges reproduce hand-traced encodings") {
