@@ -18,7 +18,14 @@ object Bench {
   // hyperplane-LSH ANN (q102), batch sessionization (q107). Round 8
   // adds the sketch/text families (round-7 judge ask #3): guarded heavy
   // hitters (q106), KMV distinct sketch (q110), BPE-fertility profiling
-  // (q113), rolling-hash fingerprinting (q114).
+  // (q113), rolling-hash fingerprinting (q114) — plus this round's own
+  // new families so their perf is tracked from birth: true-BPE encode
+  // (q115) and CDC chunk dedup via its per-doc sharing query (q116 —
+  // chunker + hash-keyed aggregate + join-back, cost proportional to
+  // data; the survivor variant q119 is excluded like q72/q76 before
+  // it: its star-contraction pays ~4.5 s of FIXED per-round checkpoint
+  // overhead on this fixture's 244-edge graph, which would swamp the
+  // artifact with iteration constants rather than plan cost).
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -27,7 +34,8 @@ object Bench {
     "q79_clean_pipeline", "q95_quota_sample", "q102_ann_lsh",
     "q107_batch_sessionize",
     "q106_heavy_hitters", "q110_kmv_distinct", "q113_bpe_token_count",
-    "q114_rolling_fingerprint")
+    "q114_rolling_fingerprint",
+    "q115_bpe_fertility", "q116_cdc_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
