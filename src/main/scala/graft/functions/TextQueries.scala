@@ -796,6 +796,66 @@ object TextQueries {
       s"(${i + 1}, ' $a $b ', ' $a$b ')"
     }.mkString(",\n           ")
 
+  /** The shared recursive-CTE encode chain (q115/q118 oracles): frozen
+    * merges → letter-run tokens → distinct vocabulary → space-delimited
+    * symbol strings → one min-rank leftmost merge per iteration → `fin`
+    * (tok, n_sym) for terminal states. ONE copy so a replay fix can
+    * never drift between the sibling oracles (requires the enclosing
+    * query to open with WITH RECURSIVE). */
+  private val bpeEncodeCtes: String =
+    raw"""mt(r, pat, rep) AS (SELECT * FROM (VALUES
+           $bpeMergeValuesSql) v(r, pat, rep)),
+         toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) t WHERE tok <> ''),
+         vocab AS (SELECT DISTINCT tok FROM toks),
+         enc AS (SELECT tok,
+           ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS ws
+           FROM vocab),
+         bpe(tok, ws) AS (
+           SELECT tok, ws FROM enc
+           UNION ALL
+           SELECT b.tok, regexp_replace(b.ws, m.pat, m.rep)
+           FROM bpe b JOIN mt m
+             ON m.r = (SELECT min(r) FROM mt WHERE contains(b.ws, pat))
+         ),
+         fin AS (
+           SELECT tok, len(string_split(trim(ws), ' ')) AS n_sym
+           FROM bpe b
+           WHERE NOT EXISTS (SELECT 1 FROM mt WHERE contains(b.ws, pat))
+         )"""
+
+  /** The shared CDC chunking chain (q116/q117/q119 oracles): q114's
+    * degree-7 polynomial per window → cut positions (h%64=0, p>1) →
+    * bounds → `chunkstr` (doc_id, c) chunk strings. ONE copy for the
+    * same no-drift reason as [[bpeEncodeCtes]]; consumers add their own
+    * `chunks AS (SELECT [DISTINCT] doc_id, md5(c) AS h FROM chunkstr)`
+    * since q116 counts occurrences while q117/q119 dedupe per doc. */
+  private val cdcChunkCtes: String =
+    """cp AS (
+           SELECT doc_id, text,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
+           FROM documents),
+         win AS (
+           SELECT doc_id, text,
+             list_transform(range(1, greatest(len(a) - 6, 1)),
+               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
+                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
+                   + a[i+7]) % 1000000007) AS hs,
+             len(a) AS n
+           FROM cp),
+         bnd AS (
+           SELECT doc_id, text,
+             list_prepend(1::BIGINT,
+               list_filter(range(1, greatest(len(hs) + 1, 1)),
+                 i -> hs[i] % 64 = 0 AND i > 1)) || [n + 1] AS bs
+           FROM win),
+         chunkstr AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(bs)),
+             j -> array_to_string(ch[bs[j] : bs[j+1] - 1], ''))) AS c
+           FROM (SELECT doc_id, string_split(text, '') AS ch, bs FROM bnd) t)"""
+
   /** Half-up 6-dp rounding — what Catalyst's Round does for doubles and
     * what DuckDB's round matches (same contract as
     * [[Similarity.roundedCosine]]). */
@@ -921,28 +981,7 @@ object TextQueries {
     // fertility (q113's degenerate-case contract).
     "q115_bpe_fertility" ->
       raw"""WITH RECURSIVE
-         mt(r, pat, rep) AS (SELECT * FROM (VALUES
-           $bpeMergeValuesSql) v(r, pat, rep)),
-         toks AS (
-           SELECT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
-             FROM documents) t WHERE tok <> ''),
-         vocab AS (SELECT DISTINCT tok FROM toks),
-         enc AS (SELECT tok,
-           ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS ws
-           FROM vocab),
-         bpe(tok, ws) AS (
-           SELECT tok, ws FROM enc
-           UNION ALL
-           SELECT b.tok, regexp_replace(b.ws, m.pat, m.rep)
-           FROM bpe b JOIN mt m
-             ON m.r = (SELECT min(r) FROM mt WHERE contains(b.ws, pat))
-         ),
-         fin AS (
-           SELECT tok, len(string_split(trim(ws), ' ')) AS n_sym
-           FROM bpe b
-           WHERE NOT EXISTS (SELECT 1 FROM mt WHERE contains(b.ws, pat))
-         ),
+         $bpeEncodeCtes,
          docstats AS (
            SELECT t.doc_id, count(*) AS n_words,
              CAST(sum(f.n_sym) AS BIGINT) AS n_bpe
@@ -959,28 +998,7 @@ object TextQueries {
     // same recursive loop) feeding q60's per-shard running-sum window
     "q118_bpe_packing" ->
       raw"""WITH RECURSIVE
-         mt(r, pat, rep) AS (SELECT * FROM (VALUES
-           $bpeMergeValuesSql) v(r, pat, rep)),
-         toks AS (
-           SELECT doc_id, tok FROM (
-             SELECT doc_id, unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
-             FROM documents) t WHERE tok <> ''),
-         vocab AS (SELECT DISTINCT tok FROM toks),
-         enc AS (SELECT tok,
-           ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS ws
-           FROM vocab),
-         bpe(tok, ws) AS (
-           SELECT tok, ws FROM enc
-           UNION ALL
-           SELECT b.tok, regexp_replace(b.ws, m.pat, m.rep)
-           FROM bpe b JOIN mt m
-             ON m.r = (SELECT min(r) FROM mt WHERE contains(b.ws, pat))
-         ),
-         fin AS (
-           SELECT tok, len(string_split(trim(ws), ' ')) AS n_sym
-           FROM bpe b
-           WHERE NOT EXISTS (SELECT 1 FROM mt WHERE contains(b.ws, pat))
-         ),
+         $bpeEncodeCtes,
          counts AS (
            SELECT d.doc_id,
              coalesce(CAST(sum(f.n_sym) AS BIGINT), 0) AS n_bpe,
@@ -1047,28 +1065,7 @@ object TextQueries {
     // then the same hash-keyed sharing aggregate. Integer arithmetic +
     // md5 end to end, bit-exact.
     "q116_cdc_chunk_dedup" ->
-      """WITH cp AS (
-           SELECT doc_id, text,
-             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
-           FROM documents),
-         win AS (
-           SELECT doc_id, text,
-             list_transform(range(1, greatest(len(a) - 6, 1)),
-               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
-                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
-                   + a[i+7]) % 1000000007) AS hs,
-             len(a) AS n
-           FROM cp),
-         bnd AS (
-           SELECT doc_id, text,
-             list_prepend(1::BIGINT,
-               list_filter(range(1, greatest(len(hs) + 1, 1)),
-                 i -> hs[i] % 64 = 0 AND i > 1)) || [n + 1] AS bs
-           FROM win),
-         chunkstr AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(bs)),
-             j -> array_to_string(ch[bs[j] : bs[j+1] - 1], ''))) AS c
-           FROM (SELECT doc_id, string_split(text, '') AS ch, bs FROM bnd) t),
+      raw"""WITH $cdcChunkCtes,
          chunks AS (SELECT doc_id, md5(c) AS h FROM chunkstr),
          hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
          SELECT c.doc_id, count(*) AS n_chunks,
@@ -1082,28 +1079,7 @@ object TextQueries {
     // pairwise replay: same chunks, distinct (doc, hash), df-capped
     // hash self-join, ≥2-shared-chunk threshold
     "q117_cdc_dup_pairs" ->
-      """WITH cp AS (
-           SELECT doc_id, text,
-             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
-           FROM documents),
-         win AS (
-           SELECT doc_id, text,
-             list_transform(range(1, greatest(len(a) - 6, 1)),
-               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
-                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
-                   + a[i+7]) % 1000000007) AS hs,
-             len(a) AS n
-           FROM cp),
-         bnd AS (
-           SELECT doc_id, text,
-             list_prepend(1::BIGINT,
-               list_filter(range(1, greatest(len(hs) + 1, 1)),
-                 i -> hs[i] % 64 = 0 AND i > 1)) || [n + 1] AS bs
-           FROM win),
-         chunkstr AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(bs)),
-             j -> array_to_string(ch[bs[j] : bs[j+1] - 1], ''))) AS c
-           FROM (SELECT doc_id, string_split(text, '') AS ch, bs FROM bnd) t),
+      raw"""WITH $cdcChunkCtes,
          chunks AS (SELECT DISTINCT doc_id, md5(c) AS h FROM chunkstr),
          hd AS (SELECT h, count(*) AS nd FROM chunks GROUP BY h),
          eligible AS (
@@ -1118,28 +1094,7 @@ object TextQueries {
     // CDC survivor replay: the q117 pair chain, then q72's recursive
     // transitive-closure labeling and q76's NOT-IN survivor filter
     "q119_cdc_dedup_keep" ->
-      """WITH RECURSIVE cp AS (
-           SELECT doc_id, text,
-             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT) AS a
-           FROM documents),
-         win AS (
-           SELECT doc_id, text,
-             list_transform(range(1, greatest(len(a) - 6, 1)),
-               i -> (a[i]*27512614111 + a[i+1]*887503681 + a[i+2]*28629151
-                   + a[i+3]*923521 + a[i+4]*29791 + a[i+5]*961 + a[i+6]*31
-                   + a[i+7]) % 1000000007) AS hs,
-             len(a) AS n
-           FROM cp),
-         bnd AS (
-           SELECT doc_id, text,
-             list_prepend(1::BIGINT,
-               list_filter(range(1, greatest(len(hs) + 1, 1)),
-                 i -> hs[i] % 64 = 0 AND i > 1)) || [n + 1] AS bs
-           FROM win),
-         chunkstr AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(bs)),
-             j -> array_to_string(ch[bs[j] : bs[j+1] - 1], ''))) AS c
-           FROM (SELECT doc_id, string_split(text, '') AS ch, bs FROM bnd) t),
+      raw"""WITH RECURSIVE $cdcChunkCtes,
          chunks AS (SELECT DISTINCT doc_id, md5(c) AS h FROM chunkstr),
          hd AS (SELECT h, count(*) AS nd FROM chunks GROUP BY h),
          eligible AS (
