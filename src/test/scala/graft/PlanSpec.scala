@@ -59,6 +59,21 @@ class PlanSpec extends TestSpark {
       s"q107 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
   }
 
+  test("q118 BPE packing: one hash exchange feeds the per-shard windows") {
+    // the scale contract inherited from q60: the running sum is 32
+    // independent shard partitions behind a single
+    // hashpartitioning(shard) exchange — a global sort or a second
+    // data-sized shuffle would mean the packing no longer scales
+    val df = graft.functions.TextQueries
+      .queries("q118_bpe_packing")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q118 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
+  }
+
   test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
     // round-1 regression: assignment used groupBy(vec_id, embedding) and
     // shuffled every vector. Now assignment is a map-side argmax over
