@@ -416,8 +416,79 @@ object Dedup {
         .join(dropped.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).as("n_chars"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // EXACT SHARED-SPAN dedup — the suffix-array-style operator from the
+    // dedup literature (Lee et al. 2022's "any shared substring ≥ N
+    // tokens", built bucketed instead of via an actual suffix array):
+    // report every doc pair sharing an exact run of ≥ SpanN tokens, with
+    // the pair's LONGEST run and its maximal-run count. A shared run of
+    // length L ≥ N contains an aligned shared N-gram and vice versa, so
+    // detection is exact via a positional-N-gram key join (q74's gram
+    // machinery with positions kept); adjacent hits at the same position
+    // offset then merge into maximal runs with a gaps-and-islands pass.
+    // Catches sub-chunk quotes CDC (q116, expected 64-char chunks) rolls
+    // past, and sub-document overlap doc-level Jaccard (q27) scores
+    // below threshold — spec-pinned on both counts. Scale shape: the
+    // positional-gram relation is one map pass (~1 row/token, 16-char
+    // key), the join is gram-keyed with q117's 2..64 df cap (hot-gram
+    // guard), islands shuffle on (pair, offset) — never doc-pairwise.
+    "q120_shared_spans" -> ((s, d) => sharedSpans(s, documents(s, d))
+      .orderBy(col("doc_a"), col("doc_b")))
   )
+
+  /** Minimum shared-run length (tokens) for q120. 8 matches q74's
+    * decontamination gram width (the GPT-3/Gopher overlap standard) —
+    * long enough that natural text never collides, short enough to catch
+    * a one-sentence exact quote. */
+  private val SpanN = 8
+
+  /** q120's engine over an arbitrary (doc_id, text) relation — exact
+    * shared-span detection via positional N-gram join + run-length merge
+    * (see the q120 query comment for the full rationale). Public so the
+    * spec can drive synthetic corpora through the exact production path. */
+  def sharedSpans(s: SparkSession, docs: DataFrame, n: Int = SpanN): DataFrame = {
+    import s.implicits._
+    // positional word n-grams, keyed by a 16-hex-char md5 prefix: rows ~
+    // one per token, key fixed-width (the raw ~50-char gram text never
+    // shuffles); md5 is replayed by the oracle so both engines join on
+    // identical keys.
+    val grams = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
+        (0 to toks.length - n).iterator
+          .map(i => (id, (i + 1).toLong, toks.slice(i, i + n).mkString(" ")))
+      }
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("gram")), 1, 16).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-gram guard (q117's 2..64 df cap): a boilerplate gram in
+    // thousands of docs would blow the self-join quadratically; df is
+    // DISTINCT docs so in-doc repeats don't evict a gram.
+    val keep = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, 64))
+      .select(col("g"))
+    val kept = grams.join(keep, Seq("g"), "left_semi")
+    val hits = kept.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("g"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+    // run-length merge: hits from one shared run share (pair, pa−pb) and
+    // have consecutive pa, so pa − row_number() is constant per maximal
+    // run (gaps-and-islands); run of L tokens ⇒ L−n+1 hits ⇒ span
+    // max(pa)−min(pa)+n.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diff")).orderBy(col("pa"))
+    hits.withColumn("diff", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diff"), col("grp"))
+      .agg((max(col("pa")) - min(col("pa")) + lit(n.toLong)).as("span_toks"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_toks")).as("max_span_toks"),
+        count(lit(1)).as("n_spans"))
+  }
 
   /** Connected-component labels over an undirected pair graph
     * (`doc_a`, `doc_b` columns) via alternating LARGE-STAR / SMALL-STAR
@@ -826,7 +897,38 @@ object Dedup {
          FROM documents d
          WHERE d.doc_id NOT IN
            (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // Positional 8-grams (same tokenizer), 16-hex md5 keys, df cap 2..64,
+    // then the identical gaps-and-islands merge: pa − row_number() per
+    // (pair, pa−pb) partition is constant per maximal run on both engines
+    // (integer arithmetic end to end).
+    "q120_shared_spans" ->
+      """WITH tokd AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS lst
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i AS pos,
+             substring(md5(array_to_string(lst[i:i+7], ' ')), 1, 16) AS g
+           FROM tokd,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(lst)-7, 0))) AS i) s),
+         gdf AS (
+           SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+           WHERE df BETWEEN 2 AND 64),
+         hits AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           WHERE a.g IN (SELECT g FROM gdf)),
+         runs AS (
+           SELECT doc_a, doc_b, pa, pa - pb AS diff,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+           FROM hits),
+         spans AS (
+           SELECT doc_a, doc_b, max(pa) - min(pa) + 8 AS span_toks
+           FROM runs GROUP BY doc_a, doc_b, diff, grp)
+         SELECT doc_a, doc_b, max(span_toks) AS max_span_toks, count(*) AS n_spans
+         FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
   )
 
   /** q88 computes exactly q72's cluster assignment (different engine

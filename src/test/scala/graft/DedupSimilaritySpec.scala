@@ -416,4 +416,47 @@ class DedupSimilaritySpec extends TestSpark {
         s"$q: window must sit above the heap cut:\n${plan.take(3000)}")
     }
   }
+
+  test("q120 shared spans: catches a 40-char quote CDC misses and Jaccard under-scores") {
+    import spark.implicits._
+    // An 8-token, 40-char exact quote embedded in two otherwise-unrelated
+    // docs — the overlap class the repo's other dedup operators each roll
+    // past: CDC (q116) expects ~64-char chunks so no content-defined
+    // chunk fits inside the quote, and whole-doc shingle Jaccard (q27)
+    // scores the pair far below the 0.8 threshold.
+    // chosen so NO interior 8-char rolling-hash window satisfies
+    // h % 64 == 0 — boundary cuts inside the quote would be context-free
+    // and land identically in both docs, handing CDC the pair for free
+    val quote = "howls leaps over wise the lazy sings red"
+    assert(quote.length == 40)
+    val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      quote + " lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docB = "one two three four five six seven eight nine ten " +
+      quote + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val docC = "unrelated filler words carrying no repeated span at all " +
+      "more filler continuing differently onwards"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+
+    val spans = Dedup.sharedSpans(spark, docs).collect()
+    assert(spans.length == 1, s"expected exactly the (1,2) pair, got ${spans.toSeq}")
+    val r = spans.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // the maximal run is the quote's 8 tokens (surrounding text disjoint)
+    assert(r.getLong(2) == 8L, s"max_span_toks = ${r.getLong(2)}")
+    assert(r.getLong(3) == 1L, s"n_spans = ${r.getLong(3)}")
+
+    // CDC chunking finds NO shared chunk on the same pair: no boundary
+    // pair lands inside the 40-char quote, so every chunk containing it
+    // also contains unshared context.
+    val chunksA = functions.TextQueries.cdcChunks(docA).toSet
+    val chunksB = functions.TextQueries.cdcChunks(docB).toSet
+    assert((chunksA & chunksB).isEmpty,
+      s"CDC unexpectedly shares chunks: ${chunksA & chunksB}")
+
+    // and whole-doc shingle Jaccard is far below the q27 dedup threshold
+    val shA = Dedup.shingleSet(docA).toSet
+    val shB = Dedup.shingleSet(docB).toSet
+    val j = (shA & shB).size.toDouble / (shA | shB).size
+    assert(j < 0.8, s"jaccard $j should be sub-threshold")
+  }
 }
