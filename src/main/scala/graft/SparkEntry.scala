@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * clustered survivor list, q120 exact shared-span pairs),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN),
-  * multimodal decode/resize/frame-sample (q32, q93-q94),
+  * multimodal decode/resize/frame-sample + perceptual-hash image dedup
+  * (q32, q93-q94, q121),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout
   * (q84, q87), and Structured Streaming incl. the watermark+append

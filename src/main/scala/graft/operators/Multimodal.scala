@@ -120,6 +120,74 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 64-bit perceptual aHash of a 24-bpp BMP payload: nearest-neighbor
+    * 8×8 downsample of the pixel array, integer ITU-R BT.601 luma per
+    * sample, threshold at the integer mean — bit i (MSB-first, row-major
+    * grid order) set iff luma > mean. Pure integer byte arithmetic over
+    * the REAL pixel bytes (grid cell (gx, gy) samples stored pixel
+    * (gx·w/8, gy·h/8)), so the oracle replays every bit; robust to
+    * re-encoding (header/metadata changes, lossless re-packs) because
+    * only pixels enter the hash — the property byte dedup (q26) lacks. */
+  def aHash64(img: Array[Byte]): Long = {
+    val (w, h) = parseBmp(img)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val grays = new Array[Int](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val off = 54 + (gy * h / 8) * rowSize + 3 * (gx * w / 8)
+        val b = img(off) & 0xFF
+        val g = img(off + 1) & 0xFF
+        val r = img(off + 2) & 0xFF
+        grays(gy * 8 + gx) = (299 * r + 587 * g + 114 * b) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = grays.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (grays(i) > mean) hash |= 1L << (63 - i); i += 1 }
+    hash
+  }
+
+  /** q121's engine over an arbitrary (doc_id, img) relation: hash every
+    * image map-side, then find pairs within Hamming ≤ 4 via the
+    * pigeonhole block join (5 blocks of 13/12 bits — a pair ≤ 4 bits
+    * apart must agree on ≥ 1 whole block, the q28 Manku rationale), and
+    * verify candidates exactly with bit_count(xor) — codegen'd, no
+    * all-pairs path. Blobs never shuffle: only (doc_id, hash) and
+    * (doc_id, block) rows leave the map side. Public so the spec can
+    * drive synthetic re-encoded duplicates through the production path. */
+  def phashPairs(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, img) => (id, aHash64(img)) }
+      .toDF("doc_id", "ah")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = hashes.as[(Long, Long)]
+      .flatMap { case (id, hash) =>
+        (0 until 5).map { k =>
+          val wd = if (k == 4) 12 else 13
+          (id, k, (hash >>> (64 - 13 * k - wd)) & ((1L << wd) - 1))
+        }
+      }
+      .toDF("doc_id", "k", "bv")
+    val cand = blocks.select(col("doc_id").as("doc_a"), col("k"), col("bv"))
+      .join(blocks.select(col("doc_id").as("doc_b"), col("k"), col("bv")),
+        Seq("k", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("ah").as("ha")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("ah").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+  }
+
   /** The canonical "media table" shape: (id, image payload, audio payload,
     * meta struct) — payload construction is one map-side typed pass. */
   def asMediaTable(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -215,7 +283,19 @@ object Multimodal {
         }
         .toDF("doc_id", "n_samples", "n_frames", "n_kept", "amp_sum")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // PERCEPTUAL-HASH IMAGE DEDUP (Multimodal × Dedup, round-8 judge ask
+    // #3): aHash every BMP payload in the q93 decode pass, report doc
+    // pairs within Hamming ≤ 4 (0 = perceptually exact — catches
+    // re-encoded/metadata-tweaked duplicates byte dedup misses;
+    // MultimodalSpec pins that). Pairs come from the pigeonhole block
+    // join, never all-pairs; at production scale the block width grows
+    // with the corpus exactly like q102's LSH plane count (13-bit
+    // buckets are sized for the fixture's 5k images).
+    "q121_image_phash_pairs" -> ((s, d) =>
+      phashPairs(s, asMediaTable(s, documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,6 +351,50 @@ object Multimodal {
              list_filter(range(0, n_frames), fr -> fr % 2 = 0), fr ->
                list_transform(range(fr*64 + 1, fr*64 + 65),
                  i -> ascii(text[CAST(i AS INT)]))))), 0) AS BIGINT) AS amp_sum
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+    // Replays the aHash bit-for-bit from the text the pixels cycle
+    // (q93's checksum precedent): 8×8 nearest-neighbor sample of the
+    // pixel array, integer luma, mean threshold → 64-char bitstring;
+    // same 13/12-bit pigeonhole blocks for candidates; Hamming = count
+    // of differing positions ≡ the engine's bit_count(xor).
+    "q121_image_phash_pairs" ->
+      """WITH m AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % 64 + 1 AS w,
+             (octet_length(encode(text)) // 64) % 64 + 1 AS h
+           FROM documents),
+         m2 AS (SELECT doc_id, text, len, w, h, ((w*3+3)//4)*4 AS row_size FROM m),
+         grays AS (
+           SELECT doc_id, flatten(list_transform(range(0, 8), gy ->
+             list_transform(range(0, 8), gx ->
+               (299*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 2) % len + 1 AS INT)])
+              + 587*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 1) % len + 1 AS INT)])
+              + 114*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 0) % len + 1 AS INT)]))//1000
+             ))) AS g
+           FROM m2),
+         hashes AS (
+           SELECT doc_id,
+             array_to_string(list_transform(g, v ->
+               CASE WHEN v > list_sum(g)//64 THEN '1' ELSE '0' END), '') AS ah
+           FROM grays),
+         blocks AS (
+           SELECT doc_id, k,
+             substring(ah, CAST(1 + 13*k AS INT),
+               CASE WHEN k = 4 THEN 12 ELSE 13 END) AS bv
+           FROM hashes, LATERAL (SELECT unnest(range(0, 5)) AS k) s),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM blocks a JOIN blocks b
+             ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 65), i ->
+               substring(ha.ah, CAST(i AS INT), 1) <>
+               substring(hb.ah, CAST(i AS INT), 1))) AS hamming
+           FROM cand c
+           JOIN hashes ha ON c.doc_a = ha.doc_id
+           JOIN hashes hb ON c.doc_b = hb.doc_id)
+         SELECT doc_a, doc_b, hamming FROM ham
+         WHERE hamming <= 4 ORDER BY doc_a, doc_b"""
   )
 }

@@ -79,4 +79,40 @@ class MultimodalSpec extends TestSpark {
       }.toMap
     assert(viaQuery == direct && viaQuery.nonEmpty)
   }
+
+  /** Same pixel array, different container bytes: rebuild the BMP with
+    * zeroed dpi fields and a junk reserved word — the lossless re-encode
+    * a scraper pipeline sees constantly (EXIF strips, metadata rewrites). */
+  private def reencodeBmp(b: Array[Byte]): Array[Byte] = {
+    val out = b.clone()
+    out(6) = 0x7F; out(7) = 0x7F // reserved word: junk
+    for (i <- 38 until 46) out(i) = 0 // x/y pixels-per-meter: zeroed
+    out
+  }
+
+  test("q121: perceptual hash catches a re-encoded duplicate image byte dedup misses") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "the original document behind the image payload with enough text",
+      2L -> "a completely different document producing unrelated pixel noise",
+      3L -> "yet another unrelated body of text for the negative control set")
+    val base = texts.map { case (id, t) =>
+      (id, Multimodal.synthesizeBmp(t.getBytes("UTF-8")))
+    }
+    // doc 4 = doc 1's image re-encoded: identical pixels, different bytes
+    val media = (base :+ (4L, reencodeBmp(base.head._2))).toDF("doc_id", "img")
+
+    // byte-level identity (the q26 exact-dedup key) misses the pair…
+    val bytesDistinct = media.select(md5(col("img"))).distinct().count()
+    assert(bytesDistinct == 4, "re-encode must change the payload bytes")
+    // …the perceptual hash is IDENTICAL (only pixels enter the hash)
+    assert(Multimodal.aHash64(base.head._2) ==
+      Multimodal.aHash64(reencodeBmp(base.head._2)))
+
+    val pairs = Multimodal.phashPairs(spark, media)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 4L, 0L)),
+      s"expected exactly the re-encoded pair at hamming 0, got ${pairs.toSeq}")
+  }
 }
