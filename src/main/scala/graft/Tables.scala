@@ -11,10 +11,11 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read it as raw nanos
-    * (legacy conf) and convert to a microsecond TimestampType — the same
-    * truncation DuckDB applies, so oracle comparisons line up. */
+  /** Older driver fixtures store events `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects outright. Read it as raw
+    * nanos (legacy conf) and convert to a microsecond TimestampType — the
+    * same truncation DuckDB applies, so oracle comparisons line up.
+    * Harmless when the fixture is already micros precision. */
   def nanosTs(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -22,6 +23,24 @@ object Tables {
     * `div` — double division would lose precision at 1.7e18 nanos. */
   def nanosToTs(colName: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(s"timestamp_micros($colName div 1000)")
+
+  /** Normalize an events-like `ts` column to microsecond TimestampType
+    * whatever the fixture generation stored: raw-nanos BIGINT (a
+    * TIMESTAMP(NANOS) file read under [[nanosTs]]) or TIMESTAMP_NTZ (a
+    * timestamp[us] file — what the driver generates as of round 9). Both
+    * shapes exist across driver testdata generations, so every reader
+    * dispatches on the OBSERVED schema instead of assuming one. Every
+    * session pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is
+    * value-preserving and DuckDB (naive micros) sees identical values. */
+  def tsToMicros(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", nanosToTs("ts"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
@@ -32,7 +51,7 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     nanosTs(s)
-    t(s, d, "events").withColumn("ts", nanosToTs("ts"))
+    tsToMicros(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

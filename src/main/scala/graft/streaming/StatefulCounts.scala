@@ -102,7 +102,7 @@ object StatefulCounts {
       s.catalog.dropTempView("sink_rocksdb")
       withRocksDb(s) {
         val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
-          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .transform(graft.Tables.tsToMicros)
         val q = src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"))
           .writeStream.format("memory").queryName("sink_rocksdb")
@@ -168,7 +168,7 @@ object StatefulCounts {
       s.catalog.dropTempView("sink_timers")
       withRocksDb(s) {
         val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
-          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .transform(graft.Tables.tsToMicros)
           .withWatermark("ts", "30 minutes")
           .select(col("user_id").cast("long").as("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("ts"))

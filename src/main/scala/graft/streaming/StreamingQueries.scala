@@ -44,7 +44,7 @@ object StreamingQueries {
     // file; with a glob, the parent directory becomes the base.
     val raw = s.readStream.schema(schema).parquet(s"$d/$table.parq*")
     val src =
-      if (schema.fieldNames.contains("ts")) raw.withColumn("ts", graft.Tables.nanosToTs("ts"))
+      if (schema.fieldNames.contains("ts")) graft.Tables.tsToMicros(raw)
       else raw
     // Re-entrant: drop a stale sink table from a previous run in the
     // same session (Bench runs queries repeatedly).
@@ -197,7 +197,7 @@ object StreamingQueries {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       def side(tpe: String, alias: String) =
         s.readStream.schema(schema).parquet(path)
-          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .transform(graft.Tables.tsToMicros)
           .filter(col("event_type") === tpe)
           .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
             col("ts").as(s"${alias}_ts"))
@@ -229,7 +229,7 @@ object StreamingQueries {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       def side(tpe: String, alias: String) =
         s.readStream.schema(schema).parquet(path)
-          .withColumn("ts", graft.Tables.nanosToTs("ts"))
+          .transform(graft.Tables.tsToMicros)
           .filter(col("event_type") === tpe)
           .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
             col("ts").as(s"${alias}_ts"))
@@ -270,7 +270,7 @@ object StreamingQueries {
       val stage = graft.Tables.scratchDir(s,
         "q82_upsert_stage_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
-        .withColumn("ts", graft.Tables.nanosToTs("ts"))
+        .transform(graft.Tables.tsToMicros)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.shuffle.partitions", "8")
