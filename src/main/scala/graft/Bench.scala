@@ -25,7 +25,13 @@ object Bench {
   // data; the survivor variant q119 is excluded like q72/q76 before
   // it: its star-contraction pays ~4.5 s of FIXED per-round checkpoint
   // overhead on this fixture's 244-edge graph, which would swamp the
-  // artifact with iteration constants rather than plan cost).
+  // artifact with iteration constants rather than plan cost). Round 9
+  // adds exact shared-span dedup (q120, the positional-gram + islands
+  // path) and product-quantization ANN (q123, the ADC code-table
+  // path) so both new families are tracked from birth; q119/q122 stay
+  // out for the q119 precedent (fixed component/checkpoint constants,
+  // not plan cost) and q121 like the rest of the multimodal family
+  // (decode cost is fixture-pixel-bound, already spec-timed).
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -35,7 +41,8 @@ object Bench {
     "q107_batch_sessionize",
     "q106_heavy_hitters", "q110_kmv_distinct", "q113_bpe_token_count",
     "q114_rolling_fingerprint",
-    "q115_bpe_fertility", "q116_cdc_chunk_dedup")
+    "q115_bpe_fertility", "q116_cdc_chunk_dedup",
+    "q120_shared_spans", "q123_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -20,7 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * chunk-level dedup: per-doc sharing, duplicate pairs, and the
   * clustered survivor list, q120 exact shared-span pairs),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
-  * q102 hyperplane-LSH ANN),
+  * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
+  * q123 product-quantization ANN — 8-byte codes + ADC table search,
+  * the memory-compression scale path),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * (q32, q93-q94, q121),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),

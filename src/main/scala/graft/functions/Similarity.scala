@@ -246,8 +246,123 @@ object Similarity {
       labels.join(sizes, "cluster_id")
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Embedding-family SURVIVOR list — the keep-list the MinHash path
+    // (q76) and the CDC path (q119) already have: q77's cluster labels
+    // drop every non-canonical member (min vec_id per component is the
+    // canonical, the same convention as both siblings) and the corpus
+    // anti-joins them out. Completes the symmetric
+    // cluster→survivors loop for all three near-dup modalities; the
+    // labels come from [[Dedup.cachedComponents]] under the same cache
+    // key as q77, so running both costs ONE component computation. The
+    // anti-join is hash-keyed on vec_id — linear, broadcast-able
+    // dropped side (components are tiny relative to the corpus).
+    "q122_embedding_dedup_keep" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val edges = ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
+        .filter(col("cos") >= 0.4)
+        .select(col("probe_id").as("doc_a"), col("vec_id").as("doc_b"))
+      val dropped = Dedup.cachedComponents(s, "emb:" + d)(edges)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), size(col("embedding")).as("n_dims"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // PRODUCT-QUANTIZATION ANN (the third ANN family, after IVF q31 and
+    // hyperplane-LSH q102) — the MEMORY-compression scale path: each
+    // 64-d float vector encodes to 8 4-bit codes (one nearest-codebook
+    // entry per 8-dim subspace), so a 100 TB float corpus becomes an
+    // 8-byte-per-vector code table that FITS IN EXECUTOR MEMORY, and
+    // search is asymmetric-distance table lookups (ADC, Jégou et al.
+    // 2011) instead of float dot products. Codebooks come from the same
+    // deterministic multiplicative-hash sample rule as the IVF
+    // centroids (16 vectors; their j-th subvectors are subspace j's
+    // codes), so training is a bounded 16-row collect and the whole
+    // algorithm — encode argmin (tie → smaller code), per-probe
+    // distance tables, j-ordered lookup sums — is integer/left-fold-
+    // double deterministic and replayed bit-exactly by the oracle.
+    // One typed pass over the corpus (codes + ADC in the same
+    // flatMap; per-task table cost is 10 probes × 128 doubles), emits
+    // ~probes·n slim rows into the heap top-k: map-side dominated,
+    // nothing vector-sized shuffles.
+    "q123_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      // bounded driver collects: 16 codebook vectors + 10 probes (both
+      // constants, not data-sized — the IVF-centroid precedent)
+      val sample: Array[Array[Float]] = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+          col("vec_id"))
+        .limit(PqKs).collect().map(_.getSeq[Float](1).toArray)
+      val probes: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val bcCb = s.sparkContext.broadcast(sample)
+      val bcPr = s.sparkContext.broadcast(probes)
+      val scored = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          val pr = bcPr.value
+          // ADC tables, once per task: dt(probe)(subspace)(code)
+          val dt = pr.map { case (_, pv) =>
+            Array.tabulate(PqM, cb.length)((j, c) =>
+              pqSubDist(pv, cb(c), j)) }
+          it.flatMap { case (id, v) =>
+            val codes = Array.tabulate(PqM) { j =>
+              var best = 0
+              var bd = Double.MaxValue
+              var c = 0
+              while (c < cb.length) {
+                val dd = pqSubDist(v, cb(c), j)
+                if (dd < bd) { bd = dd; best = c } // strict < : tie → smaller code
+                c += 1
+              }
+              best
+            }
+            pr.indices.iterator.filter(pi => pr(pi)._1 != id).map { pi =>
+              var ad = 0.0
+              var j = 0
+              while (j < PqM) { ad += dt(pi)(j)(codes(j)); j += 1 } // j-ordered
+              (pr(pi)._1, id, ad)
+            }
+          }
+        }.toDF("probe_id", "vec_id", "adist")
+      graft.plans.TopKPerGroup.topK(scored, Seq("probe_id"),
+          Seq("adist" -> true, "vec_id" -> true), 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("vec_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy(col("probe_id"), col("rk"))
     })
   )
+
+  /** PQ geometry: 8 subspaces × 8 dims over the 64-d embeddings, 16
+    * codes per subspace → 8×4 bits = one long per vector. */
+  val PqM = 8
+  val PqDim = 8
+  val PqKs = 16
+
+  /** Left-fold double dot of the `j`-th 8-dim subvectors. */
+  private def pqSubDot(a: Array[Float], b: Array[Float], j: Int): Double = {
+    val o = j * PqDim
+    var acc = 0.0
+    var i = 0
+    while (i < PqDim) { acc += a(o + i).toDouble * b(o + i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Squared L2 between `j`-th subvectors as dxx - 2·dxc + dcc with
+    * left-fold dots — the EXACT op order the oracle's
+    * `list_dot_product` formulation evaluates, so encode argmins and
+    * ADC sums agree bit-for-bit across engines. */
+  private def pqSubDist(x: Array[Float], c: Array[Float], j: Int): Double =
+    pqSubDot(x, x, j) - 2 * pqSubDot(x, c, j) + pqSubDot(c, c, j)
 
   /** IVF search shared by q31 (few probes, broadcast) and q73 (corpus =
     * probes, keyed shuffle join): deterministic √n-sized centroid sample →
@@ -446,6 +561,80 @@ object Similarity {
       s"""WITH ${ivfCtes(probeWhere = "")}
          SELECT probe_id AS src_id, rk, vec_id AS nbr_id, cos FROM ranked
          WHERE rk <= 3 ORDER BY src_id, rk""",
+
+    // Full PQ replay: same 16-vector codebook sample rule, same
+    // subspace slices, the same dxx - 2·dxc + dcc subdistance (each dot
+    // a left-fold over the cast DOUBLE[] slice — bit-identical to the
+    // Scala loop), encode argmin with the same tie rule, and the ADC
+    // sum pivoted to an explicit left-associated d0+…+d7 chain so the
+    // float summation ORDER matches the Scala j-loop exactly.
+    "q123_ann_pq" ->
+      """WITH cb AS (
+           SELECT crn - 1 AS code, embedding AS cv FROM (
+             SELECT embedding, row_number() OVER (
+               ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
+             FROM embeddings) WHERE crn <= 16),
+         subs AS (SELECT j FROM range(0, 8) t(j)),
+         enc_d AS (
+           SELECT e.vec_id, s.j, c.code,
+             list_dot_product(e.embedding[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               e.embedding[s.j*8+1 : s.j*8+8]::DOUBLE[])
+             - 2*list_dot_product(e.embedding[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[])
+             + list_dot_product(c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[]) AS d
+           FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c),
+         enc AS (
+           SELECT vec_id, j, code FROM (
+             SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rk
+             FROM enc_d) WHERE rk = 1),
+         dt AS (
+           SELECT vec_id AS probe_id, j, code, d FROM enc_d
+           WHERE vec_id < 10),
+         ad AS (
+           SELECT t.probe_id, x.vec_id,
+             (max(CASE WHEN x.j = 0 THEN t.d END)
+              + max(CASE WHEN x.j = 1 THEN t.d END)
+              + max(CASE WHEN x.j = 2 THEN t.d END)
+              + max(CASE WHEN x.j = 3 THEN t.d END)
+              + max(CASE WHEN x.j = 4 THEN t.d END)
+              + max(CASE WHEN x.j = 5 THEN t.d END)
+              + max(CASE WHEN x.j = 6 THEN t.d END)
+              + max(CASE WHEN x.j = 7 THEN t.d END)) AS adist
+           FROM enc x JOIN dt t
+             ON t.j = x.j AND t.code = x.code AND t.probe_id <> x.vec_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT probe_id, vec_id, adist,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY adist, vec_id) AS rk
+           FROM ad)
+         SELECT probe_id, rk, vec_id, round(adist, 6) AS adist FROM ranked
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // q77's label chain, then q119's survivor filter: docs outside any
+    // component, plus the min-id canonical of each component.
+    "q122_embedding_dedup_keep" ->
+      s"""WITH RECURSIVE ${ivfCtes(probeWhere = "")},
+         knn AS (
+           SELECT probe_id AS a, vec_id AS b FROM ranked
+           WHERE rk <= 3 AND cos >= 0.4),
+         edges AS (
+           SELECT a AS s, b AS e FROM knn
+           UNION ALL SELECT b, a FROM knn),
+         reach(src, node) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.src, g.e FROM reach r JOIN edges g ON r.node = g.s),
+         labels AS (
+           SELECT src AS vec_id, min(node) AS cluster_id
+           FROM reach GROUP BY src)
+         SELECT e.vec_id, len(e.embedding) AS n_dims
+         FROM embeddings e
+         WHERE e.vec_id NOT IN
+           (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
+         ORDER BY e.vec_id""",
 
     // q73's knn edges at cosine ≥ 0.4, then the same recursive
     // transitive-closure clustering as q72's oracle.

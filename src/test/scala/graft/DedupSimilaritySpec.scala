@@ -156,6 +156,55 @@ class DedupSimilaritySpec extends TestSpark {
     assert(labels.keySet == onEdges)
   }
 
+  test("q122 embedding survivor list partitions the corpus against q77's clusters") {
+    // the keep-list contract all three near-dup families share
+    // (q76/q119/q122): survivors = everything outside a cluster, plus
+    // exactly the min-id canonical of each cluster
+    val labels = Similarity.queries("q77_embedding_dedup")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val survivors = Similarity.queries("q122_embedding_dedup_keep")(spark, sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val corpus = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(labels.nonEmpty, "fixture should produce embedding clusters")
+    assert(survivors.size < corpus.size, "clusters exist, so some doc must drop")
+    // unclustered vectors all survive
+    assert(corpus.diff(labels.keySet).subsetOf(survivors))
+    // per cluster: the canonical (min = cluster_id) survives, others drop
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(survivors.contains(cid), s"canonical $cid was dropped")
+      members.keys.filter(_ != cid).foreach(m =>
+        assert(!survivors.contains(m), s"non-canonical $m of cluster $cid survived"))
+    }
+  }
+
+  test("q123 PQ ANN: well-formed per-probe ranking and ADC tracks exact cosine") {
+    val pq = Similarity.queries("q123_ann_pq")(spark, sf0001).collect()
+    assert(pq.length == 50, s"expected 10 probes x 5, got ${pq.length}")
+    pq.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5),
+        s"probe $p ranks malformed")
+      val ds = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("adist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"probe $p approximate distances not non-decreasing: ${ds.mkString(",")}")
+    }
+    // approximation quality: 16 codes/subspace over near-random 64-d
+    // vectors is deliberately coarse, so pin the DIRECTIONAL contract —
+    // PQ's top-5 lands inside the exact cosine top-50 (10% of the
+    // corpus) far above chance (~5 of 50 expected at random; fixture
+    // measures 21)
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact50 = Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 50)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+      .count(exact50.contains)
+    assert(hits >= 12,
+      s"PQ top-5 only $hits/50 inside exact top-50 — ADC lost the signal (chance ≈ 5)")
+    info(s"PQ top-5 ∩ exact top-50 = $hits/50")
+  }
+
   test("connected components: 300-node chain converges (diameter >> any iteration cap)") {
     // A chain is the worst case for plain min-label propagation (one
     // label hop per round — the round-3 algorithm capped at 50 rounds and
