@@ -68,6 +68,34 @@ object StorageOps {
           round(sum(col("o_totalprice")), 2).as("total_price"),
           date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Gzipped-JSONL roundtrip — THE training-data exchange format (one
+    // JSON object per line, gzip per file): documents export with their
+    // token count as metadata, re-ingest through the json source with
+    // an explicit schema (schema inference would re-scan — never at
+    // 100 TB), and the per-lang rollup over the read-back rows must
+    // equal the oracle's rollup over the parquet source, which holds
+    // only if every value (unicode text lengths included) survives the
+    // JSON encode/decode. gzip is per-file whole-stream compression —
+    // NOT splittable, so the write sizes files via the partition count
+    // and a 100 TB export tunes partitions, not maxPartitionBytes, for
+    // the downstream reader's parallelism.
+    "q124_jsonl_roundtrip" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s, "q124_jsonl_sink")
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          // literal-space split with empties kept: identical semantics in
+          // Spark's split(-1 limit) and DuckDB's string_split, so the
+          // token metadata needs no regex-dialect reconciliation
+          size(split(col("text"), " ", -1)).as("n_ws_tokens"))
+      docs.write.mode("overwrite").option("compression", "gzip").json(dir)
+      s.read.schema(docs.schema).json(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("n_ws_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -81,6 +109,11 @@ object StorageOps {
       """SELECT o_orderstatus, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS total_price,
          strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q124_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

@@ -74,6 +74,21 @@ class PlanSpec extends TestSpark {
       s"q118 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
   }
 
+  test("q123 PQ ANN: one typed pass, one hash exchange into the heap top-k") {
+    // the ADC scan emits slim (probe, vec, adist) rows map-side; the
+    // only hash shuffle is the heap top-k's partial→final exchange on
+    // probe_id (the rank window reuses its partitioning). A second
+    // data-sized shuffle would mean vectors or candidates are moving —
+    // the thing PQ codes exist to avoid
+    val df = graft.functions.Similarity.queries("q123_ann_pq")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q123 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
+  }
+
   test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
     // round-1 regression: assignment used groupBy(vec_id, embedding) and
     // shuffled every vector. Now assignment is a map-side argmax over
