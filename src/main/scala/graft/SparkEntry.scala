@@ -26,8 +26,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * (q32, q93-q94, q121),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
-  * storage layout
-  * (q84, q87), and Structured Streaming incl. the watermark+append
+  * storage layout and interchange
+  * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing
+  * (q125 deterministic per-source rebalancing),
+  * and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,
   * event-time-timer sessions, and the foreachBatch exactly-once sink
   * (q33-q36, q46, q52-q54, q64-q66, q69-q70, q82, q105 stream-static

@@ -142,6 +142,33 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
+    // DATA-MIXTURE resampling — the training-data "mixing" operator
+    // q61/q95 don't cover: rebalance the corpus TOWARD equal per-source
+    // shares under a half-corpus budget. Per-source rate = min(1,
+    // (N/2k)/n_s): undersupplied sources keep everything, oversupplied
+    // ones downsample deterministically. Membership is the q61
+    // content-hash rule upgraded to a 24-bit threshold, folded into ONE
+    // integer inequality (h6·2k·n_s < N·16^6 — no doubles, no RNG; safe
+    // in long arithmetic while a source holds < ~2^39/2k docs, far past
+    // any real per-source count), so any worker decides membership
+    // locally and the oracle replays it exactly. Plan: one k-row counts
+    // aggregate broadcast back over a 2-column pushdown scan — the only
+    // wide shuffle is the final k-group count.
+    "q125_source_mixing" -> ((s, d) => {
+      val docs = documents(s, d).select(col("source"),
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long").as("h6"))
+      val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val grand = totals.agg(sum(col("n_total")).as("n"), count(lit(1)).as("k"))
+      val rates = totals.crossJoin(broadcast(grand))
+      docs.join(broadcast(rates), "source")
+        .filter(col("h6") * lit(2L) * col("k") * col("n_total")
+          < col("n") * lit(16777216L))
+        .groupBy(col("source"), col("n_total"))
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("source"), col("n_total"), col("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // TF-IDF top terms per document: tokenize → per-doc term frequency →
     // document frequency → tf·ln(N/df), top-3 terms per doc. The df
     // relation is vocabulary-sized (partial-aggregated); the per-doc
@@ -310,6 +337,22 @@ object PipelineOps {
          count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0', '1'))
            AS n_sampled
          FROM documents GROUP BY lang ORDER BY lang""",
+    // mixing replay: same 24-bit hex fold (the q110 technique), same
+    // integer keep inequality, same k-row counts
+    "q125_source_mixing" ->
+      """WITH h AS (
+           SELECT source, list_reduce(list_prepend(0::BIGINT,
+             [strpos('0123456789abcdef', c)::BIGINT - 1
+              for c in string_split(substr(md5(text), 1, 6), '')]),
+             (a, x) -> a * 16 + x) AS h6
+           FROM documents),
+         tot AS (SELECT source, count(*) AS n_total FROM h GROUP BY source),
+         g AS (SELECT CAST(sum(n_total) AS BIGINT) AS n, count(*) AS k FROM tot)
+         SELECT t.source, t.n_total,
+           count(*) FILTER (WHERE h.h6 * 2 * g.k * t.n_total < g.n * 16777216)
+             AS n_kept
+         FROM h JOIN tot t USING (source) CROSS JOIN g
+         GROUP BY 1, 2 ORDER BY t.source""",
     "q67_latest_per_key" ->
       """SELECT user_id, event_id, event_type,
          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts

@@ -72,6 +72,36 @@ class PipelineOpsSpec extends TestSpark {
     assert(rate > 0.05 && rate < 0.25, s"sample rate $rate far from 2/16")
   }
 
+  test("q125 source mixing: undersupplied sources keep all, oversupplied downsample") {
+    // the fixture's sources are uniform (rates all equal), so the
+    // rebalancing regime needs a skewed corpus: web=400, books=90,
+    // code=10 with N=500, k=3 → equal-share budget N/2k ≈ 83 docs.
+    // Expected: code keeps ALL 10 (rate clamps at 1), books ~83 of 90,
+    // web ~83 of 400 — realized rates inversely ordered to supply.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q125_mix").toString
+    val rows =
+      (0 until 400).map(i => (i.toLong, s"alpha doc $i ${i * 2654435761L}", "en", "web", 20)) ++
+        (400 until 490).map(i => (i.toLong, s"beta doc $i ${i * 40503L}", "en", "books", 20)) ++
+        (490 until 500).map(i => (i.toLong, s"gamma doc $i ${i * 69069L}", "en", "code", 20))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out1 = PipelineOps.queries("q125_source_mixing")(spark, dir).collect()
+    val out2 = PipelineOps.queries("q125_source_mixing")(spark, dir).collect()
+    assert(out1.sameElements(out2), "content-hash membership must be deterministic")
+    val m = out1.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_total"), r.getAs[Long]("n_kept")))).toMap
+    assert(m("code") == ((10L, 10L)), "undersupplied source must keep every doc")
+    val (webT, webK) = m("web")
+    val (bookT, bookK) = m("books")
+    assert(webT == 400L && bookT == 90L)
+    assert(webK > 40 && webK < 130, s"web kept $webK, want ~83 (equal share)")
+    assert(bookK > 55 && bookK <= 90, s"books kept $bookK, want ~83")
+    assert(webK.toDouble / webT < bookK.toDouble / bookT,
+      "realized rates must order inversely to supply")
+    assert(out1.map(_.getAs[Long]("n_kept")).sum <= 250, "half-corpus budget exceeded")
+  }
+
   test("tf-idf: top terms are per-doc distinct and scores non-increasing") {
     val rows = PipelineOps.queries("q62_tfidf_top_terms")(spark, sf0001).collect()
     rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
