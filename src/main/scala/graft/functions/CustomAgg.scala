@@ -27,6 +27,53 @@ object CustomAgg {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Buffer of [[KmvDistinct]]: the ≤ K smallest DISTINCT md5 hex keys
+    * seen so far, sorted ascending (fixed-width lowercase hex sorts
+    * numerically). */
+  case class KmvB(mins: Array[String])
+
+  /** Bounded k-minimum-values distinct sketch as a mergeable Aggregator
+    * — the streaming-capable form of the batch KMV (q110/q112): the
+    * buffer is the ≤ 64 smallest distinct hash keys, reduce/merge keep
+    * that invariant with O(K) work, and finish applies the IDENTICAL
+    * estimator arithmetic as the batch path (hex→long over the first 15
+    * digits, division order preserved, half-up 4-dp round). KMV of a
+    * SET is order-independent, so partial aggregation, shuffle order,
+    * and state-store checkpointing between micro-batches all produce
+    * the same answer — which is why a streaming run can share an exact
+    * batch oracle. State per group is K×32 chars ≈ 2 KB, bounded at any
+    * stream length. */
+  object KmvDistinct extends Aggregator[String, KmvB, Double] {
+    val K = 64
+    def zero: KmvB = KmvB(Array.empty)
+    def reduce(b: KmvB, h: String): KmvB = insert(b, h)
+    def merge(a: KmvB, b: KmvB): KmvB = b.mins.foldLeft(a)(insert)
+    def finish(b: KmvB): Double =
+      if (b.mins.length < K) b.mins.length.toDouble
+      else {
+        val kth = b.mins(K - 1)
+        var v = 0L
+        var i = 0
+        while (i < 15) { v = v * 16 + Character.digit(kth.charAt(i), 16); i += 1 }
+        java.math.BigDecimal
+          .valueOf((K - 1).toDouble / (v / 1152921504606846976.0))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    private def insert(b: KmvB, h: String): KmvB = {
+      val m = b.mins
+      // fast path: full sketch and h can't displace anything (≥ the kth
+      // min covers duplicates of it too)
+      if (m.length == K && h >= m(K - 1)) b
+      else if (m.contains(h)) b
+      else {
+        val nb = (m :+ h).sorted
+        KmvB(if (nb.length > K) nb.take(K) else nb)
+      }
+    }
+    def bufferEncoder: Encoder[KmvB] = Encoders.product[KmvB]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Geometric mean of extended price per return flag through the custom
     // Aggregator; oracle = exp(avg(ln x)). Σ ln x is order-sensitive in

@@ -191,6 +191,28 @@ object StreamingQueries {
         .orderBy(col("segment"))
     }),
 
+    // SKETCHES INSIDE STREAMING STATE — the monitoring pattern a 100 TB
+    // pipeline runs continuously: per-type distinct-user cardinality via
+    // the mergeable KMV Aggregator ([[graft.functions.CustomAgg
+    // .KmvDistinct]]) as the streaming aggregate, so state per group is
+    // a BOUNDED 64-hash sketch (~2 KB) no matter how many users flow
+    // through — where an exact streaming countDistinct would hold every
+    // key forever. KMV of a set is order-independent, so micro-batch
+    // boundaries, shuffle order, and state-store checkpoints cannot
+    // change the answer — the oracle replays the batch arithmetic
+    // exactly (same k-smallest selection, same hex fold, same division
+    // order) rather than settling for a rows-only check.
+    "q126_stream_kmv_users" -> ((s, d) => {
+      val kmv = udaf(graft.functions.CustomAgg.KmvDistinct)
+      runStream(s, d, "events", "sink_kmv") { src =>
+        src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            kmv(md5(col("user_id").cast("string"))).as("est_users"))
+      }
+        .select(col("event_type"), col("n_events"), col("est_users"))
+        .orderBy(col("event_type"))
+    }),
+
     "q54_stream_stream_join" -> ((s, d) => {
       val path = s"$d/events.parq*"
       graft.Tables.nanosTs(s)
@@ -359,6 +381,33 @@ object StreamingQueries {
          round(sum(e.value), 6) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey - 1
          GROUP BY c.c_mktsegment ORDER BY segment""",
+    // streaming KMV replay: per-type k-smallest distinct md5 keys, the
+    // q110 hex fold and division order, exact-count branch under k
+    "q126_stream_kmv_users" ->
+      """WITH keys AS (
+           SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
+           FROM events),
+         ranked AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM keys),
+         agg AS (
+           SELECT event_type,
+             count(*) FILTER (WHERE rn <= 64) AS k_used,
+             max(CASE WHEN rn = 64 THEN h END) AS kth
+           FROM ranked GROUP BY event_type),
+         ev AS (
+           SELECT event_type, count(*) AS n_events FROM events
+           GROUP BY event_type)
+         SELECT e.event_type, e.n_events,
+           CASE WHEN a.k_used < 64 THEN CAST(a.k_used AS DOUBLE)
+           ELSE round(63.0 / (list_reduce(list_prepend(0::BIGINT,
+             [strpos('0123456789abcdef', c)::BIGINT - 1
+              for c in string_split(substr(a.kth, 1, 15), '')]),
+             (acc, x) -> acc * 16 + x) / 1152921504606846976.0), 4)
+           END AS est_users
+         FROM ev e JOIN agg a USING (event_type)
+         ORDER BY e.event_type""",
     "q54_stream_stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
          p.event_id AS purchase_id,

@@ -412,4 +412,32 @@ class StreamingSpec extends TestSpark {
     assert(batch.nonEmpty && batch.sameElements(streamed),
       s"batch sessions (${batch.length}) != streaming sessions (${streamed.length})")
   }
+
+  test("q126 streaming KMV sketch == its batch twin, near the exact cardinality") {
+    // KMV of a set is order-independent, so the streaming run (state
+    // store, micro-batch boundaries) must produce BIT-identical output
+    // to the same Aggregator over a batch read
+    val streamed = StreamingQueries.queries("q126_stream_kmv_users")(spark, sf0001)
+      .collect()
+    val kmv = udaf(graft.functions.CustomAgg.KmvDistinct)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        kmv(md5(col("user_id").cast("string"))).as("est_users"))
+      .orderBy(col("event_type"))
+      .collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming KMV diverged from the batch aggregation")
+    // and the sketch estimates the truth within the k=64 design band
+    val exact = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { r =>
+      val est = r.getAs[Double]("est_users")
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(est - ex) / ex < 0.5,
+        s"${r.getString(0)}: estimate $est vs exact $ex outside 50%")
+    }
+  }
 }
