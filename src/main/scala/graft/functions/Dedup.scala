@@ -72,13 +72,30 @@ object Dedup {
       .toDF("doc_id", "shingles")
   }
 
+  /** Persisted relations per session UUID (shared shingles, q99's
+    * filtered shingles, q120's positional grams), tracked so
+    * [[releaseCaches]] can unpersist them — the same teardown contract
+    * TextQueries exposes. CacheManager dedupes by canonicalized plan, so
+    * re-registering an equivalent plan costs nothing. */
+  private val persistCache = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistCache.synchronized {
+      persistCache.getOrElseUpdate(sessionKey(df.sparkSession),
+        scala.collection.mutable.ListBuffer.empty) += p
+    }
+    p
+  }
+
   /** The shingle relation persisted for the lifetime of a query that
     * consumes it several times (signatures + both verification joins).
     * Spark's CacheManager dedupes by canonicalized plan, so repeated calls
     * reuse one cache entry; MEMORY_AND_DISK spills instead of OOMing when
     * the corpus outgrows executor memory at large SF. */
   def sharedShingles(s: SparkSession, d: String): DataFrame =
-    docShingles(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked(docShingles(s, d))
 
   // ---- MinHash parameters (fixed seed → fully deterministic plans) ----
   // 32 bands × 4 rows: P(miss) at j≥0.8 is (1-0.8⁴)³² ≈ 5e-8 per pair —
@@ -253,8 +270,7 @@ object Dedup {
     // synthetic-boilerplate spec shows it collapsing quadratic candidate
     // growth when it is.
     "q99_dedup_stop_shingle" -> ((s, d) => {
-      val filtered = stopShingleFiltered(sharedShingles(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val filtered = tracked(stopShingleFiltered(sharedShingles(s, d)))
       verifyJaccardWith(filtered,
         candidatesFromSignatures(signaturesFromShingles(s, filtered)))
         .filter(col("jaccard") >= 0.8)
@@ -453,7 +469,7 @@ object Dedup {
     // one per token, key fixed-width (the raw ~50-char gram text never
     // shuffles); md5 is replayed by the oracle so both engines join on
     // identical keys.
-    val grams = docs.select(col("doc_id"), col("text"))
+    val grams = tracked(docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         val toks = graft.functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
@@ -462,8 +478,7 @@ object Dedup {
       }
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"),
-        substring(md5(col("gram")), 1, 16).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        substring(md5(col("gram")), 1, 16).as("g")))
     // hot-gram guard (q117's 2..64 df cap): a boilerplate gram in
     // thousands of docs would blow the self-join quadratically; df is
     // DISTINCT docs so in-doc repeats don't evict a gram.
@@ -582,12 +597,19 @@ object Dedup {
   private val labelsCache =
     scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
-  /** Unpersist this session's cached cluster labels (test/app teardown,
-    * or between corpus versions in a long-lived session). */
-  def releaseCaches(s: SparkSession): Unit = labelsCache.synchronized {
-    val id = sessionKey(s)
-    labelsCache.filterInPlace { case ((sid, _), df) =>
-      if (sid == id) { df.unpersist(); false } else true
+  /** Unpersist this session's cached cluster labels AND tracked persisted
+    * relations (shared shingles, q99's filtered shingles, q120's grams)
+    * — test/app teardown, or between corpus versions in a long-lived
+    * session. */
+  def releaseCaches(s: SparkSession): Unit = {
+    labelsCache.synchronized {
+      val id = sessionKey(s)
+      labelsCache.filterInPlace { case ((sid, _), df) =>
+        if (sid == id) { df.unpersist(); false } else true
+      }
+    }
+    persistCache.synchronized {
+      persistCache.remove(sessionKey(s)).foreach(_.foreach(_.unpersist()))
     }
   }
 

@@ -160,13 +160,35 @@ object Multimodal {
     * all-pairs path. Blobs never shuffle: only (doc_id, hash) and
     * (doc_id, block) rows leave the map side. Public so the spec can
     * drive synthetic re-encoded duplicates through the production path. */
+  /** Persisted relations per session UUID (q121's hash relation),
+    * tracked so [[releaseCaches]] can unpersist them — the same teardown
+    * contract Dedup/Similarity/TextQueries expose. */
+  private val persistCache = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistCache.synchronized {
+      persistCache.getOrElseUpdate(
+        graft.Tables.sessionKey(df.sparkSession),
+        scala.collection.mutable.ListBuffer.empty) += p
+    }
+    p
+  }
+
+  /** Unpersist this session's cached relations (test/app teardown). Only
+    * call once no outstanding DataFrame still references them. */
+  def releaseCaches(s: SparkSession): Unit = persistCache.synchronized {
+    persistCache.remove(graft.Tables.sessionKey(s))
+      .foreach(_.foreach(_.unpersist()))
+  }
+
   def phashPairs(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
-    val hashes = media.select(col("doc_id"), col("img"))
+    val hashes = tracked(media.select(col("doc_id"), col("img"))
       .as[(Long, Array[Byte])]
       .map { case (id, img) => (id, aHash64(img)) }
-      .toDF("doc_id", "ah")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "ah"))
     val blocks = hashes.as[(Long, Long)]
       .flatMap { case (id, hash) =>
         (0 until 5).map { k =>

@@ -161,10 +161,12 @@ object PipelineOps {
       val grand = totals.agg(sum(col("n_total")).as("n"), count(lit(1)).as("k"))
       val rates = totals.crossJoin(broadcast(grand))
       docs.join(broadcast(rates), "source")
-        .filter(col("h6") * lit(2L) * col("k") * col("n_total")
-          < col("n") * lit(16777216L))
         .groupBy(col("source"), col("n_total"))
-        .agg(count(lit(1)).as("n_kept"))
+        // conditional SUM, not filter-then-count: a source whose docs all
+        // hash above the threshold must still appear with n_kept = 0,
+        // exactly as the oracle's count(*) FILTER emits it
+        .agg(sum(when(col("h6") * lit(2L) * col("k") * col("n_total")
+          < col("n") * lit(16777216L), 1L).otherwise(0L)).as("n_kept"))
         .select(col("source"), col("n_total"), col("n_kept"))
         .orderBy(col("source"))
     }),

@@ -34,5 +34,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     graft.functions.Dedup.releaseCaches(spark)
     graft.functions.Similarity.releaseCaches(spark)
     graft.functions.TextQueries.releaseCaches(spark)
+    graft.operators.Multimodal.releaseCaches(spark)
   }
 }
