@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dedup and clustering (q26-q29, q67-q68, q72,
   * q74, q76-q77, q88, q99 stop-shingle LSH, q116/q117/q119 CDC
   * chunk-level dedup: per-doc sharing, duplicate pairs, and the
-  * clustered survivor list, q120 exact shared-span pairs),
+  * clustered survivor list, q120 exact shared-span pairs, q127
+  * incremental delta-vs-corpus near-dedup with broadcast delta bands),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
   * q123 product-quantization ANN — 8-byte codes + ADC table search,

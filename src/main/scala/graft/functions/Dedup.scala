@@ -168,15 +168,21 @@ object Dedup {
     * production runs report candidate volume from the main action — no
     * second job; DedupSimilaritySpec reads it to pin bucket-explosion
     * bounds. */
-  def candidatesFromSignatures(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bucket) rows from a signature relation — the LSH
+    * banding shared by the self-join (q27/q99) and the delta-vs-corpus
+    * join (q127). */
+  def bandedBuckets(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { j =>
       val slice = (0 until RowsPerBand)
         .map(r => element_at(col("sig"), j * RowsPerBand + r + 1))
       struct(lit(j).as("band"), xxhash64(slice: _*).as("bucket"))
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+  }
+
+  def candidatesFromSignatures(sig: DataFrame): DataFrame = {
+    val banded = bandedBuckets(sig)
     banded.alias("l")
       .join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
@@ -273,6 +279,39 @@ object Dedup {
       val filtered = tracked(stopShingleFiltered(sharedShingles(s, d)))
       verifyJaccardWith(filtered,
         candidatesFromSignatures(signaturesFromShingles(s, filtered)))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // INCREMENTAL (delta-vs-corpus) near-dedup — the admission filter an
+    // ingestion pipeline runs per batch: does a NEW batch (source
+    // 'src0' stands in for today's ingest) near-duplicate anything
+    // already in the corpus? The plan shape is the 100 TB
+    // differentiator vs q27's self-join: one shared shingle scan feeds
+    // both sides' signatures, and the candidate join BROADCASTS the
+    // delta's bands (a day's ingest ≪ the corpus) against the corpus
+    // bands — THE CORPUS SIDE NEVER SHUFFLES for candidates, and at
+    // scale the corpus bands/signatures would be precomputed once and
+    // appended per batch. Candidates verify with exact Jaccard through
+    // the same cached shingle relation. Recall: identical 32×4 banding
+    // to q27 (per-pair miss ≈ 5e-8 at j ≥ 0.8), so the exact
+    // cross-partition join is the oracle; output = (delta doc, corpus
+    // doc, jaccard).
+    "q127_delta_dedup" -> ((s, d) => {
+      val sh = sharedShingles(s, d)
+      val sig = signaturesFromShingles(s, sh)
+      val deltaIds = documents(s, d).filter(col("source") === "src0")
+        .select(col("doc_id"))
+      val bands = bandedBuckets(sig)
+      val deltaBands = bands.join(deltaIds, "doc_id")
+      val baseBands = bands.join(deltaIds, Seq("doc_id"), "left_anti")
+      val cands = baseBands.alias("b")
+        .join(broadcast(deltaBands.alias("dl")),
+          col("b.band") === col("dl.band") && col("b.bucket") === col("dl.bucket"))
+        .select(col("dl.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .observe("delta_candidates", count(lit(1)).as("n_candidates"))
+      verifyJaccardWith(sh, cands)
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -778,6 +817,35 @@ object Dedup {
          FROM documents GROUP BY content_hash ORDER BY keep_id""",
     "q27_dedup_minhash" -> exactJaccardSql,
     "q99_dedup_stop_shingle" -> stopFilteredJaccardSql,
+    // q127's oracle: the exact shingle-Jaccard join computed ACROSS the
+    // delta/corpus partition (same shingle fragment as q27/q29, pair
+    // space restricted to delta × non-delta; no a<b rule — the sides
+    // are disjoint sets)
+    "q127_delta_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+             FROM t WHERE len(toks) >= 3)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         delta AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN delta da ON a.doc_id = da.doc_id
+           JOIN sh b ON a.s = b.s
+           WHERE b.doc_id NOT IN (SELECT doc_id FROM delta)
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY doc_a, doc_b""",
     // Full algorithmic replay of q28: md5-derived 64-bit token hash,
     // sign-aggregated signature, C(8,2) block-pair banding, Hamming ≤ 12,
     // exact shingle-Jaccard ≥ 0.8 on the candidates. Shift semantics:

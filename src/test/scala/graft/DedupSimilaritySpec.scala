@@ -179,6 +179,24 @@ class DedupSimilaritySpec extends TestSpark {
     }
   }
 
+  test("q127 delta dedup finds exactly the cross-partition pairs the exact join finds") {
+    val res = Dedup.queries("q127_delta_dedup")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth: every delta×base pair through the exact
+    // Jaccard verifier (25 × 475 pairs — fine at spec scale)
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = docs.filter(col("source") === "src0")
+      .select(col("doc_id").as("doc_a"))
+      .crossJoin(docs.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("doc_b")))
+    val exact = Dedup.verifyJaccard(spark, sf0001, pairs)
+      .filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain cross-source near-dups")
+    assert(res == exact,
+      s"delta LSH missed ${exact -- res} / false positives ${res -- exact}")
+  }
+
   test("q123 PQ ANN: well-formed per-probe ranking and ADC tracks exact cosine") {
     val pq = Similarity.queries("q123_ann_pq")(spark, sf0001).collect()
     assert(pq.length == 50, s"expected 10 probes x 5, got ${pq.length}")
