@@ -81,6 +81,28 @@ object StorageOps {
     // NOT splittable, so the write sizes files via the partition count
     // and a 100 TB export tunes partitions, not maxPartitionBytes, for
     // the downstream reader's parallelism.
+    // ORC roundtrip — the OTHER columnar warehouse format (completing
+    // the interchange matrix: CSV q87, JSONL q124, ORC here; parquet is
+    // the native fixture format): the 5 hot lineitem columns land as
+    // ORC, read back under the original schema (TIMESTAMP_NTZ included
+    // — the type most likely to drift across formats), and the
+    // returnflag rollup must equal the oracle's rollup over the parquet
+    // source. Column pruning and predicate pushdown work on ORC scans
+    // the same as parquet, so the layout story carries over unchanged.
+    "q128_orc_roundtrip" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s, "q128_orc_sink")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      li.write.mode("overwrite").orc(dir)
+      s.read.schema(li.schema).orc(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q124_jsonl_roundtrip" -> ((s, d) => {
       val dir = graft.Tables.scratchDir(s, "q124_jsonl_sink")
       val docs = documents(s, d)
@@ -114,6 +136,12 @@ object StorageOps {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS sum_chars,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q128_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
