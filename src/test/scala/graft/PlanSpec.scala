@@ -89,6 +89,22 @@ class PlanSpec extends TestSpark {
       s"q123 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
   }
 
+  test("q127 delta dedup: delta bands broadcast, one hash exchange (candidates only)") {
+    // the incremental-ingestion contract: the corpus-sized shingle/band
+    // relations never hash-shuffle — the delta's bands broadcast into
+    // the candidate join, and the only hash exchange is the tiny
+    // candidate-pair distinct
+    val df = graft.functions.Dedup.queries("q127_delta_dedup")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q127 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      "delta ids/bands must reach the joins as broadcasts")
+  }
+
   test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
     // round-1 regression: assignment used groupBy(vec_id, embedding) and
     // shuffled every vector. Now assignment is a map-side argmax over
