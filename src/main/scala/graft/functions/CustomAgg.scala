@@ -46,7 +46,11 @@ object CustomAgg {
   object KmvDistinct extends Aggregator[String, KmvB, Double] {
     val K = 64
     def zero: KmvB = KmvB(Array.empty)
-    def reduce(b: KmvB, h: String): KmvB = insert(b, h)
+    // null-safe: a null input hash (md5 of a null key) contributes
+    // nothing, matching what count(DISTINCT ...) semantics would do —
+    // without the guard, insert's (m :+ null).sorted NPEs (round-9
+    // advisor finding).
+    def reduce(b: KmvB, h: String): KmvB = if (h == null) b else insert(b, h)
     def merge(a: KmvB, b: KmvB): KmvB = b.mins.foldLeft(a)(insert)
     def finish(b: KmvB): Double =
       if (b.mins.length < K) b.mins.length.toDouble

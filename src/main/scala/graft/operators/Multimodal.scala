@@ -152,14 +152,6 @@ object Multimodal {
     hash
   }
 
-  /** q121's engine over an arbitrary (doc_id, img) relation: hash every
-    * image map-side, then find pairs within Hamming ≤ 4 via the
-    * pigeonhole block join (5 blocks of 13/12 bits — a pair ≤ 4 bits
-    * apart must agree on ≥ 1 whole block, the q28 Manku rationale), and
-    * verify candidates exactly with bit_count(xor) — codegen'd, no
-    * all-pairs path. Blobs never shuffle: only (doc_id, hash) and
-    * (doc_id, block) rows leave the map side. Public so the spec can
-    * drive synthetic re-encoded duplicates through the production path. */
   /** Persisted relations per session UUID (q121's hash relation),
     * tracked so [[releaseCaches]] can unpersist them — the same teardown
     * contract Dedup/Similarity/TextQueries expose. */
@@ -183,6 +175,14 @@ object Multimodal {
       .foreach(_.foreach(_.unpersist()))
   }
 
+  /** q121's engine over an arbitrary (doc_id, img) relation: hash every
+    * image map-side, then find pairs within Hamming ≤ 4 via the
+    * pigeonhole block join (5 blocks of 13/12 bits — a pair ≤ 4 bits
+    * apart must agree on ≥ 1 whole block, the q28 Manku rationale), and
+    * verify candidates exactly with bit_count(xor) — codegen'd, no
+    * all-pairs path. Blobs never shuffle: only (doc_id, hash) and
+    * (doc_id, block) rows leave the map side. Public so the spec can
+    * drive synthetic re-encoded duplicates through the production path. */
   def phashPairs(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
     val hashes = tracked(media.select(col("doc_id"), col("img"))

@@ -41,7 +41,8 @@ object StorageOps {
     // aggregating the unpartitioned source, which is what the oracle
     // replays.
     "q84_partitioned_sink" -> ((s, d) => {
-      val dir = graft.Tables.scratchDir(s, "q84_part_sink")
+      val dir = graft.Tables.scratchDir(s,
+        "q84_part_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       events(s, d)
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
       s.read.parquet(dir)
@@ -59,7 +60,8 @@ object StorageOps {
     // the text roundtrip (doubles print shortest-roundtrip form; dates
     // ISO). SourceSinkSpec extends the same roundtrip to JSON and ORC.
     "q87_csv_roundtrip" -> ((s, d) => {
-      val dir = graft.Tables.scratchDir(s, "q87_csv_sink")
+      val dir = graft.Tables.scratchDir(s,
+        "q87_csv_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       val o = orders(s, d)
       o.write.mode("overwrite").option("header", "true").csv(dir)
       s.read.schema(o.schema).option("header", "true").csv(dir)
@@ -90,7 +92,10 @@ object StorageOps {
     // source. Column pruning and predicate pushdown work on ORC scans
     // the same as parquet, so the layout story carries over unchanged.
     "q128_orc_roundtrip" -> ((s, d) => {
-      val dir = graft.Tables.scratchDir(s, "q128_orc_sink")
+      // dataset-qualified scratch name (q82's convention): running both
+      // SFs in one session must not share a sink path (round-9 advisor)
+      val dir = graft.Tables.scratchDir(s,
+        "q128_orc_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
       li.write.mode("overwrite").orc(dir)
@@ -104,7 +109,8 @@ object StorageOps {
     }),
 
     "q124_jsonl_roundtrip" -> ((s, d) => {
-      val dir = graft.Tables.scratchDir(s, "q124_jsonl_sink")
+      val dir = graft.Tables.scratchDir(s,
+        "q124_jsonl_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
       val docs = documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
           // literal-space split with empties kept: identical semantics in
