@@ -53,6 +53,7 @@ object SparkEntry {
       operators.PipelineOps.queries ++
       operators.CorpusCleaning.queries ++
       operators.StorageOps.queries ++
+      operators.SignatureStore.queries ++
       operators.RelationalQueries.queries ++
       functions.TextQueries.queries ++
       functions.Dedup.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       operators.PipelineOps.oracles ++
       operators.CorpusCleaning.oracles ++
       operators.StorageOps.oracles ++
+      operators.SignatureStore.oracles ++
       operators.RelationalQueries.oracles ++
       functions.TextQueries.oracles ++
       functions.Dedup.oracles ++

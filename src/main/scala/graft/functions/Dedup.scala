@@ -65,12 +65,25 @@ object Dedup {
     * verification; one typed map pass. Callers that use it more than once
     * in a query should pass it through [[sharedShingles]] so the scan runs
     * once per query, not once per consumer. */
-  def docShingles(s: SparkSession, d: String): DataFrame = {
+  def docShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOfDocs(s, documents(s, d))
+
+  /** [[docShingles]] over an arbitrary (doc_id, text) relation — the form
+    * the signature store (q129/q130) builds from corpus slices, delta
+    * batches, and foreachBatch micro-batches. */
+  def shinglesOfDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, shingleSet(text)) }
       .toDF("doc_id", "shingles")
   }
+
+  /** A persisted [[shinglesOfDocs]] relation tracked for
+    * [[releaseCaches]] — the delta-batch twin of [[sharedShingles]]
+    * (admission consumes the delta's shingles three times: signatures,
+    * verification, survivor computation). */
+  private[graft] def trackedShingles(s: SparkSession, docs: DataFrame): DataFrame =
+    tracked(shinglesOfDocs(s, docs))
 
   /** Persisted relations per session UUID (shared shingles, q99's
     * filtered shingles, q120's positional grams), tracked so
@@ -239,10 +252,16 @@ object Dedup {
   def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame =
     verifyJaccardWith(sharedShingles(s, d), pairs)
 
-  def verifyJaccardWith(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  def verifyJaccardWith(sh: DataFrame, pairs: DataFrame): DataFrame =
+    verifyJaccardSides(sh, sh, pairs)
+
+  /** [[verifyJaccardWith]] with the two sides drawn from DIFFERENT
+    * shingle relations — the delta-vs-store shape (doc_a from the delta
+    * batch, doc_b from the materialized store). */
+  def verifyJaccardSides(shA: DataFrame, shB: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(shA.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sa"), col("sb")))
           / (size(col("sa")) + size(col("sb"))

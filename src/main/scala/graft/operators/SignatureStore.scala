@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** MATERIALIZED MinHash signature store — the persistent form of the
+  * incremental delta-vs-corpus near-dedup (q127), and its composition
+  * with the exactly-once streaming sink (q82) into the end-to-end
+  * ingestion-admission pipeline a production corpus actually runs.
+  *
+  * q127 recomputes the corpus shingles/signatures/bands on every
+  * invocation; at 100 TB that is a full corpus scan per ingest batch.
+  * The store amortizes it: ONE build pass writes the corpus's shingle
+  * sets and LSH band buckets as parquet tables partitioned by
+  * `batch_id` (seed corpus = partition -1), and from then on every
+  * admission reads ONLY the store — the corpus TEXT is never scanned
+  * again (PlanSpec locks this: the only documents.parquet scan in the
+  * admission plan carries the delta's pushed source filter). Each
+  * batch's survivors append their own shingles/bands as partition
+  * `batch_id`, so consecutive deltas see each other's survivors and a
+  * REPLAYED batch overwrites exactly its own partition (dynamic
+  * partition overwrite — the q82 idempotent-sink contract).
+  *
+  * Scale shape per admission (identical to q127's locked plan): delta
+  * bands BROADCAST against the store's band table (the store side never
+  * shuffles for candidates — partition pruning on `batch_id <
+  * beforeBatch` additionally keeps a replayed batch from seeing its own
+  * earlier append), candidates verify with exact Jaccard by streaming
+  * the store's shingle table past the broadcast candidate set, and the
+  * only hash exchange is the candidate-pair distinct. Recall is q27's
+  * 32×4 banding (per-pair miss ≈ 5e-8 at j ≥ 0.8), so the exact
+  * cross-partition Jaccard join is the oracle.
+  */
+object SignatureStore {
+
+  def shinglesPath(dir: String): String = dir + "/shingles"
+  def bandsPath(dir: String): String = dir + "/bands"
+
+  /** Build the store from a corpus: one text scan computes the shingle
+    * sets, signatures/bands derive from the persisted shingles, and both
+    * land as parquet partitioned by batch_id = -1 (full static overwrite
+    * — a rebuild replaces any prior store at this path). */
+  def build(s: SparkSession, corpus: DataFrame, dir: String): Unit =
+    writeBatch(s, corpus, dir, -1L, dynamic = false)
+
+  /** Append one batch's documents (its admitted survivors) to the store
+    * as partition `batchId`. Dynamic partition overwrite: replaying the
+    * same batch id replaces exactly its own partition — idempotent under
+    * foreachBatch retry. */
+  def append(s: SparkSession, docs: DataFrame, dir: String, batchId: Long): Unit =
+    writeBatch(s, docs, dir, batchId, dynamic = true)
+
+  private def writeBatch(s: SparkSession, docs: DataFrame, dir: String,
+      batchId: Long, dynamic: Boolean): Unit = {
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = s.conf.get(modeKey)
+    s.conf.set(modeKey, if (dynamic) "dynamic" else "static")
+    try {
+      val sh = Dedup.shinglesOfDocs(s, docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sh.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(shinglesPath(dir))
+        Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, sh))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(bandsPath(dir))
+      } finally { sh.unpersist(); () }
+    } finally s.conf.set(modeKey, prevMode)
+  }
+
+  /** Admit a delta batch against the STORED corpus: returns the verified
+    * near-dup pairs (doc_a = delta, doc_b = stored corpus, jaccard ≥
+    * 0.8). Reads only store partitions with `batch_id < beforeBatch`, so
+    * batch N is admitted against the seed plus batches 0..N-1 — never
+    * against its own (possibly replayed) append. The corpus text is
+    * never scanned: both verification sides come from shingle RELATIONS
+    * (the delta's one tracked scan, the store's parquet). */
+  def admit(s: SparkSession, delta: DataFrame, dir: String,
+      beforeBatch: Long = 0L): DataFrame = {
+    val deltaSh = Dedup.trackedShingles(s, delta)
+    val deltaBands = Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, deltaSh))
+    val storeBands = s.read.parquet(bandsPath(dir))
+      .filter(col("batch_id") < beforeBatch)
+    val cands = storeBands.alias("b")
+      .join(broadcast(deltaBands.alias("dl")),
+        col("b.band") === col("dl.band") && col("b.bucket") === col("dl.bucket"))
+      .select(col("dl.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .observe("store_candidates", count(lit(1)).as("n_candidates"))
+    val storeSh = s.read.parquet(shinglesPath(dir))
+      .filter(col("batch_id") < beforeBatch)
+    // candidate set ⋈ delta shingles is batch-sized — broadcast it past
+    // the store's shingle table so the store side streams with no
+    // exchange (the only hash shuffle in the plan is the distinct above)
+    val withA = cands.join(
+      broadcast(deltaSh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))),
+      "doc_a")
+    storeSh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+      .join(broadcast(withA), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb")))
+          / (size(col("sa")) + size(col("sb"))
+            - size(array_intersect(col("sa"), col("sb")))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Survivors of an admission: delta docs with no admitted pair — the
+    * rows an ingestion pipeline appends to the corpus (and whose
+    * shingles/bands [[append]] adds to the store). */
+  def survivors(delta: DataFrame, pairs: DataFrame): DataFrame =
+    delta.join(pairs.select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  private def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q127 THROUGH THE STORE: build the corpus band/shingle tables once
+    // (the production one-time cost), admit the src0 delta against the
+    // STORED relations only, then append the survivors' bands as batch 0
+    // (the store leaves this query fully maintained — the (b) half of
+    // the production loop). Result = the same delta-vs-corpus pair set
+    // as q127, so they share the exact-Jaccard oracle; what changed is
+    // the plan: admission never re-reads corpus text (PlanSpec lock).
+    "q129_store_delta_dedup" -> ((s, d) => {
+      val dir = scratchDir(s, "q129_store_" + sanitize(d))
+      val docs = documents(s, d)
+      build(s, docs.filter(col("source") =!= "src0"), dir)
+      val delta = docs.filter(col("source") === "src0")
+      val pairs = admit(s, delta, dir, beforeBatch = 0L)
+      append(s, survivors(delta, pairs), dir, 0L)
+      pairs.orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // STREAMING INGESTION-ADMISSION — the end-to-end pipeline: the src0
+    // slice arrives as a stream; each micro-batch is admitted against
+    // the store (seed corpus + all earlier batches' survivors), its
+    // survivors land in the admitted-corpus table partitioned by batch
+    // id (exactly-once under replay — dynamic partition overwrite, the
+    // q82 contract), and their bands/shingles append to the store so the
+    // NEXT batch sees them. Bounded single-file replay = one batch, so
+    // the final table is: seed corpus + delta docs with no ≥0.8 match
+    // in the seed — exactly what the oracle computes; the multi-batch
+    // sequential semantics (batch N+1 rejected against batch N's
+    // survivors, restart without duplicate admission) are pinned by
+    // SignatureStoreSpec on a two-file stream.
+    "q130_stream_ingest_admit" -> ((s, d) => {
+      val storeDir = scratchDir(s, "q130_store_" + sanitize(d))
+      val corpusDir = scratchDir(s, "q130_corpus_" + sanitize(d))
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val seed = documents(s, d).filter(col("source") =!= "src0")
+      build(s, seed, storeDir)
+      seed.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+      val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
+        .filter(col("source") === "src0")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevMode = s.conf.get(modeKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(modeKey, "dynamic")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val pairs = admit(s, batch, storeDir, beforeBatch = id)
+            val surv = survivors(batch, pairs)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              surv.withColumn("batch_id", lit(id))
+                .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+              append(s, surv, storeDir, id)
+            } finally { surv.unpersist(); () }
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(modeKey, prevMode)
+      }
+      s.read.parquet(corpusDir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** The q127 pair CTE block (delta × non-delta exact shingle Jaccard);
+    * q129 shares q127's full oracle, q130 derives the admitted set. */
+  private val deltaPairCtes: String =
+    """t AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+           FROM t WHERE len(toks) >= 3)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       delta AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+       common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         FROM sh a JOIN delta da ON a.doc_id = da.doc_id
+         JOIN sh b ON a.s = b.s
+         WHERE b.doc_id NOT IN (SELECT doc_id FROM delta)
+         GROUP BY 1, 2)"""
+
+  val oracles: Map[String, String] = Map(
+    // identical pair set to q127 (admission at beforeBatch = 0 reads
+    // only the seed partition), so the oracle is q127's: the exact
+    // shingle-Jaccard join across the delta/corpus split.
+    "q129_store_delta_dedup" ->
+      s"""WITH $deltaPairCtes
+         SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY doc_a, doc_b""",
+    // single-batch bounded replay: final admitted corpus = non-delta
+    // docs + delta docs with no ≥0.8 cross-partition match.
+    "q130_stream_ingest_admit" ->
+      s"""WITH $deltaPairCtes,
+         dup AS (
+           SELECT DISTINCT doc_a FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         SELECT d.doc_id, length(d.text) AS n_chars
+         FROM documents d
+         WHERE d.source <> 'src0'
+            OR d.doc_id NOT IN (SELECT doc_a FROM dup)
+         ORDER BY d.doc_id"""
+  )
+}

@@ -105,6 +105,43 @@ class PlanSpec extends TestSpark {
       "delta ids/bands must reach the joins as broadcasts")
   }
 
+  test("q129 store admission: corpus text never scanned, one hash exchange") {
+    // the materialized-store contract: admission reads ONLY the store's
+    // band/shingle parquet tables plus the src0-filtered delta — the
+    // corpus TEXT is never re-scanned (that cost was paid once at
+    // build). Plan shape matches q127's lock: delta bands/candidates
+    // broadcast, and the only hash exchange is the candidate distinct.
+    // scan Locations include a session-UUID scratch path; the default
+    // 100-char metadata truncation (captured at planning time) would cut
+    // the store dirs out of the plan string before the assertions see them
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val plan =
+      try {
+        val df = graft.operators.SignatureStore
+          .queries("q129_store_delta_dedup")(spark, sf0001)
+        df.collect()
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    // every documents.parquet scan (inline or inside a cached
+    // InMemoryRelation) must carry the delta's pushed source filter —
+    // each FileScan prints on one line with its PushedFilters + Location
+    val docScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet"))
+      .toSeq
+    docScans.foreach(sc => assert(sc.contains("src0"),
+      s"a documents.parquet scan without the delta filter:\n${sc.take(800)}"))
+    // the store tables ARE in the plan (bands for candidates, shingles
+    // for verification)
+    assert(plan.contains("/bands"), "admission must read the stored bands")
+    assert(plan.contains("/shingles"), "admission must read the stored shingles")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q129 hash-shuffles $hashEx times (want 1):\n${plan.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      "delta bands + candidate set must reach the joins as broadcasts")
+  }
+
   test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
     // round-1 regression: assignment used groupBy(vec_id, embedding) and
     // shuffled every vector. Now assignment is a map-side argmax over
