@@ -339,6 +339,110 @@ object Similarity {
         .select(col("probe_id"), col("rk"), col("vec_id"),
           round(col("adist"), 6).as("adist"))
         .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // IVF+PQ COMPOSED ANN — the billion-scale layout every production
+    // vector store ships (FAISS IVFADC, Jégou et al. 2011): q31's coarse
+    // cells prune the SEARCH SPACE (each probe visits its nProbe=4
+    // nearest cells only — never the whole corpus), and q123's product
+    // quantization compresses the MEMORY (each vector stored as 8 4-bit
+    // codes of its RESIDUAL v − centroid(cell); residuals concentrate
+    // near zero, which is why PQ trains on them). Search is asymmetric:
+    // per (probe, probed cell) an 8×16 ADC table of the probe's residual
+    // against the shared residual codebook, then candidate distance =
+    // 8 table lookups. Everything reuses the deterministic machinery the
+    // oracle already replays — the cached √n centroid broadcast and
+    // assignment rule (q31), the 16-vector multiplicative-hash codebook
+    // sample and dxx−2dxc+dcc subdistances with j-ordered ADC sums
+    // (q123), plus IEEE float residuals (DuckDB FLOAT list arithmetic
+    // replays them bit-exactly). One typed pass over the corpus; a
+    // vector in an unprobed cell emits NOTHING (the observe() metric
+    // pins candidate volume under q123's whole-corpus scan in CI); slim
+    // (probe, vec, adist) rows feed the heap top-k.
+    "q131_ann_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+      val bcCents = centroidBroadcast(s, emb, d)
+      val cents = bcCents.value
+      val probes: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // each probe's nProbe=4 nearest cells (ties → smaller centroid_id
+      // — q31's probe-cell rule)
+      val probeCells: Array[(Long, Array[Float], Array[Long])] =
+        probes.map { case (pid, v) =>
+          val cells = cents.map { case (cid, c) => (cid, roundedCosine(v, c)) }
+            .sortBy { case (cid, cc) => (-cc, cid) }.take(4).map(_._1)
+          (pid, v, cells)
+        }
+      // shared residual codebook: the q123 16-vector sample rule, each
+      // sampled vector replaced by its residual vs its own nearest cell
+      val cb: Array[Array[Float]] = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
+          col("vec_id"))
+        .limit(PqKs).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1).toArray
+          residual(v, nearestCentroid(v, cents)._2)
+        }
+      val bcCb = s.sparkContext.broadcast(cb)
+      val bcPc = s.sparkContext.broadcast(probeCells)
+      val scored = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cents = bcCents.value
+          val cb = bcCb.value
+          val prs = bcPc.value
+          val centById = cents.toMap
+          // ADC tables once per task, for PROBED cells only:
+          // dts(probe)(cell)(subspace)(code) — ≤ 10×4×8×16 doubles
+          val dts: Array[Map[Long, Array[Array[Double]]]] =
+            prs.map { case (_, pv, cells) =>
+              cells.map { cid =>
+                val rp = residual(pv, centById(cid))
+                cid -> Array.tabulate(PqM, cb.length)((j, k) =>
+                  pqSubDist(rp, cb(k), j))
+              }.toMap
+            }
+          val byCell: Map[Long, Array[Int]] = prs.indices
+            .flatMap(pi => prs(pi)._3.map(c => (c, pi)))
+            .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+          it.flatMap { case (id, v) =>
+            val (cid, cvec) = nearestCentroid(v, cents)
+            byCell.get(cid) match {
+              case None => Iterator.empty // unprobed cell: zero work
+              case Some(pis) =>
+                val rv = residual(v, cvec)
+                val codes = Array.tabulate(PqM) { j =>
+                  var best = 0
+                  var bd = Double.MaxValue
+                  var k = 0
+                  while (k < cb.length) {
+                    val dd = pqSubDist(rv, cb(k), j)
+                    if (dd < bd) { bd = dd; best = k } // tie → smaller code
+                    k += 1
+                  }
+                  best
+                }
+                pis.iterator.filter(pi => prs(pi)._1 != id).map { pi =>
+                  val dt = dts(pi)(cid)
+                  var ad = 0.0
+                  var j = 0
+                  while (j < PqM) { ad += dt(j)(codes(j)); j += 1 } // j-ordered
+                  (prs(pi)._1, id, ad)
+                }
+            }
+          }
+        }.toDF("probe_id", "vec_id", "adist")
+        .observe("ivfpq_candidates", count(lit(1)).as("n_candidates"))
+      graft.plans.TopKPerGroup.topK(scored, Seq("probe_id"),
+          Seq("adist" -> true, "vec_id" -> true), 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("vec_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy(col("probe_id"), col("rk"))
     })
   )
 
@@ -401,10 +505,13 @@ object Similarity {
     corpusCountCache.clear()
   }
 
-  private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
-      k: Int, broadcastProbes: Boolean, cacheKey: String): DataFrame = {
-    import s.implicits._
-    val bc = centCache.synchronized {
+  /** The cached-per-(session, dataset) coarse-quantizer broadcast shared
+    * by the IVF paths (q31/q73/q77/q122) and the IVF+PQ composition
+    * (q131): the deterministic multiplicative-hash sample of
+    * [[ivfK]](n) corpus vectors, sorted by id. */
+  private def centroidBroadcast(s: SparkSession, emb: DataFrame, cacheKey: String)
+      : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] =
+    centCache.synchronized {
       centCache.getOrElseUpdate((sessionKey(s), cacheKey), {
         // corpus-size-derived k (metadata-cheap count, computed once per
         // (session, dataset) thanks to the cache)
@@ -420,21 +527,45 @@ object Similarity {
         s.sparkContext.broadcast(cents)
       })
     }
+
+  /** Nearest coarse cell of `v` — THE assignment rule (max rounded
+    * cosine, tie → larger centroid_id), shared by the IVF map pass and
+    * the IVF+PQ encode/codebook paths so every consumer agrees with the
+    * oracle's replay bit-for-bit. Returns (centroid_id, centroid). */
+  private def nearestCentroid(v: Array[Float],
+      cents: Array[(Long, Array[Float])]): (Long, Array[Float]) = {
+    var bestCos = -2.0
+    var bestCid = -1L
+    var bestVec: Array[Float] = null
+    for ((cid, c) <- cents) {
+      val cc = roundedCosine(v, c)
+      if (cc > bestCos || (cc == bestCos && cid > bestCid)) {
+        bestCos = cc; bestCid = cid; bestVec = c
+      }
+    }
+    (bestCid, bestVec)
+  }
+
+  /** Element-wise single-precision residual v − c — IEEE float
+    * subtraction, replayed exactly by the oracle's FLOAT list
+    * arithmetic. */
+  private def residual(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val n = math.min(v.length, c.length)
+    val r = new Array[Float](n)
+    var i = 0
+    while (i < n) { r(i) = v(i) - c(i); i += 1 }
+    r
+  }
+
+  private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
+      k: Int, broadcastProbes: Boolean, cacheKey: String): DataFrame = {
+    import s.implicits._
+    val bc = centroidBroadcast(s, emb, cacheKey)
     // map-side nearest cell (max ccos, ties → max centroid_id): one
     // typed pass over the corpus against the broadcast centroids
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        var bestCos = -2.0
-        var bestCid = -1L
-        for ((cid, c) <- bc.value) {
-          val cc = roundedCosine(v, c)
-          if (cc > bestCos || (cc == bestCos && cid > bestCid)) {
-            bestCos = cc; bestCid = cid
-          }
-        }
-        (id, v, bestCid)
-      }
+      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)._1) }
       .toDF("vec_id", "embedding", "cell")
     // each probe ranks all k cells and keeps its 4 nearest
     // (ties → smaller centroid_id)
@@ -604,6 +735,108 @@ object Similarity {
               + max(CASE WHEN x.j = 7 THEN t.d END)) AS adist
            FROM enc x JOIN dt t
              ON t.j = x.j AND t.code = x.code AND t.probe_id <> x.vec_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT probe_id, vec_id, adist,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY adist, vec_id) AS rk
+           FROM ad)
+         SELECT probe_id, rk, vec_id, round(adist, 6) AS adist FROM ranked
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // Full IVF+PQ replay: the IVF centroid/assignment/probe-cell rules
+    // (q31's CTEs), FLOAT residuals via list arithmetic (bit-identical
+    // to the Scala single-precision subtraction), the q123 codebook
+    // sample/encode/tie rules on residuals, and the j-ordered ADC pivot
+    // chain. The t.cell = x.cell join confines candidates to probed
+    // cells — exactly the vectors the Spark pass emits.
+    "q131_ann_ivfpq" ->
+      """WITH cents AS (
+           SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
+             FROM embeddings)
+           WHERE crn <= (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                         FROM embeddings)),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+             round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))),
+               6) AS ccos
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id AS cell FROM (
+             SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id DESC) AS rk
+             FROM scored) WHERE rk = 1),
+         probe_cells AS (
+           SELECT vec_id AS probe_id, embedding AS p_emb, centroid_id AS cell FROM (
+             SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id ASC) AS rk
+             FROM scored WHERE vec_id < 10) WHERE rk <= 4),
+         samp AS (
+           SELECT vec_id, row_number() OVER (
+             ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
+           FROM embeddings),
+         cb AS (
+           SELECT s.crn - 1 AS code,
+             list_transform(generate_series(1, 64),
+               i -> a.embedding[i] - c.c_emb[i]) AS cv
+           FROM samp s
+           JOIN assigned a ON a.vec_id = s.vec_id
+           JOIN cents c ON c.centroid_id = a.cell
+           WHERE s.crn <= 16),
+         subs AS (SELECT j FROM range(0, 8) t(j)),
+         res AS (
+           SELECT a.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+               i -> a.embedding[i] - c.c_emb[i]) AS rv
+           FROM assigned a JOIN cents c ON c.centroid_id = a.cell),
+         enc_d AS (
+           SELECT r.vec_id, r.cell, s.j, c.code,
+             list_dot_product(r.rv[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               r.rv[s.j*8+1 : s.j*8+8]::DOUBLE[])
+             - 2*list_dot_product(r.rv[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[])
+             + list_dot_product(c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[]) AS d
+           FROM res r CROSS JOIN subs s CROSS JOIN cb c),
+         enc AS (
+           SELECT vec_id, cell, j, code FROM (
+             SELECT vec_id, cell, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rk
+             FROM enc_d) WHERE rk = 1),
+         pres AS (
+           SELECT p.probe_id, p.cell,
+             list_transform(generate_series(1, 64),
+               i -> p.p_emb[i] - c.c_emb[i]) AS rp
+           FROM probe_cells p JOIN cents c ON c.centroid_id = p.cell),
+         dt AS (
+           SELECT pr.probe_id, pr.cell, s.j, c.code,
+             list_dot_product(pr.rp[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               pr.rp[s.j*8+1 : s.j*8+8]::DOUBLE[])
+             - 2*list_dot_product(pr.rp[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[])
+             + list_dot_product(c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[],
+               c.cv[s.j*8+1 : s.j*8+8]::DOUBLE[]) AS d
+           FROM pres pr CROSS JOIN subs s CROSS JOIN cb c),
+         ad AS (
+           SELECT t.probe_id, x.vec_id,
+             (max(CASE WHEN x.j = 0 THEN t.d END)
+              + max(CASE WHEN x.j = 1 THEN t.d END)
+              + max(CASE WHEN x.j = 2 THEN t.d END)
+              + max(CASE WHEN x.j = 3 THEN t.d END)
+              + max(CASE WHEN x.j = 4 THEN t.d END)
+              + max(CASE WHEN x.j = 5 THEN t.d END)
+              + max(CASE WHEN x.j = 6 THEN t.d END)
+              + max(CASE WHEN x.j = 7 THEN t.d END)) AS adist
+           FROM enc x JOIN dt t
+             ON t.cell = x.cell AND t.j = x.j AND t.code = x.code
+             AND t.probe_id <> x.vec_id
            GROUP BY 1, 2),
          ranked AS (
            SELECT probe_id, vec_id, adist,

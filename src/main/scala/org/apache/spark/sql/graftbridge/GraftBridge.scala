@@ -48,4 +48,13 @@ object GraftBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Unload every loaded streaming state-store provider on this JVM —
+    * closes RocksDB instances (and their native scratch) left behind by
+    * finished streaming queries. `StateStore.unloadAll` is private[sql];
+    * benchmark harnesses call this between back-to-back stateful runs so
+    * run i+1 starts as cold as run 1 instead of accumulating provider
+    * state across a min-of-N session. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

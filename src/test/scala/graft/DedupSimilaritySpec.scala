@@ -223,6 +223,37 @@ class DedupSimilaritySpec extends TestSpark {
     info(s"PQ top-5 ∩ exact top-50 = $hits/50")
   }
 
+  test("q131 IVF+PQ: cells prune the candidate space; quality tracks exact cosine") {
+    val df = Similarity.queries("q131_ann_ivfpq")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 50, s"expected 10 probes x 5, got ${rows.length}")
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5),
+        s"probe $p ranks malformed")
+    }
+    // the composition's POINT vs flat PQ (q123): candidates come only
+    // from each probe's 4 probed cells, never the whole corpus — read
+    // from the ivfpq_candidates observe() metric riding the main action
+    val cands = df.queryExecution.observedMetrics("ivfpq_candidates")
+      .getAs[Long]("n_candidates")
+    val n = Tables.embeddings(spark, sf0001).count()
+    val flatScan = 10L * (n - 1) // q123's candidate volume
+    assert(cands > 0 && cands < flatScan / 2,
+      s"IVF+PQ scored $cands candidates — cells are not pruning (flat PQ = $flatScan)")
+    info(s"IVF+PQ candidates = $cands vs flat PQ $flatScan")
+    // directional quality pin (q123's precedent): top-5 lands inside the
+    // exact cosine top-50 (10% of the corpus) far above chance (~5/50)
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact50 = Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 50)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")))
+      .count(exact50.contains)
+    assert(hits >= 12,
+      s"IVF+PQ top-5 only $hits/50 inside exact top-50 (chance ≈ 5)")
+    info(s"IVF+PQ top-5 ∩ exact top-50 = $hits/50")
+  }
+
   test("connected components: 300-node chain converges (diameter >> any iteration cap)") {
     // A chain is the worst case for plain min-label propagation (one
     // label hop per round — the round-3 algorithm capped at 50 rounds and
