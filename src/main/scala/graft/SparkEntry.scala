@@ -54,6 +54,7 @@ object SparkEntry {
       operators.CorpusCleaning.queries ++
       operators.StorageOps.queries ++
       operators.SignatureStore.queries ++
+      operators.DedupReport.queries ++
       operators.RelationalQueries.queries ++
       functions.TextQueries.queries ++
       functions.Dedup.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       operators.CorpusCleaning.oracles ++
       operators.StorageOps.oracles ++
       operators.SignatureStore.oracles ++
+      operators.DedupReport.oracles ++
       operators.RelationalQueries.oracles ++
       functions.TextQueries.oracles ++
       functions.Dedup.oracles ++
