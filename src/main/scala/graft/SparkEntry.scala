@@ -19,11 +19,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q74, q76-q77, q88, q99 stop-shingle LSH, q116/q117/q119 CDC
   * chunk-level dedup: per-doc sharing, duplicate pairs, and the
   * clustered survivor list, q120 exact shared-span pairs, q127
-  * incremental delta-vs-corpus near-dedup with broadcast delta bands),
+  * incremental delta-vs-corpus near-dedup with broadcast delta bands,
+  * q129 the materialized signature-store form — admission against
+  * persisted bands, corpus text never re-scanned, q130 the streaming
+  * ingestion-admission pipeline through the exactly-once sink, and
+  * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
   * q123 product-quantization ANN — 8-byte codes + ADC table search,
-  * the memory-compression scale path),
+  * the memory-compression scale path, q131 IVF+PQ composed IVFADC —
+  * coarse-cell pruning + residual codes),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * (q32, q93-q94, q121),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),

@@ -81,8 +81,16 @@ object SignatureStore {
     * never scanned: both verification sides come from shingle RELATIONS
     * (the delta's one tracked scan, the store's parquet). */
   def admit(s: SparkSession, delta: DataFrame, dir: String,
-      beforeBatch: Long = 0L): DataFrame = {
-    val deltaSh = Dedup.trackedShingles(s, delta)
+      beforeBatch: Long = 0L): DataFrame =
+    admitShingles(s, Dedup.trackedShingles(s, delta), dir, beforeBatch)
+
+  /** [[admit]] over a caller-managed shingle relation. The streaming
+    * pipeline (q130) persists each micro-batch's shingles itself and
+    * unpersists them at batch end — the session-tracked cache would
+    * otherwise grow by one entry per micro-batch on an unbounded
+    * stream. */
+  def admitShingles(s: SparkSession, deltaSh: DataFrame, dir: String,
+      beforeBatch: Long): DataFrame = {
     val deltaBands = Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, deltaSh))
     val storeBands = s.read.parquet(bandsPath(dir))
       .filter(col("batch_id") < beforeBatch)
@@ -167,14 +175,21 @@ object SignatureStore {
       try {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val pairs = admit(s, batch, storeDir, beforeBatch = id)
-            val surv = survivors(batch, pairs)
+            // batch-local persist lifetimes: shingles feed signatures +
+            // verification, survivors feed two writes — both released at
+            // batch end so an unbounded stream holds no per-batch state
+            val deltaSh = Dedup.shinglesOfDocs(s, batch)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              surv.withColumn("batch_id", lit(id))
-                .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
-              append(s, surv, storeDir, id)
-            } finally { surv.unpersist(); () }
+              val pairs = admitShingles(s, deltaSh, storeDir, beforeBatch = id)
+              val surv = survivors(batch, pairs)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                surv.withColumn("batch_id", lit(id))
+                  .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+                append(s, surv, storeDir, id)
+              } finally { surv.unpersist(); () }
+            } finally { deltaSh.unpersist(); () }
             ()
           }
           .trigger(Trigger.AvailableNow())

@@ -110,14 +110,19 @@ class SignatureStoreSpec extends TestSpark {
         val src = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            val pairs = SignatureStore.admit(spark, batch, storeDir, beforeBatch = id)
-            val surv = SignatureStore.survivors(batch, pairs)
+            val deltaSh = graft.functions.Dedup.shinglesOfDocs(spark, batch)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              surv.withColumn("batch_id", lit(id))
-                .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
-              SignatureStore.append(spark, surv, storeDir, id)
-            } finally { surv.unpersist(); () }
+              val pairs = SignatureStore.admitShingles(spark, deltaSh, storeDir,
+                beforeBatch = id)
+              val surv = SignatureStore.survivors(batch, pairs)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                surv.withColumn("batch_id", lit(id))
+                  .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+                SignatureStore.append(spark, surv, storeDir, id)
+              } finally { surv.unpersist(); () }
+            } finally { deltaSh.unpersist(); () }
             ()
           }
           .option("checkpointLocation", cp)
