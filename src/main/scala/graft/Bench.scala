@@ -166,6 +166,7 @@ object Bench {
     functions.Similarity.releaseCaches(spark)
     functions.TextQueries.releaseCaches(spark)
     operators.Multimodal.releaseCaches(spark)
+    operators.SignatureStore.releaseCaches(spark)
     spark.stop()
   }
 }

@@ -81,6 +81,12 @@ object Tables {
     dir.toString
   }
 
+  /** Filesystem-safe tag of a dataset dir, for dataset-qualified scratch
+    * names (running both SFs in one session must not share a sink path).
+    * ONE rule shared by every sink — five inlined copies of this regex
+    * drifted apart once already (round-10 review finding). */
+  def datasetTag(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** Stable unique id of a session, for per-session resource caches.
     * `sessionUUID` is unique per session by construction;
     * `identityHashCode` (the old key) can collide across sessions and

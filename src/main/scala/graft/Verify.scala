@@ -95,6 +95,7 @@ object Verify {
     functions.Similarity.releaseCaches(spark)
     functions.TextQueries.releaseCaches(spark)
     operators.Multimodal.releaseCaches(spark)
+    operators.SignatureStore.releaseCaches(spark)
     spark.stop()
     // exit 0 even on failures: the sentinel parquet makes each failure a
     // visible per-query mismatch in the driver's compare, which is the

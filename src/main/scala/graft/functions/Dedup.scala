@@ -85,35 +85,12 @@ object Dedup {
   private[graft] def trackedShingles(s: SparkSession, docs: DataFrame): DataFrame =
     tracked(shinglesOfDocs(s, docs))
 
-  /** Persisted relations per session UUID (shared shingles, q99's
-    * filtered shingles, q120's positional grams), tracked so
-    * [[releaseCaches]] can unpersist them — the same teardown contract
-    * TextQueries exposes. CacheManager dedupes by canonicalized plan, so
-    * re-registering an equivalent plan costs nothing. */
-  private val persistCache = scala.collection.mutable.Map
-    .empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
-  // canonicalized plans already tracked per session: repeated invocations
-  // of sharedShingles/q99/q120 in a long-lived session (Bench min-of-3,
-  // full Verify sweeps) re-register an equivalent plan, which CacheManager
-  // dedupes — but the ListBuffer would still grow per call and pin plan
-  // objects (round-9 advisor finding). One entry per distinct plan.
-  private val trackedPlans = scala.collection.mutable.Map
-    .empty[String, scala.collection.mutable.HashSet[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
-
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = org.apache.spark.sql.graftbridge.GraftBridge
-      .logicalPlan(p).canonicalized
-    persistCache.synchronized {
-      val key = sessionKey(df.sparkSession)
-      if (trackedPlans.getOrElseUpdate(key,
-          scala.collection.mutable.HashSet.empty).add(canon))
-        persistCache.getOrElseUpdate(key,
-          scala.collection.mutable.ListBuffer.empty) += p
-    }
-    p
-  }
+  /** Persisted relations (shared shingles, q99's filtered shingles,
+    * q120's positional grams) tracked through the shared
+    * [[graft.PersistTracker]] so [[releaseCaches]] can unpersist them —
+    * the same teardown contract TextQueries/Multimodal expose. */
+  private def tracked(df: DataFrame): DataFrame =
+    graft.PersistTracker.tracked("dedup", df)
 
   /** The shingle relation persisted for the lifetime of a query that
     * consumes it several times (signatures + both verification joins).
@@ -678,10 +655,7 @@ object Dedup {
         if (sid == id) { df.unpersist(); false } else true
       }
     }
-    persistCache.synchronized {
-      persistCache.remove(sessionKey(s)).foreach(_.foreach(_.unpersist()))
-      trackedPlans.remove(sessionKey(s))
-    }
+    graft.PersistTracker.release("dedup", s)
   }
 
   /** Cached [[connectedComponents]] over an arbitrary edge builder,

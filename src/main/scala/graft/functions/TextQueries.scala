@@ -26,24 +26,13 @@ object TextQueries {
     * same teardown contract Dedup and Similarity expose. CacheManager
     * dedupes by canonicalized plan, so re-registering an equivalent plan
     * costs nothing. */
-  private val persistCache = scala.collection.mutable.Map
-    .empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
-
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistCache.synchronized {
-      persistCache.getOrElseUpdate(sessionKey(df.sparkSession),
-        scala.collection.mutable.ListBuffer.empty) += p
-    }
-    p
-  }
+  private def tracked(df: DataFrame): DataFrame =
+    graft.PersistTracker.tracked("text", df)
 
   /** Unpersist this session's cached relations (test/app teardown). Only
     * call once no outstanding DataFrame still references them. */
-  def releaseCaches(s: SparkSession): Unit = persistCache.synchronized {
-    persistCache.remove(graft.Tables.sessionKey(s))
-      .foreach(_.foreach(df => df.unpersist()))
-  }
+  def releaseCaches(s: SparkSession): Unit =
+    graft.PersistTracker.release("text", s)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 

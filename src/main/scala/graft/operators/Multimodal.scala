@@ -152,28 +152,16 @@ object Multimodal {
     hash
   }
 
-  /** Persisted relations per session UUID (q121's hash relation),
-    * tracked so [[releaseCaches]] can unpersist them — the same teardown
-    * contract Dedup/Similarity/TextQueries expose. */
-  private val persistCache = scala.collection.mutable.Map
-    .empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
-
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistCache.synchronized {
-      persistCache.getOrElseUpdate(
-        graft.Tables.sessionKey(df.sparkSession),
-        scala.collection.mutable.ListBuffer.empty) += p
-    }
-    p
-  }
+  /** Persisted relations (q121's hash relation) tracked through the
+    * shared [[graft.PersistTracker]] so [[releaseCaches]] can unpersist
+    * them — the same teardown contract Dedup/TextQueries expose. */
+  private def tracked(df: DataFrame): DataFrame =
+    graft.PersistTracker.tracked("multimodal", df)
 
   /** Unpersist this session's cached relations (test/app teardown). Only
     * call once no outstanding DataFrame still references them. */
-  def releaseCaches(s: SparkSession): Unit = persistCache.synchronized {
-    persistCache.remove(graft.Tables.sessionKey(s))
-      .foreach(_.foreach(_.unpersist()))
-  }
+  def releaseCaches(s: SparkSession): Unit =
+    graft.PersistTracker.release("multimodal", s)
 
   /** q121's engine over an arbitrary (doc_id, img) relation: hash every
     * image map-side, then find pairs within Hamming ≤ 4 via the

@@ -55,22 +55,21 @@ object SignatureStore {
 
   private def writeBatch(s: SparkSession, docs: DataFrame, dir: String,
       batchId: Long, dynamic: Boolean): Unit = {
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = s.conf.get(modeKey)
-    s.conf.set(modeKey, if (dynamic) "dynamic" else "static")
+    // per-WRITE overwrite mode (takes precedence over the session conf):
+    // no session-global mutation to race against concurrent queries
+    // (round-10 review finding)
+    val mode = if (dynamic) "dynamic" else "static"
+    val sh = Dedup.shinglesOfDocs(s, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sh = Dedup.shinglesOfDocs(s, docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        sh.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(shinglesPath(dir))
-        Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, sh))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id")
-          .parquet(bandsPath(dir))
-      } finally { sh.unpersist(); () }
-    } finally s.conf.set(modeKey, prevMode)
+      sh.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", mode)
+        .partitionBy("batch_id").parquet(shinglesPath(dir))
+      Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, sh))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", mode)
+        .partitionBy("batch_id").parquet(bandsPath(dir))
+    } finally { sh.unpersist(); () }
   }
 
   /** Admit a delta batch against the STORED corpus: returns the verified
@@ -125,7 +124,10 @@ object SignatureStore {
     delta.join(pairs.select(col("doc_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
-  private def sanitize(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Unpersist this session's tracked relations (q129's admission pairs;
+    * test/app teardown) — the same contract the other modules expose. */
+  def releaseCaches(s: SparkSession): Unit =
+    graft.PersistTracker.release("sigstore", s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q127 THROUGH THE STORE: build the corpus band/shingle tables once
@@ -136,11 +138,17 @@ object SignatureStore {
     // as q127, so they share the exact-Jaccard oracle; what changed is
     // the plan: admission never re-reads corpus text (PlanSpec lock).
     "q129_store_delta_dedup" -> ((s, d) => {
-      val dir = scratchDir(s, "q129_store_" + sanitize(d))
+      val dir = scratchDir(s, "q129_store_" + graft.Tables.datasetTag(d))
       val docs = documents(s, d)
-      build(s, docs.filter(col("source") =!= "src0"), dir)
+      // null-safe split (q127's anti-join convention): a null source is
+      // CORPUS, exactly as the oracle's NOT IN delta computes it
+      build(s, docs.filter(!(col("source") <=> "src0")), dir)
       val delta = docs.filter(col("source") === "src0")
-      val pairs = admit(s, delta, dir, beforeBatch = 0L)
+      // pairs persist (session-tracked): the survivor append below and
+      // the returned relation would otherwise each execute the full
+      // admission subplan (round-10 review finding)
+      val pairs = graft.PersistTracker.tracked("sigstore",
+        admit(s, delta, dir, beforeBatch = 0L))
       append(s, survivors(delta, pairs), dir, 0L)
       pairs.orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -158,20 +166,20 @@ object SignatureStore {
     // survivors, restart without duplicate admission) are pinned by
     // SignatureStoreSpec on a two-file stream.
     "q130_stream_ingest_admit" -> ((s, d) => {
-      val storeDir = scratchDir(s, "q130_store_" + sanitize(d))
-      val corpusDir = scratchDir(s, "q130_corpus_" + sanitize(d))
+      val storeDir = scratchDir(s, "q130_store_" + graft.Tables.datasetTag(d))
+      val corpusDir = scratchDir(s, "q130_corpus_" + graft.Tables.datasetTag(d))
       val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
-      val seed = documents(s, d).filter(col("source") =!= "src0")
+      // null-safe split, matching q129 and the oracle's source <> 'src0'
+      // ... OR NOT IN dup semantics: a null source is corpus
+      val seed = documents(s, d).filter(!(col("source") <=> "src0"))
       build(s, seed, storeDir)
       seed.withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id").parquet(corpusDir)
       val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
         .filter(col("source") === "src0")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val modeKey = "spark.sql.sources.partitionOverwriteMode"
-      val prevMode = s.conf.get(modeKey)
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      s.conf.set(modeKey, "dynamic")
       try {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -185,8 +193,12 @@ object SignatureStore {
               val surv = survivors(batch, pairs)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
+                // per-write dynamic overwrite: a replayed batch replaces
+                // exactly its own partition, and no session conf mutates
                 surv.withColumn("batch_id", lit(id))
-                  .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id").parquet(corpusDir)
                 append(s, surv, storeDir, id)
               } finally { surv.unpersist(); () }
             } finally { deltaSh.unpersist(); () }
@@ -195,10 +207,7 @@ object SignatureStore {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set(modeKey, prevMode)
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(corpusDir)
         .select(col("doc_id"), length(col("text")).as("n_chars"))
         .orderBy(col("doc_id"))

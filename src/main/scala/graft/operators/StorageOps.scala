@@ -42,7 +42,7 @@ object StorageOps {
     // replays.
     "q84_partitioned_sink" -> ((s, d) => {
       val dir = graft.Tables.scratchDir(s,
-        "q84_part_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        "q84_part_sink_" + graft.Tables.datasetTag(d))
       events(s, d)
         .write.mode("overwrite").partitionBy("event_type").parquet(dir)
       s.read.parquet(dir)
@@ -61,7 +61,7 @@ object StorageOps {
     // ISO). SourceSinkSpec extends the same roundtrip to JSON and ORC.
     "q87_csv_roundtrip" -> ((s, d) => {
       val dir = graft.Tables.scratchDir(s,
-        "q87_csv_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        "q87_csv_sink_" + graft.Tables.datasetTag(d))
       val o = orders(s, d)
       o.write.mode("overwrite").option("header", "true").csv(dir)
       s.read.schema(o.schema).option("header", "true").csv(dir)
@@ -95,7 +95,7 @@ object StorageOps {
       // dataset-qualified scratch name (q82's convention): running both
       // SFs in one session must not share a sink path (round-9 advisor)
       val dir = graft.Tables.scratchDir(s,
-        "q128_orc_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        "q128_orc_sink_" + graft.Tables.datasetTag(d))
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
       li.write.mode("overwrite").orc(dir)
@@ -110,7 +110,7 @@ object StorageOps {
 
     "q124_jsonl_roundtrip" -> ((s, d) => {
       val dir = graft.Tables.scratchDir(s,
-        "q124_jsonl_sink_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        "q124_jsonl_sink_" + graft.Tables.datasetTag(d))
       val docs = documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
           // literal-space split with empties kept: identical semantics in

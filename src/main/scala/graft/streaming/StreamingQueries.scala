@@ -290,7 +290,7 @@ object StreamingQueries {
       // new tree; keyed by source dir because dynamic overwrite leaves
       // partitions a smaller re-run doesn't produce
       val stage = graft.Tables.scratchDir(s,
-        "q82_upsert_stage_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        "q82_upsert_stage_" + graft.Tables.datasetTag(d))
       val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
         .transform(graft.Tables.tsToMicros)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -87,7 +87,8 @@ class SignatureStoreSpec extends TestSpark {
     val seed = docsDf(1L -> base)
     SignatureStore.build(spark, seed, storeDir)
     seed.withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id").parquet(corpusDir)
     val schema = seed.schema
 
     // drop a docs batch into the stream dir as a single parquet file
@@ -103,33 +104,30 @@ class SignatureStoreSpec extends TestSpark {
 
     // the q130 foreachBatch body, pointed at this spec's dirs + checkpoint
     def runOnce(): Unit = {
-      val modeKey = "spark.sql.sources.partitionOverwriteMode"
-      val prevMode = spark.conf.get(modeKey)
-      spark.conf.set(modeKey, "dynamic")
-      try {
-        val src = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
-        val q = src.writeStream
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            val deltaSh = graft.functions.Dedup.shinglesOfDocs(spark, batch)
+      val src = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val deltaSh = graft.functions.Dedup.shinglesOfDocs(spark, batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val pairs = SignatureStore.admitShingles(spark, deltaSh, storeDir,
+              beforeBatch = id)
+            val surv = SignatureStore.survivors(batch, pairs)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              val pairs = SignatureStore.admitShingles(spark, deltaSh, storeDir,
-                beforeBatch = id)
-              val surv = SignatureStore.survivors(batch, pairs)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                surv.withColumn("batch_id", lit(id))
-                  .write.mode("overwrite").partitionBy("batch_id").parquet(corpusDir)
-                SignatureStore.append(spark, surv, storeDir, id)
-              } finally { surv.unpersist(); () }
-            } finally { deltaSh.unpersist(); () }
-            ()
-          }
-          .option("checkpointLocation", cp)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally spark.conf.set(modeKey, prevMode)
+              surv.withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(corpusDir)
+              SignatureStore.append(spark, surv, storeDir, id)
+            } finally { surv.unpersist(); () }
+          } finally { deltaSh.unpersist(); () }
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
 
     def admitted(): Set[Long] = idsOf(spark.read.parquet(corpusDir))

@@ -35,5 +35,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     graft.functions.Similarity.releaseCaches(spark)
     graft.functions.TextQueries.releaseCaches(spark)
     graft.operators.Multimodal.releaseCaches(spark)
+    graft.operators.SignatureStore.releaseCaches(spark)
   }
 }
