@@ -50,7 +50,7 @@ object Bench {
     "q120_shared_spans", "q123_ann_pq",
     "q121_image_phash_pairs", "q124_jsonl_roundtrip", "q125_source_mixing",
     "q127_delta_dedup", "q128_orc_roundtrip",
-    "q129_store_delta_dedup", "q131_ann_ivfpq")
+    "q129_store_delta_dedup", "q131_ann_ivfpq", "q133_store_compact_admit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

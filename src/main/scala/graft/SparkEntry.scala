@@ -22,7 +22,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * incremental delta-vs-corpus near-dedup with broadcast delta bands,
   * q129 the materialized signature-store form — admission against
   * persisted bands, corpus text never re-scanned, q130 the streaming
-  * ingestion-admission pipeline through the exactly-once sink, and
+  * ingestion-admission pipeline through the exactly-once sink, q133
+  * store compaction under live admission — the full build → append →
+  * compact → admit lifecycle, and
   * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,

@@ -129,6 +129,35 @@ object SignatureStore {
   def releaseCaches(s: SparkSession): Unit =
     graft.PersistTracker.release("sigstore", s)
 
+  /** COMPACT the store: roll the seed plus every appended batch with
+    * `batch_id <= throughBatch` into a fresh store generation at
+    * `newDir` (everything lands as partition -1). The small-files
+    * answer for a batch-appended store — a daily ingest appends one
+    * partition per batch, and after N batches the band table is N+1
+    * partitions of progressively tinier files; admission then pays
+    * open/list overhead per file. Production runs this on a schedule
+    * and swaps the generation pointer; admission against the compacted
+    * generation returns EXACTLY what the uncompacted store returned
+    * (SignatureStoreSpec pins equality and the file-count reduction).
+    * Writes a NEW directory rather than rewriting in place — a reader
+    * mid-admission on the old generation is never disturbed. */
+  def compact(s: SparkSession, dir: String, newDir: String,
+      throughBatch: Long, numFiles: Int = 1): Unit = {
+    // explicit output sizing IS the operation: without the repartition,
+    // the scan bin-packs each tiny input file as its own openCost-sized
+    // partition and faithfully re-emits one output file per input file.
+    // At scale, size numFiles to total bytes / target file size.
+    def roll(path: String => String): Unit =
+      s.read.parquet(path(dir))
+        .filter(col("batch_id") <= throughBatch)
+        .drop("batch_id").repartition(numFiles)
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id").parquet(path(newDir))
+    roll(shinglesPath)
+    roll(bandsPath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q127 THROUGH THE STORE: build the corpus band/shingle tables once
     // (the production one-time cost), admit the src0 delta against the
@@ -151,6 +180,35 @@ object SignatureStore {
         admit(s, delta, dir, beforeBatch = 0L))
       append(s, survivors(delta, pairs), dir, 0L)
       pairs.orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // STORE COMPACTION under live admission — the full store lifecycle
+    // (build → append → compact → admit) in one oracle-checked query:
+    // the src0 delta splits into two waves by doc_id mod 40 (src0 ids
+    // are multiples of 20, so parity would be degenerate); wave A
+    // admits against the seed and its survivors append as batch 0; the
+    // store then COMPACTS into a fresh generation (seed + batch 0
+    // rolled into one partition -1); wave B admits against the
+    // compacted generation. The result is exactly "wave B vs corpus +
+    // wave-A survivors" — compaction must be invisible to admission
+    // (the spec also pins result equality against the uncompacted
+    // store, plus the file-count reduction that is compaction's point).
+    "q133_store_compact_admit" -> ((s, d) => {
+      val dir = scratchDir(s, "q133_store_" + graft.Tables.datasetTag(d))
+      val gen2 = scratchDir(s, "q133_store_gen2_" + graft.Tables.datasetTag(d))
+      val docs = documents(s, d)
+      val corpus = docs.filter(!(col("source") <=> "src0"))
+      val deltaA = docs.filter(col("source") === "src0" && col("doc_id") % 40 === 0)
+      val deltaB = docs.filter(col("source") === "src0" && col("doc_id") % 40 =!= 0)
+      build(s, corpus, dir)
+      val pairsA = graft.PersistTracker.tracked("sigstore",
+        admit(s, deltaA, dir, beforeBatch = 0L))
+      append(s, survivors(deltaA, pairsA), dir, 0L)
+      compact(s, dir, gen2, throughBatch = 0L)
+      // the compacted generation is all partition -1, so beforeBatch = 0
+      // admits against everything rolled into it
+      admit(s, deltaB, gen2, beforeBatch = 0L)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // STREAMING INGESTION-ADMISSION — the end-to-end pipeline: the src0
@@ -248,6 +306,57 @@ object SignatureStore {
          JOIN sizes sb ON doc_b = sb.doc_id
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY doc_a, doc_b""",
+    // two-wave sequential admission replay: wave A's rejected set vs
+    // the corpus, keepset = corpus + wave-A survivors, wave B's pairs
+    // vs the keepset — compaction cannot change values, so the oracle
+    // never models it.
+    "q133_store_compact_admit" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+             FROM t WHERE len(toks) >= 3)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         delta_a AS (SELECT doc_id FROM documents
+                     WHERE source = 'src0' AND doc_id % 40 = 0),
+         delta_b AS (SELECT doc_id FROM documents
+                     WHERE source = 'src0' AND doc_id % 40 <> 0),
+         corpus AS (SELECT doc_id FROM documents
+                    WHERE source IS DISTINCT FROM 'src0'),
+         common_a AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN delta_a da ON a.doc_id = da.doc_id
+           JOIN sh b ON a.s = b.s
+           JOIN corpus cb ON b.doc_id = cb.doc_id
+           GROUP BY 1, 2),
+         rej_a AS (
+           SELECT DISTINCT doc_a FROM common_a
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         keepset AS (
+           SELECT doc_id FROM corpus
+           UNION ALL
+           SELECT doc_id FROM delta_a
+           WHERE doc_id NOT IN (SELECT doc_a FROM rej_a)),
+         common_b AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN delta_b db ON a.doc_id = db.doc_id
+           JOIN sh b ON a.s = b.s
+           JOIN keepset kb ON b.doc_id = kb.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common_b
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY doc_a, doc_b""",
+
     // single-batch bounded replay: final admitted corpus = non-delta
     // docs + delta docs with no ≥0.8 cross-partition match.
     "q130_stream_ingest_admit" ->

@@ -78,6 +78,33 @@ class SignatureStoreSpec extends TestSpark {
       "batch 0's replayed admission saw its own appended bands")
   }
 
+  test("compaction preserves admission results and shrinks the store's file count") {
+    val dir = tmp("sigstore_compact")
+    val gen2 = tmp("sigstore_gen2")
+    SignatureStore.build(spark, docsDf(1L -> base, 2L -> beta), dir)
+    SignatureStore.append(spark, docsDf(11L -> novelX), dir, 0L)
+    SignatureStore.append(spark, docsDf(12L -> novelZ), dir, 1L)
+    // probe hits the seed AND an appended batch — both survive the roll
+    val probe = docsDf(20L -> (novelX :+ "tail"), 21L -> (base :+ "extra"))
+    val pre = pairsOf(SignatureStore.admit(spark, probe, dir, beforeBatch = 2L))
+    assert(pre == Set((20L, 11L), (21L, 1L)))
+    SignatureStore.compact(spark, dir, gen2, throughBatch = 1L)
+    val post = pairsOf(SignatureStore.admit(spark, probe, gen2, beforeBatch = 0L))
+    assert(post == pre, "compaction changed admission results")
+    // the point of compaction: 3 batch partitions of small files roll
+    // into one partition with fewer files
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(SignatureStore.bandsPath(dir))
+    val after = parquetFiles(SignatureStore.bandsPath(gen2))
+    assert(after < before,
+      s"compaction did not shrink the band table: $before -> $after files")
+  }
+
   test("streaming ingestion admits across micro-batches; restart re-admits nothing") {
     val root = tmp("ingest")
     val in = new java.io.File(root, "in"); in.mkdirs()
