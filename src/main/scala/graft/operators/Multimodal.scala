@@ -152,6 +152,35 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit acoustic fingerprint of a PCM WAV payload — the
+    * Haitsma-Kalker energy-delta rule (ISMIR 2002), the published shape
+    * every audio fingerprinter (Shazam-family, Chromaprint) derives
+    * from: slice the signal into 65 equal windows, sum the 8-bit sample
+    * amplitudes per window, and set bit i (MSB-first) iff window i+1's
+    * energy EXCEEDS window i's. Comparing adjacent equal-length windows
+    * makes the fingerprint invariant to a constant DC offset (the
+    * offset adds L to every energy and cancels in each delta) and to
+    * any header/metadata rewrite — the properties byte dedup (q26)
+    * lacks, the audio twin of q121's re-encode robustness. Pure integer
+    * arithmetic over the real sample bytes, so the oracle replays every
+    * bit. Requires ≥ 65 samples (one per window); callers filter
+    * shorter payloads — a fingerprint of near-zero signal is noise. */
+  def audioFp64(wav: Array[Byte]): Long = {
+    val (_, n) = parseWav(wav)
+    val len = n / 65
+    require(len >= 1, s"audioFp64 needs >= 65 samples, got $n")
+    val e = Array.tabulate(65) { w =>
+      var sum = 0L
+      var i = 0
+      while (i < len) { sum += wav(44 + w * len + i) & 0xFF; i += 1 }
+      sum
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (e(i + 1) > e(i)) hash |= 1L << (63 - i); i += 1 }
+    hash
+  }
+
   /** Persisted relations (q121's hash relation) tracked through the
     * shared [[graft.PersistTracker]] so [[releaseCaches]] can unpersist
     * them — the same teardown contract Dedup/TextQueries expose. */
@@ -163,20 +192,42 @@ object Multimodal {
   def releaseCaches(s: SparkSession): Unit =
     graft.PersistTracker.release("multimodal", s)
 
-  /** q121's engine over an arbitrary (doc_id, img) relation: hash every
-    * image map-side, then find pairs within Hamming ≤ 4 via the
-    * pigeonhole block join (5 blocks of 13/12 bits — a pair ≤ 4 bits
-    * apart must agree on ≥ 1 whole block, the q28 Manku rationale), and
-    * verify candidates exactly with bit_count(xor) — codegen'd, no
-    * all-pairs path. Blobs never shuffle: only (doc_id, hash) and
-    * (doc_id, block) rows leave the map side. Public so the spec can
-    * drive synthetic re-encoded duplicates through the production path. */
+  /** q121's engine over an arbitrary (doc_id, img) relation: aHash every
+    * image map-side (blobs never leave the map side), then the
+    * [[hamming64Pairs]] block join. Public so the spec can drive
+    * synthetic re-encoded duplicates through the production path. */
   def phashPairs(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
     val hashes = tracked(media.select(col("doc_id"), col("img"))
       .as[(Long, Array[Byte])]
       .map { case (id, img) => (id, aHash64(img)) }
       .toDF("doc_id", "ah"))
+    hamming64Pairs(s, hashes)
+  }
+
+  /** q134's engine: acoustic-fingerprint every WAV payload map-side
+    * (payloads under 65 samples carry no fingerprintable signal and are
+    * excluded — the oracle applies the same floor), then the identical
+    * pigeonhole block join as the image path. The hash relation is the
+    * ONLY thing the two modalities don't share. */
+  def audioFpPairs(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = tracked(media.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, wav) =>
+        if (parseWav(wav)._2 >= 65) Some((id, audioFp64(wav))) else None
+      }
+      .toDF("doc_id", "ah"))
+    hamming64Pairs(s, hashes)
+  }
+
+  /** The shared Hamming-≤4 pair engine over any (doc_id, 64-bit hash)
+    * relation — q121's pigeonhole block join (5 blocks of 13/12 bits: a
+    * pair ≤ 4 bits apart must agree on ≥ 1 whole block, the q28 Manku
+    * rationale), verified exactly with bit_count(xor). Only (doc_id,
+    * hash) and (doc_id, block) rows ever shuffle. */
+  def hamming64Pairs(s: SparkSession, hashes: DataFrame): DataFrame = {
+    import s.implicits._
     val blocks = hashes.as[(Long, Long)]
       .flatMap { case (id, hash) =>
         (0 until 5).map { k =>
@@ -305,6 +356,18 @@ object Multimodal {
     // buckets are sized for the fixture's 5k images).
     "q121_image_phash_pairs" -> ((s, d) =>
       phashPairs(s, asMediaTable(s, documents(s, d)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ACOUSTIC-FINGERPRINT AUDIO DEDUP — the third modality of the
+    // near-dup matrix (text: MinHash/SimHash/CDC/spans; image: q121
+    // aHash; audio: this). Haitsma-Kalker energy-delta fingerprints
+    // over the WAV payloads in the decode pass, then the SAME
+    // pigeonhole block join as q121 (hamming64Pairs — one engine, two
+    // modalities). MultimodalSpec pins the robustness story: a DC
+    // offset or header rewrite leaves the fingerprint (and so the
+    // pair) intact while byte dedup misses it.
+    "q134_audio_fp_pairs" -> ((s, d) =>
+      audioFpPairs(s, asMediaTable(s, documents(s, d)))
         .orderBy(col("doc_a"), col("doc_b")))
   )
 
@@ -387,6 +450,46 @@ object Multimodal {
              array_to_string(list_transform(g, v ->
                CASE WHEN v > list_sum(g)//64 THEN '1' ELSE '0' END), '') AS ah
            FROM grays),
+         blocks AS (
+           SELECT doc_id, k,
+             substring(ah, CAST(1 + 13*k AS INT),
+               CASE WHEN k = 4 THEN 12 ELSE 13 END) AS bv
+           FROM hashes, LATERAL (SELECT unnest(range(0, 5)) AS k) s),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM blocks a JOIN blocks b
+             ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         ham AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 65), i ->
+               substring(ha.ah, CAST(i AS INT), 1) <>
+               substring(hb.ah, CAST(i AS INT), 1))) AS hamming
+           FROM cand c
+           JOIN hashes ha ON c.doc_a = ha.doc_id
+           JOIN hashes hb ON c.doc_b = hb.doc_id)
+         SELECT doc_a, doc_b, hamming FROM ham
+         WHERE hamming <= 4 ORDER BY doc_a, doc_b""",
+    // Replays the acoustic fingerprint bit-for-bit from the text the
+    // samples cycle (q121's precedent): 65 equal windows of L = n//65
+    // samples, per-window amplitude sums, bit i = [e(i+1) > e(i)] →
+    // 64-char bitstring; same pigeonhole blocks and Hamming count.
+    // The ≥ 65-sample floor matches the engine's filter.
+    "q134_audio_fp_pairs" ->
+      """WITH m AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) >= 65),
+         m2 AS (SELECT doc_id, text, n, n // 65 AS l FROM m),
+         en AS (
+           SELECT doc_id, list_transform(range(0, 65), w ->
+             list_sum(list_transform(range(w*l + 1, w*l + l + 1),
+               i -> ascii(text[CAST(i AS INT)])))) AS e
+           FROM m2),
+         hashes AS (
+           SELECT doc_id,
+             array_to_string(list_transform(range(0, 64), i ->
+               CASE WHEN e[CAST(i + 2 AS INT)] > e[CAST(i + 1 AS INT)]
+                 THEN '1' ELSE '0' END), '') AS ah
+           FROM en),
          blocks AS (
            SELECT doc_id, k,
              substring(ah, CAST(1 + 13*k AS INT),

@@ -115,4 +115,47 @@ class MultimodalSpec extends TestSpark {
     assert(pairs.toSeq == Seq((1L, 4L, 0L)),
       s"expected exactly the re-encoded pair at hamming 0, got ${pairs.toSeq}")
   }
+
+  /** Same audio signal, different container bytes: rewrite the declared
+    * sample rate (metadata a transcoder touches) and add a +10 DC offset
+    * to every 8-bit sample — the level-shifted re-encode byte dedup
+    * can't see through. The Haitsma-Kalker fingerprint cancels the
+    * offset by construction (each window's energy shifts by 10·L, every
+    * delta is unchanged). */
+  private def dcOffsetWav(b: Array[Byte]): Array[Byte] = {
+    val out = b.clone()
+    out(24) = 0x40; out(25) = 0x1F; out(26) = 0; out(27) = 0 // rate: 8000
+    for (i <- 44 until out.length) out(i) = (out(i) + 10).toByte
+    out
+  }
+
+  test("q134: acoustic fingerprint catches a DC-offset re-encode byte dedup misses") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("the original narration behind the audio payload " +
+        "with enough sample bytes to fingerprint"),
+      2L -> ("a completely different narration producing an unrelated " +
+        "energy envelope over its windows"),
+      3L -> ("yet another unrelated narration body for the negative " +
+        "control side of this spec"))
+    val base = texts.map { case (id, t) =>
+      (id, Multimodal.synthesizeWav(t.getBytes("UTF-8")))
+    }
+    // doc 4 = doc 1 level-shifted + rate-rewritten; doc 5 = sub-65-sample
+    // payload (no fingerprintable signal — must be excluded, not paired)
+    val media = (base :+ (4L, dcOffsetWav(base.head._2)) :+
+      (5L, Multimodal.synthesizeWav("tiny".getBytes("UTF-8"))))
+      .toDF("doc_id", "wav")
+
+    val bytesDistinct = media.select(md5(col("wav"))).distinct().count()
+    assert(bytesDistinct == 5, "the re-encode must change the payload bytes")
+    assert(Multimodal.audioFp64(base.head._2) ==
+      Multimodal.audioFp64(dcOffsetWav(base.head._2)))
+
+    val pairs = Multimodal.audioFpPairs(spark, media)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 4L, 0L)),
+      s"expected exactly the level-shifted pair at hamming 0, got ${pairs.toSeq}")
+  }
 }
