@@ -312,17 +312,7 @@ object Similarity {
             Array.tabulate(PqM, cb.length)((j, c) =>
               pqSubDist(pv, cb(c), j)) }
           it.flatMap { case (id, v) =>
-            val codes = Array.tabulate(PqM) { j =>
-              var best = 0
-              var bd = Double.MaxValue
-              var c = 0
-              while (c < cb.length) {
-                val dd = pqSubDist(v, cb(c), j)
-                if (dd < bd) { bd = dd; best = c } // strict < : tie → smaller code
-                c += 1
-              }
-              best
-            }
+            val codes = pqEncode(v, cb)
             pr.indices.iterator.filter(pi => pr(pi)._1 != id).map { pi =>
               var ad = 0.0
               var j = 0
@@ -375,12 +365,19 @@ object Similarity {
             .sortBy { case (cid, cc) => (-cc, cid) }.take(4).map(_._1)
           (pid, v, cells)
         }
-      // shared residual codebook: the q123 16-vector sample rule, each
-      // sampled vector replaced by its residual vs its own nearest cell
+      // shared residual codebook: the 16 vectors FOLLOWING the centroid
+      // prefix in the q123 sample ordering, each replaced by its
+      // residual vs its own nearest cell. The offset is load-bearing:
+      // the first ivfK rows of this ordering ARE the centroids, and a
+      // centroid's residual is the zero vector — sampling the prefix
+      // (as this query originally did) collapses the whole codebook to
+      // zeros and ADC loses all intra-cell discrimination (every
+      // candidate in a cell ties; found by AnnIndexStoreSpec's
+      // duplicate-rank pin, round 10)
       val cb: Array[Array[Float]] = emb.select(col("vec_id"), col("embedding"))
         .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
           col("vec_id"))
-        .limit(PqKs).collect()
+        .limit(cents.length + PqKs).collect().drop(cents.length)
         .map { r =>
           val v = r.getSeq[Float](1).toArray
           residual(v, nearestCentroid(v, cents)._2)
@@ -412,18 +409,7 @@ object Similarity {
             byCell.get(cid) match {
               case None => Iterator.empty // unprobed cell: zero work
               case Some(pis) =>
-                val rv = residual(v, cvec)
-                val codes = Array.tabulate(PqM) { j =>
-                  var best = 0
-                  var bd = Double.MaxValue
-                  var k = 0
-                  while (k < cb.length) {
-                    val dd = pqSubDist(rv, cb(k), j)
-                    if (dd < bd) { bd = dd; best = k } // tie → smaller code
-                    k += 1
-                  }
-                  best
-                }
+                val codes = pqEncode(residual(v, cvec), cb)
                 pis.iterator.filter(pi => prs(pi)._1 != id).map { pi =>
                   val dt = dts(pi)(cid)
                   var ad = 0.0
@@ -465,8 +451,26 @@ object Similarity {
     * left-fold dots — the EXACT op order the oracle's
     * `list_dot_product` formulation evaluates, so encode argmins and
     * ADC sums agree bit-for-bit across engines. */
-  private def pqSubDist(x: Array[Float], c: Array[Float], j: Int): Double =
+  private[graft] def pqSubDist(x: Array[Float], c: Array[Float], j: Int): Double =
     pqSubDot(x, x, j) - 2 * pqSubDot(x, c, j) + pqSubDot(c, c, j)
+
+  /** THE PQ encode rule — per subspace, the argmin-subdistance code with
+    * ties to the smaller code — shared by q123 (raw vectors), q131
+    * (residuals), and the materialized index store (q135), so every
+    * encoder agrees with the oracle's row_number(ORDER BY d, code)
+    * replay bit-for-bit. */
+  private[graft] def pqEncode(x: Array[Float], cb: Array[Array[Float]]): Array[Int] =
+    Array.tabulate(PqM) { j =>
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val dd = pqSubDist(x, cb(c), j)
+        if (dd < bd) { bd = dd; best = c } // strict < : tie → smaller code
+        c += 1
+      }
+      best
+    }
 
   /** IVF search shared by q31 (few probes, broadcast) and q73 (corpus =
     * probes, keyed shuffle join): deterministic √n-sized centroid sample →
@@ -532,7 +536,7 @@ object Similarity {
     * cosine, tie → larger centroid_id), shared by the IVF map pass and
     * the IVF+PQ encode/codebook paths so every consumer agrees with the
     * oracle's replay bit-for-bit. Returns (centroid_id, centroid). */
-  private def nearestCentroid(v: Array[Float],
+  private[graft] def nearestCentroid(v: Array[Float],
       cents: Array[(Long, Array[Float])]): (Long, Array[Float]) = {
     var bestCos = -2.0
     var bestCid = -1L
@@ -549,7 +553,7 @@ object Similarity {
   /** Element-wise single-precision residual v − c — IEEE float
     * subtraction, replayed exactly by the oracle's FLOAT list
     * arithmetic. */
-  private def residual(v: Array[Float], c: Array[Float]): Array[Float] = {
+  private[graft] def residual(v: Array[Float], c: Array[Float]): Array[Float] = {
     val n = math.min(v.length, c.length)
     val r = new Array[Float](n)
     var i = 0
@@ -778,18 +782,21 @@ object Similarity {
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY ccos DESC, centroid_id ASC) AS rk
              FROM scored WHERE vec_id < 10) WHERE rk <= 4),
+         kv AS (
+           SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+           FROM embeddings),
          samp AS (
            SELECT vec_id, row_number() OVER (
              ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
            FROM embeddings),
          cb AS (
-           SELECT s.crn - 1 AS code,
+           SELECT s.crn - kv.k - 1 AS code,
              list_transform(generate_series(1, 64),
                i -> a.embedding[i] - c.c_emb[i]) AS cv
-           FROM samp s
+           FROM samp s CROSS JOIN kv
            JOIN assigned a ON a.vec_id = s.vec_id
            JOIN cents c ON c.centroid_id = a.cell
-           WHERE s.crn <= 16),
+           WHERE s.crn > kv.k AND s.crn <= kv.k + 16),
          subs AS (SELECT j FROM range(0, 8) t(j)),
          res AS (
            SELECT a.vec_id, a.cell,

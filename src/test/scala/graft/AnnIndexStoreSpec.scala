@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.AnnIndexStore
+import org.apache.spark.sql.functions._
+
+/** Production contracts of the materialized IVF+PQ index (q135) the
+  * value-level oracle can't see: append idempotency under replay,
+  * visibility of late appends (the train/encode decoupling that makes a
+  * store a store), and partition-level pruning of unprobed inverted
+  * lists. */
+class AnnIndexStoreSpec extends TestSpark {
+
+  /** Deterministic per-id synthetic 64-d vectors (seeded per id, so the
+    * set is stable regardless of construction order). Consecutive raw
+    * seeds give java.util.Random highly correlated first draws — which
+    * collapses the PQ codebook into one code — so the seed is bit-mixed
+    * and the first draws discarded. */
+  private def vec(id: Long): Array[Float] = {
+    val r = new scala.util.Random((id + 1) * 0x9E3779B97F4A7C15L)
+    r.nextLong(); r.nextLong()
+    Array.fill(64)(r.nextFloat() * 2f - 1f)
+  }
+
+  private def df(ids: Seq[Long], over: Map[Long, Array[Float]] = Map.empty) = {
+    import spark.implicits._
+    ids.map(id => (id, over.getOrElse(id, vec(id)).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  private def collectPairs(res: org.apache.spark.sql.DataFrame) =
+    res.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getDouble(3))).toSeq
+
+  test("q135 store: replayed appends are idempotent; a late-appended duplicate becomes rank 1") {
+    val dir = Tables.scratchDir(spark, "annstore_spec")
+    val build = df(0L until 300L)
+    AnnIndexStore.build(spark, build, dir)
+    val probe5 = df(Seq(5L))
+
+    AnnIndexStore.append(spark, df(300L until 310L), dir, 0L)
+    val r2 = collectPairs(AnnIndexStore.search(spark, dir, probe5, 5))
+    // replaying batch 0 overwrites exactly its own partitions — the
+    // search result cannot change
+    AnnIndexStore.append(spark, df(300L until 310L), dir, 0L)
+    val r3 = collectPairs(AnnIndexStore.search(spark, dir, probe5, 5))
+    assert(r2 == r3, s"replayed append changed the result:\n$r2\nvs\n$r3")
+
+    // vec 400 = an exact copy of probe 5, appended as a LATER batch
+    // against the frozen quantizers: it lands in probe 5's own cell with
+    // probe 5's codes, so its ADC distance is the quantization floor —
+    // it must surface at rank 1 (train/encode decoupling, end to end)
+    AnnIndexStore.append(spark, df(Seq(400L), Map(400L -> vec(5))), dir, 1L)
+    val r4 = collectPairs(AnnIndexStore.search(spark, dir, probe5, 5))
+    assert(r4.nonEmpty && r4.head._1 == 5L && r4.head._2 == 1 && r4.head._3 == 400L,
+      s"late-appended duplicate not at rank 1: $r4")
+  }
+
+  test("q135 search plan: unprobed inverted lists partition-pruned, corpus floats never read") {
+    // the store contract at the plan level: the codes scan carries a
+    // PartitionFilter on `cell` (unprobed list directories are never
+    // opened), and the search plan reads NO embeddings at all — the
+    // corpus floats were read once at build, never at search
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val plan =
+      try {
+        val res = AnnIndexStore.queries("q135_ann_store_search")(spark, sf0001)
+        res.collect()
+        res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    val codesScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/codes")).toSeq
+    assert(codesScans.nonEmpty, s"no codes scan in the search plan:\n${plan.take(3000)}")
+    codesScans.foreach(sc =>
+      assert(sc.contains("PartitionFilters") && sc.contains("cell"),
+        s"codes scan without cell partition pruning:\n${sc.take(800)}"))
+    // probes are collected (bounded, 10 rows) before the search plan is
+    // built, so the SEARCH plan itself must contain NO embeddings scan
+    // at all — only the stored index relations
+    val embScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embeddings.parquet")).toSeq
+    assert(embScans.isEmpty,
+      s"search plan reads corpus embeddings:\n${embScans.mkString("\n").take(1600)}")
+  }
+}
