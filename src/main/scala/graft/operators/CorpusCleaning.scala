@@ -28,6 +28,40 @@ object CorpusCleaning {
   private val emailRe = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.com"
   private val phoneRe = "555-[0-9]{4}"
 
+  /** THE per-doc cleaning verdict — q79's C4/Gopher-style rule chain
+    * (exact-dup canonical, length floor, stopword-ratio quality floor,
+    * language-ID agreement), factored out so the rollup (q79) and the
+    * end-to-end curation run (q136) apply ONE rule set that cannot
+    * drift (the cdcBoundaryPositions precedent). Emits one slim row per
+    * doc: (doc_id, source, n_tokens, h6, reason) — h6 is q125's 24-bit
+    * content hash, computed here because md5(text) is already on the
+    * dup-canonical path. One corpus scan, one hash exchange (the md5
+    * window). */
+  private[graft] def cleanVerdict(s: SparkSession, d: String): DataFrame = {
+    val pt = concat(lit(" "), col("text"), lit(" "))
+    val predicted =
+      when(pt.contains(" der ") || pt.contains(" und ") || pt.contains(" das "), "de")
+        .when(pt.contains(" le ") || pt.contains(" la ") || pt.contains(" et "), "fr")
+        .when(pt.contains(" el ") || pt.contains(" los ") || pt.contains(" es "), "es")
+        .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .otherwise("en")
+    val stats = documents(s, d).select(
+      col("doc_id"), col("source"), col("lang"),
+      size(tokens).as("n_tokens"),
+      size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),
+      predicted.as("predicted"),
+      conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long").as("h6"),
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+        .as("canonical"))
+    val reason = when(col("doc_id") =!= col("canonical"), "dup")
+      .when(col("n_tokens") < 20, "too_short")
+      .when(col("n_stop") / col("n_tokens").cast("double") < 0.02, "low_quality")
+      .when(col("predicted") =!= col("lang"), "lang_mismatch")
+      .otherwise("keep")
+    stats.select(col("doc_id"), col("source"), col("n_tokens"), col("h6"),
+      reason.as("reason"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction — the scrub pass every training corpus runs before
     // the tokenizer. The fixture text is letters-only, so deterministic
@@ -61,31 +95,11 @@ object CorpusCleaning {
     // fingerprint window and the final (source, reason) aggregation —
     // both carry slim rows, never text. The verdict CASE mirrors the
     // oracle clause-for-clause so the split is engine-exact.
-    "q79_clean_pipeline" -> ((s, d) => {
-      val pt = concat(lit(" "), col("text"), lit(" "))
-      val predicted =
-        when(pt.contains(" der ") || pt.contains(" und ") || pt.contains(" das "), "de")
-          .when(pt.contains(" le ") || pt.contains(" la ") || pt.contains(" et "), "fr")
-          .when(pt.contains(" el ") || pt.contains(" los ") || pt.contains(" es "), "es")
-          .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-          .otherwise("en")
-      val stats = documents(s, d).select(
-        col("doc_id"), col("source"), col("lang"),
-        size(tokens).as("n_tokens"),
-        size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),
-        predicted.as("predicted"),
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
-          .as("canonical"))
-      val reason = when(col("doc_id") =!= col("canonical"), "dup")
-        .when(col("n_tokens") < 20, "too_short")
-        .when(col("n_stop") / col("n_tokens").cast("double") < 0.02, "low_quality")
-        .when(col("predicted") =!= col("lang"), "lang_mismatch")
-        .otherwise("keep")
-      stats.select(col("source"), reason.as("reason"))
+    "q79_clean_pipeline" -> ((s, d) =>
+      cleanVerdict(s, d)
         .groupBy(col("source"), col("reason"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("source"), col("reason"))
-    }),
+        .orderBy(col("source"), col("reason"))),
 
     // Ordered-sequence funnel: users who viewed, then clicked strictly
     // after their first view, then purchased strictly after that first
@@ -264,6 +278,41 @@ object CorpusCleaning {
     })
   )
 
+  /** The q79 stats/verdict CTE block, shared verbatim with q136's
+    * oracle (PipelineOps) so the sibling oracles cannot drift — the CDC
+    * fragment precedent. `verdict` carries (doc_id, source, n_tokens,
+    * h6, reason); h6 replays q125's 24-bit content hash. */
+  private[graft] val cleanVerdictCtes: String =
+    """stats AS (
+           SELECT doc_id, source, lang,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+             CASE
+               WHEN contains(' '||text||' ', ' der ') OR contains(' '||text||' ', ' und ')
+                 OR contains(' '||text||' ', ' das ') THEN 'de'
+               WHEN contains(' '||text||' ', ' le ') OR contains(' '||text||' ', ' la ')
+                 OR contains(' '||text||' ', ' et ') THEN 'fr'
+               WHEN contains(' '||text||' ', ' el ') OR contains(' '||text||' ', ' los ')
+                 OR contains(' '||text||' ', ' es ') THEN 'es'
+               WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               ELSE 'en' END AS predicted,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(md5(text), 1, 6), '')]),
+               (a, x) -> a * 16 + x) AS h6,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+           FROM documents),
+         verdict AS (
+           SELECT doc_id, source, n_tokens, h6,
+             CASE WHEN doc_id <> canonical THEN 'dup'
+                  WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_stop * 1.0 / n_tokens < 0.02 THEN 'low_quality'
+                  WHEN predicted <> lang THEN 'lang_mismatch'
+                  ELSE 'keep' END AS reason
+           FROM stats)"""
+
   val oracles: Map[String, String] = Map(
     "q78_pii_redact" ->
       """WITH pii AS (
@@ -281,31 +330,7 @@ object CorpusCleaning {
              '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
          FROM pii ORDER BY doc_id""",
     "q79_clean_pipeline" ->
-      """WITH stats AS (
-           SELECT doc_id, source, lang,
-             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
-               x -> x <> '')) AS n_tokens,
-             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
-               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-             CASE
-               WHEN contains(' '||text||' ', ' der ') OR contains(' '||text||' ', ' und ')
-                 OR contains(' '||text||' ', ' das ') THEN 'de'
-               WHEN contains(' '||text||' ', ' le ') OR contains(' '||text||' ', ' la ')
-                 OR contains(' '||text||' ', ' et ') THEN 'fr'
-               WHEN contains(' '||text||' ', ' el ') OR contains(' '||text||' ', ' los ')
-                 OR contains(' '||text||' ', ' es ') THEN 'es'
-               WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-               ELSE 'en' END AS predicted,
-             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
-           FROM documents),
-         verdict AS (
-           SELECT source,
-             CASE WHEN doc_id <> canonical THEN 'dup'
-                  WHEN n_tokens < 20 THEN 'too_short'
-                  WHEN n_stop * 1.0 / n_tokens < 0.02 THEN 'low_quality'
-                  WHEN predicted <> lang THEN 'lang_mismatch'
-                  ELSE 'keep' END AS reason
-           FROM stats)
+      s"""WITH $cleanVerdictCtes
          SELECT source, reason, count(*) AS n_docs
          FROM verdict GROUP BY source, reason ORDER BY source, reason""",
     "q80_funnel" ->

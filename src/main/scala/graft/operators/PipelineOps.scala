@@ -154,6 +154,45 @@ object PipelineOps {
     // locally and the oracle replays it exactly. Plan: one k-row counts
     // aggregate broadcast back over a 2-column pushdown scan — the only
     // wide shuffle is the final k-group count.
+    // THE END-TO-END CURATION RUN — the nightly job a training-data team
+    // actually schedules, composed from this library's own stages with
+    // ZERO rule drift: q79's cleaning verdict (ONE shared rule —
+    // CorpusCleaning.cleanVerdict — feeds both queries) decides
+    // keep/drop per doc, then q125's deterministic mixture-membership
+    // rule rebalances the SURVIVORS (rates derive from post-cleaning
+    // source sizes, which is what a real run must do — mixing raw counts
+    // would over-sample dirty sources), and the rollup reports the
+    // per-source funnel: raw → cleaned → final docs → delivered training
+    // tokens. Plan shape: the slim per-doc verdict relation (5 narrow
+    // columns, text never leaves stage 1) persists once and feeds all
+    // three aggregates; totals and the grand scalar reach the membership
+    // pass as broadcasts; the only corpus-sized exchange is the md5
+    // window inside the verdict (exactly q79's cost).
+    "q136_curation_run" -> ((s, d) => {
+      val v = graft.PersistTracker.tracked("pipeline",
+        CorpusCleaning.cleanVerdict(s, d))
+      val kept = v.filter(col("reason") === "keep")
+      val totals = kept.groupBy(col("source")).agg(count(lit(1)).as("n_clean"))
+      val grand = totals.agg(sum(col("n_clean")).as("n"), count(lit(1)).as("k"))
+      val member = (col("h6") * lit(2L) * col("k") * col("n_clean"))
+        .lt(col("n") * lit(16777216L))
+      val fin = kept.join(broadcast(totals), "source")
+        .crossJoin(broadcast(grand))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(member, 1L).otherwise(0L)).as("n_final"),
+          sum(when(member, col("n_tokens").cast("long")).otherwise(0L))
+            .as("tok_final"))
+      v.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+        .join(totals, Seq("source"), "left")
+        .join(fin, Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tok_final"), lit(0L)).as("tok_final"))
+        .orderBy(col("source"))
+    }),
+
     "q125_source_mixing" -> ((s, d) => {
       val docs = documents(s, d).select(col("source"),
         conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long").as("h6"))
@@ -260,6 +299,11 @@ object PipelineOps {
     })
   )
 
+  /** Unpersist this session's tracked relations (q136's verdict cache;
+    * test/app teardown) — the shared module contract. */
+  def releaseCaches(s: SparkSession): Unit =
+    graft.PersistTracker.release("pipeline", s)
+
   val oracles: Map[String, String] = Map(
     "q55_merge_upsert" ->
       """WITH updates AS (
@@ -341,6 +385,34 @@ object PipelineOps {
          FROM documents GROUP BY lang ORDER BY lang""",
     // mixing replay: same 24-bit hex fold (the q110 technique), same
     // integer keep inequality, same k-row counts
+    // Composes the SHARED q79 verdict CTEs (verbatim — cleanVerdictCtes)
+    // with q125's membership rule applied to the kept set: the funnel's
+    // every stage replays the sibling oracles' exact fragments.
+    "q136_curation_run" ->
+      s"""WITH ${CorpusCleaning.cleanVerdictCtes},
+         kept AS (SELECT * FROM verdict WHERE reason = 'keep'),
+         tot AS (SELECT source, count(*) AS n_clean FROM kept GROUP BY source),
+         g AS (SELECT CAST(sum(n_clean) AS BIGINT) AS n, count(*) AS k FROM tot),
+         fin AS (
+           SELECT k2.source,
+             CAST(count(*) FILTER
+               (WHERE k2.h6 * 2 * g.k * t.n_clean < g.n * 16777216)
+               AS BIGINT) AS n_final,
+             CAST(coalesce(sum(k2.n_tokens) FILTER
+               (WHERE k2.h6 * 2 * g.k * t.n_clean < g.n * 16777216), 0)
+               AS BIGINT) AS tok_final
+           FROM kept k2 JOIN tot t USING (source) CROSS JOIN g
+           GROUP BY 1),
+         raw AS (SELECT source, count(*) AS n_raw FROM verdict GROUP BY source)
+         SELECT r.source, r.n_raw,
+           coalesce(t.n_clean, 0) AS n_clean,
+           coalesce(f.n_final, 0) AS n_final,
+           coalesce(f.tok_final, 0) AS tok_final
+         FROM raw r
+         LEFT JOIN tot t USING (source)
+         LEFT JOIN fin f USING (source)
+         ORDER BY r.source""",
+
     "q125_source_mixing" ->
       """WITH h AS (
            SELECT source, list_reduce(list_prepend(0::BIGINT,

@@ -36,5 +36,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     graft.functions.TextQueries.releaseCaches(spark)
     graft.operators.Multimodal.releaseCaches(spark)
     graft.operators.SignatureStore.releaseCaches(spark)
+    operators.PipelineOps.releaseCaches(spark)
   }
 }
