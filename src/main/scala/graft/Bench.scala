@@ -34,7 +34,10 @@ object Bench {
   // judge ask #5): image phash dedup (q121), the JSONL/ORC interchange
   // pair (q124/q128), data-mixture resampling (q125), incremental
   // delta dedup (q127) — plus this round's own store-backed admission
-  // (q129) and IVF+PQ ANN (q131) so they're tracked from birth. q130
+  // (q129), IVF+PQ ANN (q131), store compaction (q133), audio
+  // fingerprint dedup (q134), the materialized ANN index (q135), and
+  // the end-to-end curation run (q136) so they're tracked from birth.
+  // q130
   // stays out like q119: its cost is dominated by fixed streaming
   // micro-batch/checkpoint constants, not plan cost.
   private val headline = Seq(
@@ -50,7 +53,8 @@ object Bench {
     "q120_shared_spans", "q123_ann_pq",
     "q121_image_phash_pairs", "q124_jsonl_roundtrip", "q125_source_mixing",
     "q127_delta_dedup", "q128_orc_roundtrip",
-    "q129_store_delta_dedup", "q131_ann_ivfpq", "q133_store_compact_admit")
+    "q129_store_delta_dedup", "q131_ann_ivfpq", "q133_store_compact_admit",
+    "q134_audio_fp_pairs", "q135_ann_store_search", "q136_curation_run")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,6 +171,7 @@ object Bench {
     functions.TextQueries.releaseCaches(spark)
     operators.Multimodal.releaseCaches(spark)
     operators.SignatureStore.releaseCaches(spark)
+    operators.PipelineOps.releaseCaches(spark)
     spark.stop()
   }
 }

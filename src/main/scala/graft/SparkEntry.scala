@@ -24,19 +24,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * persisted bands, corpus text never re-scanned, q130 the streaming
   * ingestion-admission pipeline through the exactly-once sink, q133
   * store compaction under live admission — the full build → append →
-  * compact → admit lifecycle, and
+  * compact → admit lifecycle, q137 store-backed decontamination — the
+  * benchmark gram index persisted once as 16-hex keys, and
   * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
   * q123 product-quantization ANN — 8-byte codes + ADC table search,
   * the memory-compression scale path, q131 IVF+PQ composed IVFADC —
-  * coarse-cell pruning + residual codes),
+  * coarse-cell pruning + residual codes, q135 the materialized vector
+  * index — build/append/search against stored cell-partitioned codes,
+  * frozen quantizers, partition-pruned inverted lists),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
-  * (q32, q93-q94, q121),
+  * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout and interchange
   * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing
-  * (q125 deterministic per-source rebalancing),
+  * (q125 deterministic per-source rebalancing, q136 the end-to-end
+  * curation run: shared q79 verdict → survivor mixing → per-source
+  * raw/cleaned/final/token funnel),
   * and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,
   * event-time-timer sessions, and the foreachBatch exactly-once sink
@@ -61,6 +66,7 @@ object SparkEntry {
       operators.CorpusCleaning.queries ++
       operators.StorageOps.queries ++
       operators.SignatureStore.queries ++
+      operators.AnnIndexStore.queries ++
       operators.DedupReport.queries ++
       operators.RelationalQueries.queries ++
       functions.TextQueries.queries ++
@@ -89,6 +95,7 @@ object SparkEntry {
       operators.CorpusCleaning.oracles ++
       operators.StorageOps.oracles ++
       operators.SignatureStore.oracles ++
+      operators.AnnIndexStore.oracles ++
       operators.DedupReport.oracles ++
       operators.RelationalQueries.oracles ++
       functions.TextQueries.oracles ++

@@ -96,6 +96,7 @@ object Verify {
     functions.TextQueries.releaseCaches(spark)
     operators.Multimodal.releaseCaches(spark)
     operators.SignatureStore.releaseCaches(spark)
+    operators.PipelineOps.releaseCaches(spark)
     spark.stop()
     // exit 0 even on failures: the sentinel parquet makes each failure a
     // visible per-query mismatch in the driver's compare, which is the
