@@ -33,7 +33,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the memory-compression scale path, q131 IVF+PQ composed IVFADC —
   * coarse-cell pruning + residual codes, q135 the materialized vector
   * index — build/append/search against stored cell-partitioned codes,
-  * frozen quantizers, partition-pruned inverted lists),
+  * frozen quantizers, partition-pruned inverted lists, q138 streaming
+  * vector ingestion-admission — IVF-pruned exact-cosine dedup per
+  * micro-batch, survivors appended exactly-once and indexed),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),

@@ -5,6 +5,7 @@ import graft.functions.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
 
 /** MATERIALIZED IVF+PQ vector index — the persistent, appendable form of
   * the in-query IVFADC composition (q131), and the similarity-search
@@ -200,6 +201,71 @@ object AnnIndexStore {
         round(col("adist"), 6).as("adist"))
       .orderBy(col("probe_id"), col("rk"))
 
+  /** IVF-PRUNED EXACT-COSINE ADMISSION of a vector batch against the
+    * stored index — the embedding analog of the signature store's
+    * [[SignatureStore.admitShingles]], and the FAISS-with-refine shape:
+    * the coarse index prunes candidates (each batch vector is checked
+    * only against stored vectors in its nProbe=4 nearest cells, found
+    * through the CODES table with `batch_id < beforeBatch` so a
+    * replayed batch never sees its own append), then candidates verify
+    * with EXACT cosine against the admitted-corpus table's floats.
+    * Returns the rejected pairs (vec_id = batch, cand_id = stored,
+    * cos ≥ 0.4 — the q77/q122 near-dup edge threshold).
+    *
+    * Scale shape: batch cells rank map-side against the broadcast
+    * centroids; the probed-cell set (bounded by ivfK) partition-prunes
+    * the codes scan; the batch side reaches both joins as a broadcast,
+    * so the store's codes AND the corpus floats stream with no
+    * exchange — the only shuffle is the slim pair distinct. */
+  def admitVectors(s: SparkSession, batch: DataFrame, storeDir: String,
+      corpusDir: String, beforeBatch: Long): DataFrame = {
+    import s.implicits._
+    val (cents, _) = readParams(s, storeDir)
+    val bcC = s.sparkContext.broadcast(cents)
+    val batchCells = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (vid, v) =>
+        bcC.value.map { case (cid, c) => (cid, Similarity.roundedCosine(v, c)) }
+          .sortBy { case (cid, cc) => (-cc, cid) }.take(4) // q31's probe rule
+          .map { case (cid, _) => (vid, v, cid) }
+      }.toDF("vec_id", "p_emb", "cell")
+    // bounded driver collect (≤ ivfK cells): the probed-cell set is
+    // what partition-prunes the inverted lists, exactly as in search.
+    // batchCells is computed twice (this collect + the broadcast) — an
+    // O(batch × k) map over the caller-persisted batch, cheaper than a
+    // persist whose lifetime couldn't outlive this method.
+    val cellSet = batchCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    if (cellSet.isEmpty) // empty batch (e.g. a checkpoint-only restart)
+      batchCells.select(col("vec_id"), col("vec_id").as("cand_id"),
+        lit(0.0).as("cos")).limit(0)
+    else {
+      val candCodes = s.read.parquet(codesPath(storeDir))
+        .filter(col("batch_id") < beforeBatch)
+        .filter(col("cell").cast("long").isin(cellSet: _*))
+        .select(col("vec_id").as("cand_id"), col("cell").cast("long").as("cell"))
+      val cand = candCodes.join(broadcast(batchCells), "cell")
+        .select(col("vec_id"), col("p_emb"), col("cand_id"))
+      val corpusVecs = s.read.parquet(corpusDir)
+        .filter(col("batch_id") < beforeBatch)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      corpusVecs.join(broadcast(cand), "cand_id")
+        .select(col("vec_id"), col("cand_id"),
+          round(Similarity.dot(col("p_emb"), col("c_emb"))
+            / (Similarity.l2norm(col("p_emb"))
+              * Similarity.l2norm(col("c_emb"))), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .distinct() // a pair reachable via 2 shared cells counts once
+    }
+  }
+
+  /** Survivors of a vector admission: batch vectors with no rejected
+    * pair — the rows the pipeline appends to the corpus and whose codes
+    * [[append]] adds to the index. */
+  def vectorSurvivors(batch: DataFrame, pairs: DataFrame): DataFrame =
+    batch.join(pairs.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
   private def notHeldOut(c: Column): Column = c % 10 =!= 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -218,6 +284,64 @@ object AnnIndexStore {
       build(s, emb.filter(notHeldOut(col("vec_id"))), dir)
       append(s, emb.filter(!notHeldOut(col("vec_id"))), dir, 0L)
       search(s, dir, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // STREAMING VECTOR INGESTION-ADMISSION — the embedding analog of
+    // the text pipeline (q130), against THIS store: the held-out
+    // vec_id % 10 = 7 slice arrives as a stream; each micro-batch is
+    // admitted by IVF-pruned exact-cosine dedup (coarse cells from the
+    // stored codes prune candidates, the q77/q122 cos ≥ 0.4 near-dup
+    // edge rejects), survivors land in the admitted-corpus table
+    // exactly-once (dynamic partition overwrite, the q82 contract) AND
+    // their codes append to the index so the NEXT batch both sees them
+    // as dedup candidates and can be served by search — ingestion
+    // keeps the ANN index continuously queryable. Bounded single-file
+    // replay = one batch, so the final table is seed + delta vectors
+    // with no ≥ 0.4 stored neighbor in a probed cell — exactly what
+    // the oracle computes; multi-batch sequential semantics and
+    // restart idempotency are pinned by AnnIndexStoreSpec on a
+    // two-file stream.
+    "q138_stream_vector_admit" -> ((s, d) => {
+      val storeDir = scratchDir(s, "q138_store_" + graft.Tables.datasetTag(d))
+      val corpusDir = scratchDir(s, "q138_corpus_" + graft.Tables.datasetTag(d))
+      val embSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val seed = embeddings(s, d).filter(notHeldOut(col("vec_id")))
+      build(s, seed, storeDir)
+      seed.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id").parquet(corpusDir)
+      val src = s.readStream.schema(embSchema).parquet(s"$d/embeddings.parq*")
+        .filter(!notHeldOut(col("vec_id")))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // batch-local persist lifetimes (q130's discipline)
+            val b = batch
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val pairs = admitVectors(s, b, storeDir, corpusDir,
+                beforeBatch = id)
+              val surv = vectorSurvivors(b, pairs)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                surv.withColumn("batch_id", lit(id))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id").parquet(corpusDir)
+                append(s, surv, storeDir, id)
+              } finally { surv.unpersist(); () }
+            } finally { b.unpersist(); () }
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(corpusDir)
+        .select(col("vec_id"), size(col("embedding")).as("n_dims"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -323,6 +447,56 @@ object AnnIndexStore {
                ORDER BY adist, vec_id) AS rk
            FROM ad)
          SELECT probe_id, rk, vec_id, round(adist, 6) AS adist FROM ranked
-         WHERE rk <= 5 ORDER BY probe_id, rk"""
+         WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // Single-batch bounded replay of the streaming admission: the
+    // subset-trained coarse quantizer (q135's cents), stored cells for
+    // the seed, probed cells for the delta, IVF-pruned candidates,
+    // exact-cosine rejection at the q77/q122 edge threshold — final
+    // table = seed + unrejected delta.
+    "q138_stream_vector_admit" ->
+      """WITH cents AS (
+           SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
+             FROM embeddings WHERE vec_id % 10 <> 7)
+           WHERE crn <= (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                         FROM embeddings WHERE vec_id % 10 <> 7)),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+             round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))),
+               6) AS ccos
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, centroid_id AS cell FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id DESC) AS rk
+             FROM scored WHERE vec_id % 10 <> 7) WHERE rk = 1),
+         probe_cells AS (
+           SELECT vec_id, centroid_id AS cell FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id ASC) AS rk
+             FROM scored WHERE vec_id % 10 = 7) WHERE rk <= 4),
+         cand AS (
+           SELECT DISTINCT p.vec_id, a.vec_id AS cand_id
+           FROM probe_cells p JOIN assigned a USING (cell)),
+         dup AS (
+           SELECT DISTINCT c.vec_id
+           FROM cand c
+           JOIN embeddings pe ON pe.vec_id = c.vec_id
+           JOIN embeddings ce ON ce.vec_id = c.cand_id
+           WHERE round(list_dot_product(pe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(pe.embedding::DOUBLE[], pe.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))),
+             6) >= 0.4)
+         SELECT vec_id, len(embedding) AS n_dims FROM embeddings
+         WHERE vec_id % 10 <> 7
+            OR vec_id NOT IN (SELECT vec_id FROM dup)
+         ORDER BY vec_id"""
   )
 }

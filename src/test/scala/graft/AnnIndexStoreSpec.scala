@@ -82,4 +82,79 @@ class AnnIndexStoreSpec extends TestSpark {
     assert(embScans.isEmpty,
       s"search plan reads corpus embeddings:\n${embScans.mkString("\n").take(1600)}")
   }
+
+  test("q138 streaming admission: cross-batch dedup visibility; restart re-admits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("vecingest").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val storeDir = s"$root/store"
+    val corpusDir = s"$root/corpus"
+    val cp = s"$root/cp"
+    val seedIds = 0L until 50L
+    val seed = df(seedIds)
+    AnnIndexStore.build(spark, seed, storeDir)
+    seed.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id").parquet(corpusDir)
+    val schema = seed.schema
+
+    def addFile(name: String, d: org.apache.spark.sql.DataFrame): Unit = {
+      val staged = s"$root/stage_$name"
+      d.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+      ()
+    }
+
+    // the q138 foreachBatch body, pointed at this spec's dirs + checkpoint
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val b = batch
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val pairs = AnnIndexStore.admitVectors(spark, b, storeDir,
+              corpusDir, beforeBatch = id)
+            val surv = AnnIndexStore.vectorSurvivors(b, pairs)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              surv.withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(corpusDir)
+              AnnIndexStore.append(spark, surv, storeDir, id)
+            } finally { surv.unpersist(); () }
+          } finally { b.unpersist(); () }
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    def admitted(): Set[Long] = spark.read.parquet(corpusDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // batch 0: vec 100 is novel (random 64-d vectors sit far below the
+    // 0.4 cosine edge) — admitted and indexed
+    addFile("a", df(Seq(100L)))
+    runOnce()
+    assert(admitted() == seedIds.toSet + 100L)
+    // batch 1 (restart continues from the checkpoint): vec 101 is an
+    // exact copy of batch 0's SURVIVOR 100 — rejected through the
+    // index's appended codes + the corpus floats (cross-batch
+    // visibility); vec 102 is novel
+    addFile("b", df(Seq(101L, 102L), Map(101L -> vec(100))))
+    runOnce()
+    assert(admitted() == seedIds.toSet + 100L + 102L,
+      "batch 1 must reject the copy of batch 0's survivor and admit the novel vector")
+    // restart with no new input: nothing re-admitted, nothing duplicated
+    runOnce()
+    assert(spark.read.parquet(corpusDir).count() == seedIds.size + 2L,
+      "restart must not duplicate admitted rows")
+  }
 }
