@@ -61,6 +61,29 @@ object Dedup {
     }
   }
 
+  /** (id, 16-hex md5 gram key) relation of a (doc_id, text) slice —
+    * q74's 8-gram pass projected to stored keys in the SAME map stage
+    * (q120's discipline), so raw gram text never shuffles and never
+    * lands on disk. Shared by the one-shot store-backed check (q137)
+    * and its streaming-admission form (q139). */
+  private def gramKeys(s: SparkSession, part: DataFrame, idCol: String): DataFrame = {
+    import s.implicits._
+    part.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => ngramSet(t, 8).map(g => (id, g)) }
+      .toDF(idCol, "gram")
+      .select(col(idCol), substring(md5(col("gram")), 1, 16).as("gh"))
+  }
+
+  /** Per-doc contamination verdict of a [[gramKeys]] relation against a
+    * stored benchmark gram index (columns gh, bdoc): docs sharing ≥1
+    * stored 8-gram key, with shared-gram and benchmark-doc counts. ONE
+    * rule for the batch and streaming paths, so they cannot drift. */
+  private def checkAgainstGramStore(corpusGrams: DataFrame, store: DataFrame): DataFrame =
+    corpusGrams.join(store, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared"),
+        countDistinct(col("bdoc")).as("n_bench_docs"))
+
   /** (doc_id, shingles array) relation — the base for signatures and
     * verification; one typed map pass. Callers that use it more than once
     * in a query should pass it through [[sharedShingles]] so the scan runs
@@ -482,24 +505,65 @@ object Dedup {
     // the benchmark text is never re-read. Results match q74 with
     // grams counted by 64-bit key (the oracle truncates identically).
     "q137_decontam_store" -> ((s, d) => {
-      import s.implicits._
       val dir = graft.Tables.scratchDir(s,
         "q137_decon_" + graft.Tables.datasetTag(d))
       val docs = documents(s, d)
-      def gramKeys(part: DataFrame, idCol: String): DataFrame =
-        part.select(col("doc_id"), col("text")).as[(Long, String)]
-          .flatMap { case (id, t) => ngramSet(t, 8).map(g => (id, g)) }
-          .toDF(idCol, "gram")
-          // same-stage projection: raw gram text never shuffles — only
-          // (id, 16-hex key) rows leave the map side
-          .select(col(idCol), substring(md5(col("gram")), 1, 16).as("gh"))
-      gramKeys(docs.filter(col("doc_id") % 5 === 0), "bdoc")
+      gramKeys(s, docs.filter(col("doc_id") % 5 === 0), "bdoc")
         .write.mode("overwrite").parquet(dir)
-      gramKeys(docs.filter(col("doc_id") % 5 =!= 0), "doc_id")
-        .join(s.read.parquet(dir), Seq("gh"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("gh")).as("n_shared"),
-          countDistinct(col("bdoc")).as("n_bench_docs"))
+      checkAgainstGramStore(
+        gramKeys(s, docs.filter(col("doc_id") % 5 =!= 0), "doc_id"),
+        s.read.parquet(dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING DECONTAMINATION — the fourth streaming-admission path
+    // (LSH-store admission q130, vector-store admission q138, the
+    // contamination store here): the benchmark gram index is built ONCE
+    // (it is a FROZEN artifact — q137's 16-hex-key store), then corpus
+    // documents ARRIVE as a stream and every micro-batch's grams check
+    // against it, per-doc verdicts landing in a batch-partitioned sink
+    // exactly-once (q82's dynamic-partition-overwrite contract: a
+    // replayed batch replaces exactly its own partition). Unlike dedup
+    // admission, a verdict depends ONLY on the frozen index — never on
+    // earlier batches — so the streamed result is bit-identical to the
+    // one-shot batch check under ANY batch-boundary placement, and
+    // q137's oracle verifies it directly (DedupSimilaritySpec pins the
+    // batching-invariance on a two-file split stream). Per-batch cost:
+    // one map-side gram pass over the batch + a BROADCAST hash join
+    // (the index is benchmark-sized, never corpus-sized); no state
+    // store, nothing corpus-sized ever shuffles.
+    "q139_stream_decontam" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val storeDir = graft.Tables.scratchDir(s, "q139_decon_store_" + tag)
+      val sinkDir = graft.Tables.scratchDir(s, "q139_decon_flags_" + tag)
+      val docs = documents(s, d)
+      gramKeys(s, docs.filter(col("doc_id") % 5 === 0), "bdoc")
+        .write.mode("overwrite").parquet(storeDir)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
+        .filter(col("doc_id") % 5 =!= 0)
+      // verdict rows are benchmark-overlap-sized; 8 matches the q130
+      // streaming width convention (state-free here, but the per-batch
+      // shuffle width still should not inherit the batch conf)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            checkAgainstGramStore(gramKeys(s, batch, "doc_id"),
+              broadcast(s.read.parquet(storeDir)))
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(sinkDir)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(sinkDir)
+        .select(col("doc_id"), col("n_shared"), col("n_bench_docs"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1006,6 +1070,26 @@ object Dedup {
     // q74's replay with grams counted by their stored 64-bit key
     // (substr(md5, 1, 16)) — exactly what the store persists.
     "q137_decontam_store" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS t
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             substr(md5(unnest(list_transform(range(1, greatest(len(t)-6, 1)),
+               i -> array_to_string(t[i:i+7], ' ')))), 1, 16) AS gh
+           FROM toks),
+         bench AS (SELECT gh, doc_id AS bdoc FROM grams WHERE doc_id % 5 = 0)
+         SELECT c.doc_id, count(DISTINCT c.gh) AS n_shared,
+           count(DISTINCT b.bdoc) AS n_bench_docs
+         FROM grams c JOIN bench b ON c.gh = b.gh
+         WHERE c.doc_id % 5 <> 0
+         GROUP BY 1 ORDER BY 1""",
+
+    // identical to q137's replay: a verdict depends only on the frozen
+    // benchmark index, so the streamed check must equal the batch check
+    // regardless of micro-batch boundaries.
+    "q139_stream_decontam" ->
       """WITH toks AS (
            SELECT doc_id,
              list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS t

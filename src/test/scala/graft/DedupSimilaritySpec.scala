@@ -197,6 +197,23 @@ class DedupSimilaritySpec extends TestSpark {
       s"delta LSH missed ${exact -- res} / false positives ${res -- exact}")
   }
 
+  test("q139 streaming decontamination equals the one-shot batch check, and re-runs idempotently") {
+    // A verdict depends only on the FROZEN benchmark gram index, never on
+    // earlier batches, so the streamed check must be bit-identical to
+    // q137's batch check under any batching — and a full re-run (fresh
+    // temp checkpoint, dynamic partition overwrite) must change nothing.
+    val batch = Dedup.queries("q137_decontam_store")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val streamed = Dedup.queries("q139_stream_decontam")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.nonEmpty, "fixture should contain benchmark-contaminated docs")
+    assert(streamed.sameElements(batch),
+      s"streamed verdicts diverge from batch: ${streamed.toSet.diff(batch.toSet)}")
+    val rerun = Dedup.queries("q139_stream_decontam")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rerun.sameElements(batch), "re-run is not idempotent")
+  }
+
   test("q123 PQ ANN: well-formed per-probe ranking and ADC tracks exact cosine") {
     val pq = Similarity.queries("q123_ann_pq")(spark, sf0001).collect()
     assert(pq.length == 50, s"expected 10 probes x 5, got ${pq.length}")
