@@ -25,7 +25,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ingestion-admission pipeline through the exactly-once sink, q133
   * store compaction under live admission — the full build → append →
   * compact → admit lifecycle, q137 store-backed decontamination — the
-  * benchmark gram index persisted once as 16-hex keys, and
+  * benchmark gram index persisted once as 16-hex keys, q139 its
+  * STREAMING form — micro-batches checked against the frozen broadcast
+  * store, verdicts exactly-once, and
   * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
@@ -40,10 +42,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout and interchange
-  * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing
-  * (q125 deterministic per-source rebalancing, q136 the end-to-end
-  * curation run: shared q79 verdict → survivor mixing → per-source
-  * raw/cleaned/final/token funnel),
+  * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing and
+  * lifecycle (q125 deterministic per-source rebalancing, q136 the
+  * end-to-end curation run: shared q79 verdict → survivor mixing →
+  * per-source raw/cleaned/final/token funnel, q140 the
+  * contamination-safe content-hash train/val/test split, q141 the
+  * crawl-snapshot diff — added/removed/changed/unchanged off one
+  * slim full-outer join),
   * and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,
   * event-time-timer sessions, and the foreachBatch exactly-once sink

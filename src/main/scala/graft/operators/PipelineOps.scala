@@ -142,6 +142,71 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
+    // CONTAMINATION-SAFE train/val/test SPLIT — the fold assignment a
+    // training pipeline makes before anything else touches the data.
+    // Membership is a pure function of CONTENT (first 4 md5 hex chars
+    // mod 10 → 8/1/1 folds), never of doc_id, file position, or an RNG,
+    // so byte-identical documents — including re-crawls of the same
+    // page under different ids — land in the SAME fold by construction:
+    // an exact duplicate can never straddle train and eval, the leakage
+    // a row-number or random split silently allows (PipelineOpsSpec
+    // pins this on re-keyed duplicate copies of the corpus). Seedless and
+    // replayable on any worker with zero coordination; the only shuffle
+    // is the final sources×3-row rollup over a 2-column pushdown scan.
+    "q140_stratified_split" -> ((s, d) => {
+      val h4 = conv(substring(md5(col("text")), 1, 4), 16, 10)
+        .cast("long") % 10
+      val fold = when(h4 < 8, "train").when(h4 === 8, "val")
+        .otherwise("test")
+      documents(s, d)
+        .select(col("source"), fold.as("fold"), col("text"),
+          size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+            .as("n_toks"))
+        .groupBy(col("source"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_uniq_texts"),
+          sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("source"), col("fold"))
+    }),
+
+    // CRAWL-SNAPSHOT DIFF — the incremental-ingestion report between
+    // two corpus snapshots: which documents APPEARED, VANISHED, CHANGED
+    // content, or carried over unchanged. The "next crawl" here is a
+    // deterministic fixture transform (drop ids ≡0 mod 17, revise ids
+    // ≡0 mod 13 by appending a token, add a fresh doc at id+10M per id
+    // ≡0 mod 19) so all four classes occur; in production both sides
+    // are real snapshot tables. Plan shape: each side reduces to a slim
+    // (doc_id, source, md5) relation INSIDE its scan stage — text never
+    // reaches the exchange — then ONE full-outer hash join on doc_id
+    // classifies every id and a sources-sized rollup reports it. At
+    // 100 TB both sides shuffle only 3 narrow columns; the classifying
+    // CASE needs no text compare because content equality IS hash
+    // equality (the q125/q140 content-hash discipline).
+    "q141_snapshot_diff" -> ((s, d) => {
+      val docs = documents(s, d)
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" revised")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("crawlnew").as("source"), col("text")))
+      val a = docs.select(col("doc_id"), col("source").as("src_a"),
+        md5(col("text")).as("h_a"))
+      val b = newSnap.select(col("doc_id"), col("source").as("src_b"),
+        md5(col("text")).as("h_b"))
+      val status = when(col("h_a").isNull, "added")
+        .when(col("h_b").isNull, "removed")
+        .when(col("h_a") === col("h_b"), "unchanged")
+        .otherwise("changed")
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_a"), col("src_b")).as("source"),
+          status.as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("status"))
+    }),
+
     // DATA-MIXTURE resampling — the training-data "mixing" operator
     // q61/q95 don't cover: rebalance the corpus TOWARD equal per-source
     // shares under a half-corpus budget. Per-source rate = min(1,
@@ -383,6 +448,48 @@ object PipelineOps {
          count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0', '1'))
            AS n_sampled
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // same 16-bit hex fold (the q125 technique), same mod-10 fold rule
+    "q140_stratified_split" ->
+      """WITH h AS (
+           SELECT source, text,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(md5(text), 1, 4), '')]),
+               (a, x) -> a * 16 + x) % 10 AS h4,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_toks
+           FROM documents)
+         SELECT source,
+           CASE WHEN h4 < 8 THEN 'train' WHEN h4 = 8 THEN 'val'
+             ELSE 'test' END AS fold,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_uniq_texts,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the same deterministic next-snapshot transform, replayed: both
+    // sides slim to (doc_id, source, md5) and one full outer join
+    // classifies every id
+    "q141_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         newer AS (
+           SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+               ELSE text END) AS h
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 10000000, 'crawlnew', md5(text)
+           FROM documents WHERE doc_id % 19 = 0),
+         j AS (
+           SELECT coalesce(o.source, n.source) AS source,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h = n.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM old o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id)
+         SELECT source, status, count(*) AS n_docs
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
     // mixing replay: same 24-bit hex fold (the q110 technique), same
     // integer keep inequality, same k-row counts
     // Composes the SHARED q79 verdict CTEs (verbatim — cleanVerdictCtes)

@@ -171,6 +171,51 @@ class PipelineOpsSpec extends TestSpark {
     }
   }
 
+  test("q140 fold assignment is content-pure: re-keyed duplicates land in the same fold") {
+    import org.apache.spark.sql.functions._
+    // the leakage-safety contract: membership is a function of TEXT only,
+    // so a byte-identical re-crawl under a fresh doc_id can never land in
+    // a different fold than its original
+    val h4 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 10
+    val fold = when(h4 < 8, "train").when(h4 === 8, "val").otherwise("test")
+    val docs = Tables.documents(spark, sf0001)
+    val rekeyed = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val folds = docs.select(col("doc_id"), col("text")).unionByName(rekeyed)
+      .select(col("doc_id"), md5(col("text")).as("h"), fold.as("fold"))
+    val divergent = folds.groupBy(col("h"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(divergent == 0L, s"$divergent texts straddle folds")
+    // and the rollup accounts for every document, with all three folds
+    // populated at the designed ~8/1/1 proportions
+    val rows = PipelineOps.queries("q140_stratified_split")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val byFold = rows.groupBy(_.getAs[String]("fold"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byFold.keySet == Set("train", "val", "test"))
+    assert(byFold("train") > byFold("val") && byFold("train") > byFold("test"))
+  }
+
+  test("q141 snapshot diff classifies exactly the constructed adds/removes/changes") {
+    import org.apache.spark.sql.functions._
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expRemoved = ids.count(_ % 17 == 0)
+    val expAdded = ids.count(_ % 19 == 0)
+    val expChanged = ids.count(i => i % 17 != 0 && i % 13 == 0)
+    val expUnchanged = ids.count(i => i % 17 != 0 && i % 13 != 0)
+    val byStatus = PipelineOps.queries("q141_snapshot_diff")(spark, sf0001)
+      .collect().groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byStatus == Map("removed" -> expRemoved, "added" -> expAdded,
+      "changed" -> expChanged, "unchanged" -> expUnchanged)
+      .map { case (k, v) => k -> v.toLong })
+    // added docs carry the synthetic-crawl source, never a corpus one
+    val addedSrcs = PipelineOps.queries("q141_snapshot_diff")(spark, sf0001)
+      .filter(col("status") === "added").collect().map(_.getAs[String]("source"))
+    assert(addedSrcs.sameElements(Array("crawlnew")))
+  }
+
   test("exact percentiles are ordered p25 <= p50 <= p75 <= p95") {
     PipelineOps.queries("q57_percentiles")(spark, sf0001).collect().foreach { r =>
       val Seq(p25, p50, p75, p95) =
