@@ -54,6 +54,71 @@ object AnnIndexStore {
   def centroidsPath(dir: String): String = dir + "/centroids"
   def codebookPath(dir: String): String = dir + "/codebook"
   def codesPath(dir: String): String = dir + "/codes"
+  def tombstonesPath(dir: String): String = dir + "/tombstones"
+
+  /** Mark vectors DELETED (the Milvus/FAISS-IDMap remove shape, and the
+    * erasure-request path a production store must serve): ids land in a
+    * tiny tombstone table; every [[search]] masks them immediately with
+    * a broadcast anti-join, and [[vacuum]] later erases them physically.
+    * Append-mode — successive delete requests accumulate until the next
+    * vacuum. */
+  def delete(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id")).coalesce(1)
+      .write.mode("append").parquet(tombstonesPath(dir))
+
+  /** The live tombstone set, or None before any delete — bounded by the
+    * un-vacuumed delete volume, so always broadcast-sized. */
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(tombstonesPath(dir))) else None
+  }
+
+  /** PHYSICAL erasure of tombstoned vectors (the GDPR guarantee the mask
+    * alone cannot give — masked bytes still exist on disk): rewrite ONLY
+    * the (batch_id, cell) inverted-list partitions that hold tombstoned
+    * rows — survivors stage to a scratch dir and swap in via rename,
+    * lists deleted whole have their directories removed (a dynamic
+    * overwrite cannot emit an empty partition) — then clear the
+    * tombstone table. Search results are identical before and after
+    * (AnnIndexStoreSpec pins it); only the mask's anti-join disappears.
+    * Cost: proportional to the AFFECTED lists, never the index — the
+    * q133 compaction discipline applied to deletes. */
+  def vacuum(s: SparkSession, dir: String): Unit =
+    tombstones(s, dir).foreach { t =>
+      val bcT = broadcast(t)
+      val codes = s.read.parquet(codesPath(dir))
+      val affected = codes.join(bcT, "vec_id")
+        .select(col("batch_id").cast("long"), col("cell").cast("long"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      val fs = new org.apache.hadoop.fs.Path(codesPath(dir))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (affected.nonEmpty) {
+        val hit = affected.map { case (b, c) => s"$b:$c" }.toSet
+        val tmp = dir + "/codes_vacuum_tmp"
+        // survivors of the affected lists only — unaffected lists are
+        // never read, written, or moved
+        s.read.parquet(codesPath(dir))
+          .filter(concat_ws(":", col("batch_id").cast("long"),
+            col("cell").cast("long")).isin(hit.toSeq: _*))
+          .join(bcT, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("batch_id", "cell").parquet(tmp)
+        affected.foreach { case (b, c) =>
+          val dst = new org.apache.hadoop.fs.Path(
+            s"${codesPath(dir)}/batch_id=$b/cell=$c")
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/batch_id=$b/cell=$c")
+          fs.delete(dst, true)
+          // src absent ⇔ the list was deleted whole; its dir stays gone
+          if (fs.exists(src)) { fs.rename(src, dst); () }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
+      // clear tombstones (fresh empty relation — never read-and-overwrite
+      // the same path in one plan)
+      s.range(0).select(col("id").as("vec_id"))
+        .write.mode("overwrite").parquet(tombstonesPath(dir))
+    }
 
   /** Train the quantizers on `emb` (the build corpus) and persist the
     * full index: centroids, residual codebook, and every build vector's
@@ -161,9 +226,14 @@ object AnnIndexStore {
     // `cell IN probed` on a partition column: unprobed inverted lists are
     // pruned at file-listing time, never opened (the search-cost shape
     // that survives a 100× corpus)
-    val codes = s.read.parquet(codesPath(dir))
+    val codesRaw = s.read.parquet(codesPath(dir))
       .filter(col("cell").isin(cellSet: _*))
       .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+    // tombstone mask (q142): deleted vectors vanish from results the
+    // moment [[delete]] records them — a broadcast anti-join against the
+    // (delete-volume-sized) tombstone table, gone again after [[vacuum]]
+    val codes = tombstones(s, dir)
+      .fold(codesRaw)(t => codesRaw.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val scored = codes.as[(Long, Seq[Int], Long)]
       .mapPartitions { it =>
         val dts = bcDts.value
@@ -286,6 +356,32 @@ object AnnIndexStore {
       search(s, dir, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // INDEX DELETES, MASKED THEN VACUUMED — the maintenance operation
+    // q135's lifecycle lacks: an erasure request (vec_id % 10 = 3 here)
+    // tombstones the ids, search masks them IMMEDIATELY (broadcast
+    // anti-join — no index rewrite on the request path), and [[vacuum]]
+    // then erases them PHYSICALLY by rewriting only the inverted-list
+    // partitions that held them (rename-swap for lists with survivors,
+    // directory removal for lists deleted whole) and clearing the
+    // tombstones. The returned search runs AFTER the vacuum, so the
+    // oracle — q135's full IVFADC replay minus the deleted candidates —
+    // checks the physical path; AnnIndexStoreSpec pins masked ≡
+    // vacuumed, byte-absence of deleted ids from the codes table, and
+    // that unaffected list directories keep their files untouched.
+    // Training is NOT undone (centroids/codebook keep their frozen
+    // shape — re-training on erasure would re-read the corpus; the
+    // quantizer retains no recoverable vector, so erasure law and
+    // practice both leave it be).
+    "q142_ann_store_delete" -> ((s, d) => {
+      val dir = scratchDir(s, "q142_ann_store_" + graft.Tables.datasetTag(d))
+      val emb = embeddings(s, d)
+      build(s, emb.filter(notHeldOut(col("vec_id"))), dir)
+      append(s, emb.filter(!notHeldOut(col("vec_id"))), dir, 0L)
+      delete(s, emb.filter(col("vec_id") % 10 === 3), dir)
+      vacuum(s, dir)
+      search(s, dir, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
     // STREAMING VECTOR INGESTION-ADMISSION — the embedding analog of
     // the text pipeline (q130), against THIS store: the held-out
     // vec_id % 10 = 7 slice arrives as a stream; each micro-batch is
@@ -345,13 +441,15 @@ object AnnIndexStore {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // q131's full IVFADC replay with the training CTEs (centroid sample,
-    // codebook sample) restricted to the build subset — coding, probe
-    // cells, ADC tables, and ranking cover ALL vectors, exactly as the
-    // store serves build + appended codes together.
-    "q135_ann_store_search" ->
-      """WITH cents AS (
+  /** q135's oracle body — q131's full IVFADC replay with the training
+    * CTEs (centroid sample, codebook sample) restricted to the build
+    * subset; coding, probe cells, ADC tables, and ranking cover ALL
+    * vectors, exactly as the store serves build + appended codes
+    * together. `candFilter` appends an extra candidate predicate to the
+    * scoring join — q142's delete exclusion — so the delete path's
+    * oracle can never drift from the search path's. */
+  private def storeSearchOracle(candFilter: String): String =
+    s"""WITH cents AS (
            SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
              SELECT vec_id, embedding,
                row_number() OVER (
@@ -439,7 +537,7 @@ object AnnIndexStore {
               + max(CASE WHEN x.j = 7 THEN t.d END)) AS adist
            FROM enc x JOIN dt t
              ON t.cell = x.cell AND t.j = x.j AND t.code = x.code
-             AND t.probe_id <> x.vec_id
+             AND t.probe_id <> x.vec_id$candFilter
            GROUP BY 1, 2),
          ranked AS (
            SELECT probe_id, vec_id, adist,
@@ -447,7 +545,16 @@ object AnnIndexStore {
                ORDER BY adist, vec_id) AS rk
            FROM ad)
          SELECT probe_id, rk, vec_id, round(adist, 6) AS adist FROM ranked
-         WHERE rk <= 5 ORDER BY probe_id, rk""",
+         WHERE rk <= 5 ORDER BY probe_id, rk"""
+
+  val oracles: Map[String, String] = Map(
+    "q135_ann_store_search" -> storeSearchOracle(""),
+
+    // the SAME lifecycle replay with the deleted slice excluded from
+    // scoring (and ONLY from scoring: the frozen quantizers keep their
+    // pre-delete training, exactly as the store keeps them).
+    "q142_ann_store_delete" -> storeSearchOracle(
+      "\n             AND x.vec_id % 10 <> 3"),
 
     // Single-batch bounded replay of the streaming admission: the
     // subset-trained coarse quantizer (q135's cents), stored cells for

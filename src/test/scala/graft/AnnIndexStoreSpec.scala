@@ -157,4 +157,75 @@ class AnnIndexStoreSpec extends TestSpark {
     assert(spark.read.parquet(corpusDir).count() == seedIds.size + 2L,
       "restart must not duplicate admitted rows")
   }
+
+  test("q142 deletes: mask ≡ vacuum, physical erasure, unaffected lists untouched, whole-list removal") {
+    val dir = Tables.scratchDir(spark, "annstore_delete_spec")
+    AnnIndexStore.build(spark, df(0L until 300L), dir)
+    AnnIndexStore.append(spark, df(300L until 310L), dir, 0L)
+    val probes = df(Seq(5L, 7L))
+    val before = collectPairs(AnnIndexStore.search(spark, dir, probes, 5))
+    // erase exactly what the pre-delete search surfaced for probe 5 —
+    // its entire result set must turn over, nothing erased may resurface
+    val del = before.filter(_._1 == 5L).map(_._3).distinct
+    assert(del.nonEmpty)
+    AnnIndexStore.delete(spark, df(del), dir)
+    val masked = collectPairs(AnnIndexStore.search(spark, dir, probes, 5))
+    assert(masked.forall(r => !del.contains(r._3)), "tombstoned id surfaced")
+    assert(masked.count(_._1 == 5L) == 5, "probe 5 must be refilled to k")
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Map[String, Long] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(AnnIndexStore.codesPath(dir)), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        b += (f.getPath.toString -> f.getModificationTime)
+      }
+      b.result()
+    }
+    val affected = spark.read.parquet(AnnIndexStore.codesPath(dir))
+      .filter(col("vec_id").isin(del: _*))
+      .select(col("batch_id").cast("long"), col("cell").cast("long"))
+      .distinct().collect()
+      .map(r => s"batch_id=${r.getLong(0)}/cell=${r.getLong(1)}").toSet
+    val beforeFiles = files()
+
+    AnnIndexStore.vacuum(spark, dir)
+    val vacuumed = collectPairs(AnnIndexStore.search(spark, dir, probes, 5))
+    assert(vacuumed == masked, "vacuum changed search results")
+    // physical erasure: the codes table no longer holds the ids at all
+    assert(spark.read.parquet(AnnIndexStore.codesPath(dir))
+      .filter(col("vec_id").isin(del: _*)).count() == 0L)
+    // tombstones cleared
+    assert(spark.read.parquet(AnnIndexStore.tombstonesPath(dir)).count() == 0L)
+    // proportional cost: every file of every UNAFFECTED inverted list is
+    // byte-for-byte untouched (same path, same mtime)
+    val afterFiles = files()
+    val untouchedBefore = beforeFiles.filterNot { case (p, _) =>
+      affected.exists(p.contains) }
+    val untouchedAfter = afterFiles.filterNot { case (p, _) =>
+      affected.exists(p.contains) }
+    assert(untouchedBefore == untouchedAfter,
+      "vacuum rewrote an inverted list that held no tombstoned row")
+
+    // whole-list removal: erase EVERY member of one inverted list — a
+    // dynamic overwrite cannot emit an empty partition, so vacuum must
+    // remove the list directory itself
+    val codes = spark.read.parquet(AnnIndexStore.codesPath(dir))
+      .select(col("vec_id"), col("batch_id").cast("long").as("b"),
+        col("cell").cast("long").as("c")).collect()
+    val (tb, tc) = codes.groupBy(r => (r.getLong(1), r.getLong(2)))
+      .minBy(_._2.length)._1
+    val members = codes.filter(r => r.getLong(1) == tb && r.getLong(2) == tc)
+      .map(_.getLong(0)).toSeq
+    AnnIndexStore.delete(spark, df(members), dir)
+    AnnIndexStore.vacuum(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"${AnnIndexStore.codesPath(dir)}/batch_id=$tb/cell=$tc")),
+      "wholly-deleted inverted list directory must be removed")
+    val after2 = collectPairs(AnnIndexStore.search(spark, dir, probes, 5))
+    assert(after2.forall(r => !members.contains(r._3)))
+  }
 }
