@@ -39,7 +39,12 @@ object Bench {
   // the end-to-end curation run (q136) so they're tracked from birth.
   // q130
   // stays out like q119: its cost is dominated by fixed streaming
-  // micro-batch/checkpoint constants, not plan cost.
+  // micro-batch/checkpoint constants, not plan cost. The round-10
+  // continuation adds its three cheap new families — streaming
+  // decontamination (q139), the content-hash fold split (q140), and
+  // the snapshot diff (q141); q142/q143 (delete/forget maintenance)
+  // stay out for the q119 precedent — their cost is the store
+  // build they must run first, already tracked via q129/q133/q135.
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -54,7 +59,8 @@ object Bench {
     "q121_image_phash_pairs", "q124_jsonl_roundtrip", "q125_source_mixing",
     "q127_delta_dedup", "q128_orc_roundtrip",
     "q129_store_delta_dedup", "q131_ann_ivfpq", "q133_store_compact_admit",
-    "q134_audio_fp_pairs", "q135_ann_store_search", "q136_curation_run")
+    "q134_audio_fp_pairs", "q135_ann_store_search", "q136_curation_run",
+    "q139_stream_decontam", "q140_stratified_split", "q141_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,7 +27,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compact → admit lifecycle, q137 store-backed decontamination — the
   * benchmark gram index persisted once as 16-hex keys, q139 its
   * STREAMING form — micro-batches checked against the frozen broadcast
-  * store, verdicts exactly-once, and
+  * store, verdicts exactly-once, q143 forget/erasure propagation —
+  * named docs' bands and shingles physically rewritten out of the
+  * store, unblocked deltas re-admitting clean, and
   * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
@@ -37,7 +39,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * index — build/append/search against stored cell-partitioned codes,
   * frozen quantizers, partition-pruned inverted lists, q138 streaming
   * vector ingestion-admission — IVF-pruned exact-cosine dedup per
-  * micro-batch, survivors appended exactly-once and indexed),
+  * micro-batch, survivors appended exactly-once and indexed, q142
+  * index deletes — instant tombstone mask, then physical vacuum of
+  * only the affected inverted lists),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),

@@ -158,6 +158,47 @@ object SignatureStore {
     roll(bandsPath)
   }
 
+  /** FORGET documents (the erasure-request path, q143): physically
+    * remove every band and shingle row of `ids` by rewriting ONLY the
+    * batch partitions that hold them — survivors stage to a scratch dir
+    * and swap in by rename, partitions emptied whole have their
+    * directories removed (a dynamic overwrite cannot emit an empty
+    * partition) — so admission never again matches a forgotten doc and
+    * no trace of its content remains on disk (shingle arrays ARE
+    * content; the mask-only alternative would retain it). Cost:
+    * proportional to the affected partitions — an erasure request names
+    * few docs, which live in few batches — never the store; the vector
+    * index's [[AnnIndexStore.vacuum]] discipline applied to the text
+    * side. The quantizer-free store needs no training caveat: forgetting
+    * here is complete. */
+  def forget(s: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val bcIds = broadcast(ids.select(col("doc_id")))
+    def scrub(path: String => String): Unit = {
+      val rel = s.read.parquet(path(dir))
+      val affected = rel.join(bcIds, "doc_id")
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      if (affected.nonEmpty) {
+        val tmp = path(dir) + "_forget_tmp"
+        rel.filter(col("batch_id").isin(affected: _*))
+          .join(bcIds, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(path(dir))
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        affected.foreach { b =>
+          val dst = new org.apache.hadoop.fs.Path(s"${path(dir)}/batch_id=$b")
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/batch_id=$b")
+          fs.delete(dst, true)
+          if (fs.exists(src)) { fs.rename(src, dst); () }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
+    }
+    scrub(shinglesPath)
+    scrub(bandsPath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q127 THROUGH THE STORE: build the corpus band/shingle tables once
     // (the production one-time cost), admit the src0 delta against the
@@ -208,6 +249,33 @@ object SignatureStore {
       // the compacted generation is all partition -1, so beforeBatch = 0
       // admits against everything rolled into it
       admit(s, deltaB, gen2, beforeBatch = 0L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // FORGET-THEN-READMIT — the erasure request propagated through the
+    // store, closing its lifecycle (build → append → compact → FORGET):
+    // the corpus is indexed, the delta admitted once, then every EVEN
+    // corpus doc that blocked a delta doc is forgotten — its bands and
+    // shingles physically erased by partition rewrite — and the SAME
+    // delta re-admits. Delta docs whose only near-dup partners were
+    // forgotten now come back clean; docs with a surviving odd blocker
+    // stay rejected — the result is exactly the delta-vs-remaining-
+    // corpus pair set, which the oracle replays (q127's CTEs with the
+    // forgotten side excluded). SignatureStoreSpec pins the mechanics:
+    // zero store rows for forgotten ids after the rewrite, untouched
+    // files in unaffected partitions, and a previously-blocked doc
+    // admitted on re-run.
+    "q143_store_forget_readmit" -> ((s, d) => {
+      val dir = scratchDir(s, "q143_store_" + graft.Tables.datasetTag(d))
+      val docs = documents(s, d)
+      build(s, docs.filter(!(col("source") <=> "src0")), dir)
+      val delta = docs.filter(col("source") === "src0")
+      val pairs0 = graft.PersistTracker.tracked("sigstore",
+        admit(s, delta, dir, beforeBatch = 0L))
+      val forgetIds = pairs0.filter(col("doc_b") % 2 === 0)
+        .select(col("doc_b").as("doc_id")).distinct()
+      forget(s, forgetIds, dir)
+      admit(s, delta, dir, beforeBatch = 0L)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -306,6 +374,22 @@ object SignatureStore {
          JOIN sizes sb ON doc_b = sb.doc_id
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY doc_a, doc_b""",
+
+    // q127's pair replay with the forgotten side excluded: forgetting
+    // every even blocker leaves exactly the pairs whose stored partner
+    // is odd (the forget set is definitionally a subset of the
+    // blockers, and removal can only remove pairs, never add them).
+    "q143_store_forget_readmit" ->
+      s"""WITH $deltaPairCtes
+         SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+           AND doc_b % 2 <> 0
+         ORDER BY doc_a, doc_b""",
+
     // two-wave sequential admission replay: wave A's rejected set vs
     // the corpus, keepset = corpus + wave-A survivors, wave B's pairs
     // vs the keepset — compaction cannot change values, so the oracle

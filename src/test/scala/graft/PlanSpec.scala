@@ -142,6 +142,36 @@ class PlanSpec extends TestSpark {
       "delta bands + candidate set must reach the joins as broadcasts")
   }
 
+  test("q140/q141: document text never enters an exchange — shuffles carry only slim columns") {
+    // the corpus-lifecycle contract at 100 TB: the split's distinct-agg
+    // and the diff's full-outer join each shuffle, but what crosses the
+    // wire is (id, source, hash, counts) — never the text column. AQE off
+    // so the static executedPlan tree is collectible directly.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q140_stratified_split", "q141_snapshot_diff").foreach { name =>
+        val df = graft.operators.PipelineOps.queries(name)(spark, sf0001)
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty, s"$name: expected shuffle exchanges")
+        exchanges.foreach { e =>
+          assert(!e.output.exists(_.name == "text"),
+            s"$name: text reaches an exchange: ${e.output.map(_.name).mkString(",")}")
+        }
+      }
+      // and the split reads only the two columns it needs
+      val plan = graft.operators.PipelineOps
+        .queries("q140_stratified_split")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val read = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
+      assert(read.contains("source") && read.contains("text")
+        && !read.contains("doc_id") && !read.contains("n_chars"),
+        s"q140 scan reads more than (source, text): $read")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q31 IVF: corpus side reaches the candidate join with no shuffle") {
     // round-1 regression: assignment used groupBy(vec_id, embedding) and
     // shuffled every vector. Now assignment is a map-side argmax over

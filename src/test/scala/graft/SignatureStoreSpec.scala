@@ -105,6 +105,47 @@ class SignatureStoreSpec extends TestSpark {
       s"compaction did not shrink the band table: $before -> $after files")
   }
 
+  test("q143 forget: physical erasure, untouched partitions, and re-admission of unblocked docs") {
+    val dir = tmp("sigstore_forget")
+    // seed doc 2 blocks delta doc 100; seed doc 3 blocks delta doc 101;
+    // batch 0 holds an unrelated survivor (the partition forgetting must
+    // NOT touch)
+    SignatureStore.build(spark, docsDf(2L -> base, 3L -> beta), dir)
+    SignatureStore.append(spark, docsDf(11L -> novelX), dir, 0L)
+    val delta = docsDf(100L -> (base :+ "extra"), 101L -> (beta :+ "extra"))
+    val p0 = pairsOf(SignatureStore.admit(spark, delta, dir, beforeBatch = 0L))
+    assert(p0 == Set((100L, 2L), (101L, 3L)))
+
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      Seq(SignatureStore.bandsPath(dir), SignatureStore.shinglesPath(dir))
+        .flatMap(p => walk(new java.io.File(p + "/batch_id=0")))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val batch0Before = snapshot()
+
+    import spark.implicits._
+    SignatureStore.forget(spark, Seq(2L).toDF("doc_id"), dir)
+    // physical erasure: no band or shingle row of doc 2 survives — its
+    // shingle arrays (content!) are gone from disk, not masked
+    Seq(SignatureStore.bandsPath(dir), SignatureStore.shinglesPath(dir))
+      .foreach { p =>
+        assert(spark.read.parquet(p).filter(col("doc_id") === 2L).count() == 0L,
+          s"forgotten doc still present under $p")
+      }
+    // proportional cost: the batch-0 partition held no forgotten row, so
+    // its files are byte-for-byte untouched
+    assert(snapshot() == batch0Before,
+      "forget rewrote a partition that held no forgotten doc")
+    // re-admission: 100's only blocker is gone — it comes back clean;
+    // 101's blocker survives — still rejected
+    val p1 = pairsOf(SignatureStore.admit(spark, delta, dir, beforeBatch = 0L))
+    assert(p1 == Set((101L, 3L)),
+      s"post-forget admission wrong: $p1")
+  }
+
   test("streaming ingestion admits across micro-batches; restart re-admits nothing") {
     val root = tmp("ingest")
     val in = new java.io.File(root, "in"); in.mkdirs()
