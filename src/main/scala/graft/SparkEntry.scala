@@ -41,7 +41,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * vector ingestion-admission — IVF-pruned exact-cosine dedup per
   * micro-batch, survivors appended exactly-once and indexed, q142
   * index deletes — instant tombstone mask, then physical vacuum of
-  * only the affected inverted lists),
+  * only the affected inverted lists, q145 the index staleness audit —
+  * per-cell build-vs-appended occupancy and worst fit under the
+  * frozen quantizers),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
@@ -52,7 +54,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-source raw/cleaned/final/token funnel, q140 the
   * contamination-safe content-hash train/val/test split, q141 the
   * crawl-snapshot diff — added/removed/changed/unchanged off one
-  * slim full-outer join),
+  * slim full-outer join, q144 the per-(source, language) corpus
+  * datasheet),
   * and Structured Streaming incl. the watermark+append
   * production path, stream-stream joins, bounded-state dedup,
   * event-time-timer sessions, and the foreachBatch exactly-once sink

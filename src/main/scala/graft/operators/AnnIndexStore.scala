@@ -336,6 +336,38 @@ object AnnIndexStore {
     batch.join(pairs.select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
 
+  /** INDEX STALENESS REPORT (q145): per coarse cell, membership counts
+    * and worst-member fit split build-vs-appended — the retrain signal
+    * a production vector store monitors. Appends encode under FROZEN
+    * quantizers (that is what makes them cheap), so as the distribution
+    * drifts the appended population fits its cells progressively worse
+    * and piles into fewer of them; when the appended side's worst fit
+    * or occupancy skew crosses policy, you pay the full retrain. This
+    * audit tells you WHEN. Membership and batch class come from the
+    * STORED codes; fit (rounded cosine to the frozen cell centroid)
+    * recomputes from the corpus floats — a maintenance-schedule scan,
+    * never on the serve path. Counts and min() are order-independent,
+    * so the report replays bit-exactly. */
+  def staleness(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val (cents, _) = readParams(s, dir)
+    val bcC = s.sparkContext.broadcast(cents.toMap)
+    s.read.parquet(codesPath(dir))
+      .select(col("vec_id"), col("batch_id").cast("long").as("b"),
+        col("cell").cast("long").as("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .as[(Long, Long, Long, Array[Float])]
+      .map { case (_, b, cell, v) =>
+        (cell, b >= 0L, Similarity.roundedCosine(v, bcC.value(cell))) }
+      .toDF("cell", "appended", "ccos")
+      .groupBy(col("cell"))
+      .agg(sum(when(!col("appended"), 1L).otherwise(0L)).as("n_build"),
+        sum(when(col("appended"), 1L).otherwise(0L)).as("n_appended"),
+        min(when(!col("appended"), col("ccos"))).as("min_ccos_build"),
+        min(when(col("appended"), col("ccos"))).as("min_ccos_appended"))
+      .orderBy(col("cell"))
+  }
+
   private def notHeldOut(c: Column): Column = c % 10 =!= 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,6 +386,19 @@ object AnnIndexStore {
       build(s, emb.filter(notHeldOut(col("vec_id"))), dir)
       append(s, emb.filter(!notHeldOut(col("vec_id"))), dir, 0L)
       search(s, dir, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // the staleness audit over the standard q135 lifecycle (build on
+    // the % 10 ≠ 7 subset, append the held-out slice as batch 0): the
+    // appended slice is drawn from the same distribution here, so the
+    // report shows healthy occupancy — the spec constructs an actually
+    // drifted batch and pins that the metrics expose it.
+    "q145_ann_store_staleness" -> ((s, d) => {
+      val dir = scratchDir(s, "q145_ann_store_" + graft.Tables.datasetTag(d))
+      val emb = embeddings(s, d)
+      build(s, emb.filter(notHeldOut(col("vec_id"))), dir)
+      append(s, emb.filter(!notHeldOut(col("vec_id"))), dir, 0L)
+      staleness(s, dir, emb)
     }),
 
     // INDEX DELETES, MASKED THEN VACUUMED — the maintenance operation
@@ -555,6 +600,40 @@ object AnnIndexStore {
     // pre-delete training, exactly as the store keeps them).
     "q142_ann_store_delete" -> storeSearchOracle(
       "\n             AND x.vec_id % 10 <> 3"),
+
+    // q135's training + assignment CTEs, then per-cell counts and
+    // worst-fit minima split by the build/appended rule — counts and
+    // min are order-independent, so values replay exactly.
+    "q145_ann_store_staleness" ->
+      """WITH cents AS (
+           SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
+             SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY (vec_id * 2654435761) % 999999937, vec_id) AS crn
+             FROM embeddings WHERE vec_id % 10 <> 7)
+           WHERE crn <= (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                         FROM embeddings WHERE vec_id % 10 <> 7)),
+         scored AS (
+           SELECT e.vec_id, c.centroid_id,
+             round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))),
+               6) AS ccos
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, centroid_id AS cell, ccos FROM (
+             SELECT vec_id, centroid_id, ccos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY ccos DESC, centroid_id DESC) AS rk
+             FROM scored) WHERE rk = 1)
+         SELECT cell,
+           CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_build,
+           CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           min(CASE WHEN vec_id % 10 <> 7 THEN ccos END) AS min_ccos_build,
+           min(CASE WHEN vec_id % 10 = 7 THEN ccos END) AS min_ccos_appended
+         FROM assigned GROUP BY 1 ORDER BY 1""",
 
     // Single-batch bounded replay of the streaming admission: the
     // subset-trained coarse quantizer (q135's cents), stored cells for

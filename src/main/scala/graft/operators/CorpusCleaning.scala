@@ -275,6 +275,32 @@ object CorpusCleaning {
             .as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // THE CORPUS DATASHEET — the per-(source, language) summary table a
+    // dataset release publishes (Gebru et al., "Datasheets for
+    // Datasets") and a curation team reads before training: volume
+    // (docs, reference-tokenizer tokens), exact-duplicate exposure
+    // (docs whose full content hash recurs ANYWHERE in the corpus — the
+    // cross-source leakage number q79's per-source funnel cannot show),
+    // short-doc counts (q79's length floor), and mean document length.
+    // One corpus scan; the only corpus-sized exchange is the md5 window
+    // (4 slim columns — text never shuffles; the q79 verdict's exact
+    // cost), then a sources×languages rollup. avg() divides an
+    // integer-exact sum, so both engines produce the identical double.
+    "q144_corpus_datasheet" -> ((s, d) => {
+      val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+      documents(s, d)
+        .select(col("source"), col("lang"), nTok.as("n_toks"),
+          count(lit(1)).over(Window.partitionBy(md5(col("text"))))
+            .as("n_same"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"),
+          sum(when(col("n_toks") < 20, 1L).otherwise(0L)).as("n_short"),
+          round(avg(col("n_toks")), 4).as("avg_doc_tokens"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -431,6 +457,24 @@ object CorpusCleaning {
          JOIN uni b ON bi.w2 = b.w
          CROSS JOIN tot
          WHERE n_pair >= 5
-         ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    // same corpus-wide md5 window, same tokenizer, same integer-exact
+    // avg (sum of integer token counts divides exactly in double)
+    "q144_corpus_datasheet" ->
+      """WITH s AS (
+           SELECT source, lang,
+             len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_toks,
+             count(*) OVER (PARTITION BY md5(text)) AS n_same
+           FROM documents)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           round(avg(n_toks), 4) AS avg_doc_tokens
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

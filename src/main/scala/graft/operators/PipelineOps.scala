@@ -142,15 +142,19 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
-    // CONTAMINATION-SAFE train/val/test SPLIT — the fold assignment a
-    // training pipeline makes before anything else touches the data.
-    // Membership is a pure function of CONTENT (first 4 md5 hex chars
-    // mod 10 → 8/1/1 folds), never of doc_id, file position, or an RNG,
-    // so byte-identical documents — including re-crawls of the same
-    // page under different ids — land in the SAME fold by construction:
-    // an exact duplicate can never straddle train and eval, the leakage
-    // a row-number or random split silently allows (PipelineOpsSpec
-    // pins this on re-keyed duplicate copies of the corpus). Seedless and
+    // CONTAMINATION-SAFE train/val/test SPLIT AUDIT — q85 assigns folds
+    // by content hash per language; this is the split a release audit
+    // actually signs off on: stratified PER SOURCE (the axis mixture
+    // weights are set on), a finer 8/1/1 fold rule (16-bit md5 fold mod
+    // 10 vs q85's single hex char), and the leakage-audit columns q85
+    // lacks — distinct-text counts (n_uniq_texts < n_docs exposes exact
+    // dups inside a fold) and per-fold token volumes (what the training
+    // budget is actually divided into). The safety contract is the
+    // content-hash rule itself: membership is a pure function of TEXT,
+    // never of doc_id, file position, or an RNG, so byte-identical
+    // re-crawls land in the SAME fold by construction — an exact
+    // duplicate can never straddle train and eval (PipelineOpsSpec pins
+    // this on re-keyed duplicate copies of the corpus). Seedless and
     // replayable on any worker with zero coordination; the only shuffle
     // is the final sources×3-row rollup over a 2-column pushdown scan.
     "q140_stratified_split" -> ((s, d) => {

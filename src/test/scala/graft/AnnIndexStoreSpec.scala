@@ -158,6 +158,50 @@ class AnnIndexStoreSpec extends TestSpark {
       "restart must not duplicate admitted rows")
   }
 
+  test("q145 staleness: same-distribution appends spread over cells; a drifted batch concentrates") {
+    val dir = Tables.scratchDir(spark, "annstore_stale_spec")
+    AnnIndexStore.build(spark, df(0L until 300L), dir)
+    // batch 0: drawn from the same distribution as the build corpus
+    AnnIndexStore.append(spark, df(300L until 340L), dir, 0L)
+    // batch 1: DRIFTED — one fixed direction with per-id jitter small
+    // enough that every vector keeps the same nearest centroid
+    val base = vec(7777L)
+    val drifted = (400L until 440L).map { id =>
+      id -> base.zip(vec(id)).map { case (b, j) => b + 0.001f * j }
+    }.toMap
+    AnnIndexStore.append(spark, df(400L until 440L, drifted), dir, 1L)
+
+    // occupancy: the same-distribution batch spreads over many cells,
+    // the drifted batch piles into (nearly) one — the retrain signal
+    val cells = spark.read.parquet(AnnIndexStore.codesPath(dir))
+      .select(col("batch_id").cast("long").as("b"), col("cell").cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spread0 = cells.filter(_._1 == 0L).map(_._2).distinct.length
+    val spread1 = cells.filter(_._1 == 1L).map(_._2).distinct.length
+    assert(spread1 <= 3 && spread0 >= 10,
+      s"drift not visible in occupancy: same-dist $spread0 cells, drifted $spread1")
+
+    // the report itself: totals account for every stored vector, and
+    // every populated side carries a worst-fit cosine in [-1, 1]
+    val emb = df(0L until 340L) // build + batch 0 ids use vec(id)
+      .union(df(400L until 440L, drifted))
+    val rep = AnnIndexStore.staleness(spark, dir, emb).collect()
+    assert(rep.map(_.getAs[Long]("n_build")).sum == 300L)
+    assert(rep.map(_.getAs[Long]("n_appended")).sum == 80L)
+    rep.foreach { r =>
+      Seq(("n_build", "min_ccos_build"), ("n_appended", "min_ccos_appended"))
+        .foreach { case (n, m) =>
+          if (r.getAs[Long](n) > 0L) {
+            val v = r.getAs[Double](m)
+            assert(!v.isNaN && v >= -1.0 && v <= 1.0, s"$m out of range: $v")
+          } else assert(r.isNullAt(r.fieldIndex(m)), s"$m must be NULL when $n = 0")
+        }
+    }
+    // the drifted cell dominates appended occupancy in the report too
+    assert(rep.map(_.getAs[Long]("n_appended")).max >= 38L,
+      "drifted batch should concentrate in one report row")
+  }
+
   test("q142 deletes: mask ≡ vacuum, physical erasure, unaffected lists untouched, whole-list removal") {
     val dir = Tables.scratchDir(spark, "annstore_delete_spec")
     AnnIndexStore.build(spark, df(0L until 300L), dir)
