@@ -429,6 +429,67 @@ object Similarity {
         .select(col("probe_id"), col("rk"), col("vec_id"),
           round(col("adist"), 6).as("adist"))
         .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // HYBRID SEARCH with reciprocal-rank fusion — the retrieval shape a
+    // modern RAG/search stack runs: a LEXICAL ranking (distinct-token
+    // overlap through an inverted-postings join — the sparse side) and a
+    // VECTOR ranking (exact cosine — the dense side) fuse per probe by
+    // RRF (Cormack et al. 2009): score = Σ 1/(60 + rank), a rank-space
+    // sum that needs no score calibration between the two systems; a
+    // doc missing from the lexical list simply contributes nothing.
+    // Corpus model: the embedded slice — doc i's embedding is
+    // embeddings row i (the fixture contract q30/q62 each use half of).
+    // Scale shape: the postings join is linear in postings and keyed on
+    // the token; probe postings and probe vectors are bounded (10
+    // probes) and broadcast, so the corpus never shuffles on either
+    // side; ranks are per-probe windows over probe-sized slices. At
+    // 100 TB each side would be served by its materialized index (the
+    // q137 gram store / the q135 ANN store) feeding this same fusion
+    // tail — RRF only needs RANKS, so the fusion is index-agnostic.
+    "q146_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = documents(s, d).select(col("doc_id"), col("text"))
+        .join(emb, "doc_id")
+      val posts = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
+            .distinct.map(w => (id, w)) }
+        .toDF("doc_id", "tok")
+      val pPosts = posts.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("tok"))
+      val lexRank = posts.join(broadcast(pPosts), "tok")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(count(lit(1)).as("lex_score"))
+        .select(col("probe_id"), col("doc_id"),
+          row_number().over(Window.partitionBy(col("probe_id"))
+            .orderBy(col("lex_score").desc, col("doc_id"))).as("lex_rank"))
+      val probes = emb.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("embedding").as("p_emb"))
+      val vecRank = corpus.select(col("doc_id"), col("embedding"))
+        .crossJoin(broadcast(probes))
+        .filter(col("doc_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("doc_id"),
+          round(dot(col("p_emb"), col("embedding"))
+            / (l2norm(col("p_emb")) * l2norm(col("embedding"))), 6).as("ccos"))
+        .select(col("probe_id"), col("doc_id"),
+          row_number().over(Window.partitionBy(col("probe_id"))
+            .orderBy(col("ccos").desc, col("doc_id"))).as("vec_rank"))
+      val fused = vecRank
+        .join(lexRank, Seq("probe_id", "doc_id"), "left_outer")
+        .select(col("probe_id"), col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + lit(1.0) / (lit(60) + col("vec_rank")), 6).as("rrf"))
+      graft.plans.TopKPerGroup.topK(fused, Seq("probe_id"),
+          Seq("rrf" -> false, "doc_id" -> true), 5)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
+        .orderBy(col("probe_id"), col("rk"))
     })
   )
 
@@ -875,6 +936,53 @@ object Similarity {
          WHERE e.vec_id NOT IN
            (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
          ORDER BY e.vec_id""",
+
+    // both rankings replayed whole (postings join + cosine), then the
+    // same rank-space fusion; 1.0::DOUBLE forces double division (bare
+    // 1.0 is DECIMAL in DuckDB, whose division semantics differ)
+    "q146_hybrid_rrf" ->
+      """WITH corpus AS (
+           SELECT d.doc_id, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         posts AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS tok
+           FROM corpus),
+         lex_rank AS (
+           SELECT probe_id, doc_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY lex_score DESC, doc_id) AS lex_rank
+           FROM (
+             SELECT p.doc_id AS probe_id, c.doc_id, count(*) AS lex_score
+             FROM posts p JOIN posts c USING (tok)
+             WHERE p.doc_id < 10 AND c.doc_id <> p.doc_id
+             GROUP BY 1, 2)),
+         vec_rank AS (
+           SELECT probe_id, doc_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY ccos DESC, doc_id) AS vec_rank
+           FROM (
+             SELECT p.doc_id AS probe_id, c.doc_id,
+               round(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                 6) AS ccos
+             FROM corpus p JOIN corpus c ON c.doc_id <> p.doc_id
+             WHERE p.doc_id < 10)),
+         fused AS (
+           SELECT v.probe_id, v.doc_id,
+             round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
+               + 1.0::DOUBLE / (60 + v.vec_rank), 6) AS rrf
+           FROM vec_rank v
+           LEFT JOIN lex_rank l
+             ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)
+         SELECT probe_id, rk, doc_id, rrf FROM (
+           SELECT probe_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY rrf DESC, doc_id) AS rk
+           FROM fused) WHERE rk <= 5
+         ORDER BY probe_id, rk""",
 
     // q73's knn edges at cosine ≥ 0.4, then the same recursive
     // transitive-closure clustering as q72's oracle.

@@ -214,6 +214,28 @@ class DedupSimilaritySpec extends TestSpark {
     assert(rerun.sameElements(batch), "re-run is not idempotent")
   }
 
+  test("q146 hybrid RRF: well-formed ranks, and fusion departs from the pure-vector order") {
+    val rows = Similarity.queries("q146_hybrid_rrf")(spark, sf0001).collect()
+    assert(rows.length == 50, s"expected 10 probes x 5, got ${rows.length}")
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5),
+        s"probe $p ranks malformed")
+      val sc = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("rrf"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b },
+        s"probe $p rrf not non-increasing: ${sc.mkString(",")}")
+    }
+    // the lexical side must actually move the needle: at least one
+    // probe's fused top-5 differs from its pure-cosine top-5
+    val vtop = Similarity.queries("q30_cosine_topk")(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val ftop = rows.groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(ftop.keySet == vtop.keySet)
+    assert(ftop.exists { case (p, s) => s != vtop(p) },
+      "fusion never departed from the vector-only ranking")
+  }
+
   test("q123 PQ ANN: well-formed per-probe ranking and ADC tracks exact cosine") {
     val pq = Similarity.queries("q123_ann_pq")(spark, sf0001).collect()
     assert(pq.length == 50, s"expected 10 probes x 5, got ${pq.length}")
