@@ -42,10 +42,11 @@ object Bench {
   // micro-batch/checkpoint constants, not plan cost. The round-10
   // continuation adds its three cheap new families — streaming
   // decontamination (q139), the content-hash fold split (q140), and
-  // the snapshot diff (q141) and the corpus datasheet (q144);
-  // q142/q143/q145 (delete/forget/staleness maintenance) stay out for
-  // the q119 precedent — their cost is the store build they must run
-  // first, already tracked via q129/q133/q135.
+  // the snapshot diff (q141), the corpus datasheet (q144), and hybrid
+  // RRF search (q146); q142/q143/q145/q147 (store maintenance and the
+  // phash-store form of q121) stay out for the q119 precedent — their
+  // cost is the store build they must run first, already tracked via
+  // q121/q129/q133/q135.
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -62,7 +63,7 @@ object Bench {
     "q129_store_delta_dedup", "q131_ann_ivfpq", "q133_store_compact_admit",
     "q134_audio_fp_pairs", "q135_ann_store_search", "q136_curation_run",
     "q139_stream_decontam", "q140_stratified_split", "q141_snapshot_diff",
-    "q144_corpus_datasheet")
+    "q144_corpus_datasheet", "q146_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,6 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * store, unblocked deltas re-admitting clean, and
   * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
+  * q146 hybrid lexical+vector search fused by reciprocal rank,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
   * q123 product-quantization ANN — 8-byte codes + ADC table search,
   * the memory-compression scale path, q131 IVF+PQ composed IVFADC —
@@ -45,7 +46,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-cell build-vs-appended occupancy and worst fit under the
   * frozen quantizers),
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
-  * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134),
+  * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134,
+  * q147 the materialized phash index — new images admitted against
+  * stored hashes, corpus blobs never re-decoded),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout and interchange
   * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing and

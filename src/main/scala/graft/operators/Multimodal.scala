@@ -196,14 +196,8 @@ object Multimodal {
     * image map-side (blobs never leave the map side), then the
     * [[hamming64Pairs]] block join. Public so the spec can drive
     * synthetic re-encoded duplicates through the production path. */
-  def phashPairs(s: SparkSession, media: DataFrame): DataFrame = {
-    import s.implicits._
-    val hashes = tracked(media.select(col("doc_id"), col("img"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, img) => (id, aHash64(img)) }
-      .toDF("doc_id", "ah"))
-    hamming64Pairs(s, hashes)
-  }
+  def phashPairs(s: SparkSession, media: DataFrame): DataFrame =
+    hamming64Pairs(s, tracked(hashesOf(s, media)))
 
   /** q134's engine: acoustic-fingerprint every WAV payload map-side
     * (payloads under 65 samples carry no fingerprintable signal and are
@@ -227,15 +221,7 @@ object Multimodal {
     * rationale), verified exactly with bit_count(xor). Only (doc_id,
     * hash) and (doc_id, block) rows ever shuffle. */
   def hamming64Pairs(s: SparkSession, hashes: DataFrame): DataFrame = {
-    import s.implicits._
-    val blocks = hashes.as[(Long, Long)]
-      .flatMap { case (id, hash) =>
-        (0 until 5).map { k =>
-          val wd = if (k == 4) 12 else 13
-          (id, k, (hash >>> (64 - 13 * k - wd)) & ((1L << wd) - 1))
-        }
-      }
-      .toDF("doc_id", "k", "bv")
+    val blocks = blocksOf(s, hashes)
     val cand = blocks.select(col("doc_id").as("doc_a"), col("k"), col("bv"))
       .join(blocks.select(col("doc_id").as("doc_b"), col("k"), col("bv")),
         Seq("k", "bv"))
@@ -244,6 +230,91 @@ object Multimodal {
     cand
       .join(hashes.select(col("doc_id").as("doc_a"), col("ah").as("ha")), "doc_a")
       .join(hashes.select(col("doc_id").as("doc_b"), col("ah").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+  }
+
+  def phashHashesPath(dir: String): String = dir + "/phashes"
+  def phashBlocksPath(dir: String): String = dir + "/pblocks"
+
+  /** (doc_id, 64-bit aHash) of a media relation — one map-side decode
+    * pass; the blobs never leave the map side. Factored from
+    * [[phashPairs]] so the store paths hash identically. */
+  private def hashesOf(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
+      .map { case (id, img) => (id, aHash64(img)) }
+      .toDF("doc_id", "ah")
+  }
+
+  /** The 13/12-bit pigeonhole blocks of a hash relation — factored from
+    * [[hamming64Pairs]] so in-query and store-side banding agree. */
+  private def blocksOf(s: SparkSession, hashes: DataFrame): DataFrame = {
+    import s.implicits._
+    hashes.as[(Long, Long)]
+      .flatMap { case (id, hash) =>
+        (0 until 5).map { k =>
+          val wd = if (k == 4) 12 else 13
+          (id, k, (hash >>> (64 - 13 * k - wd)) & ((1L << wd) - 1))
+        }
+      }
+      .toDF("doc_id", "k", "bv")
+  }
+
+  /** MATERIALIZED perceptual-hash index (q147) — the image member of
+    * the store family (text LSH bands q129, vector codes q135,
+    * contamination grams q137): decode + aHash the corpus media ONCE,
+    * persist the 8-byte hashes and their pigeonhole blocks partitioned
+    * by batch, and admit every new image batch against the STORED
+    * relations — corpus blobs are never re-decoded at admission, which
+    * is the entire economics of an image-dedup service (decode is the
+    * dominant cost; an 8-byte hash is not). */
+  def buildPhashStore(s: SparkSession, media: DataFrame, dir: String): Unit =
+    writePhashBatch(s, media, dir, -1L, dynamic = false)
+
+  /** Append a batch's hashes/blocks (its admitted survivors) as
+    * partition `batchId` — idempotent under replay (the q82/q129 sink
+    * contract). */
+  def appendPhash(s: SparkSession, media: DataFrame, dir: String,
+      batchId: Long): Unit =
+    writePhashBatch(s, media, dir, batchId, dynamic = true)
+
+  private def writePhashBatch(s: SparkSession, media: DataFrame, dir: String,
+      batchId: Long, dynamic: Boolean): Unit = {
+    val mode = if (dynamic) "dynamic" else "static"
+    val h = tracked(hashesOf(s, media))
+    h.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", mode)
+      .partitionBy("batch_id").parquet(phashHashesPath(dir))
+    blocksOf(s, h).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", mode)
+      .partitionBy("batch_id").parquet(phashBlocksPath(dir))
+  }
+
+  /** Admit a delta media batch against the stored index: delta images
+    * hash map-side (ONE decode pass over the batch only), their blocks
+    * broadcast into the stored-blocks join, and candidates verify
+    * Hamming ≤ 4 against the STORED hashes — batch-sized relations
+    * broadcast, store-sized relations stream, the only hash exchange
+    * is the candidate distinct (the q129 admission shape). Returns
+    * (doc_a = delta, doc_b = stored, hamming). */
+  def admitPhash(s: SparkSession, delta: DataFrame, dir: String,
+      beforeBatch: Long): DataFrame = {
+    val dh = tracked(hashesOf(s, delta))
+    val db = blocksOf(s, dh)
+    val cand = s.read.parquet(phashBlocksPath(dir))
+      .filter(col("batch_id") < beforeBatch)
+      .select(col("doc_id").as("doc_b"), col("k"), col("bv"))
+      .join(broadcast(db.select(col("doc_id").as("doc_a"), col("k"), col("bv"))),
+        Seq("k", "bv"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    s.read.parquet(phashHashesPath(dir))
+      .filter(col("batch_id") < beforeBatch)
+      .select(col("doc_id").as("doc_b"), col("ah").as("hb"))
+      .join(broadcast(cand
+        .join(broadcast(dh.select(col("doc_id").as("doc_a"), col("ah").as("ha"))),
+          "doc_a")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
@@ -368,8 +439,72 @@ object Multimodal {
     // pair) intact while byte dedup misses it.
     "q134_audio_fp_pairs" -> ((s, d) =>
       audioFpPairs(s, asMediaTable(s, documents(s, d)))
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // MATERIALIZED PHASH-INDEX ADMISSION — q121 through a persisted
+    // index, completing the store family across every near-dup
+    // modality (text LSH bands q129, vector codes q135, contamination
+    // grams q137, image hashes here): the corpus media decodes and
+    // hashes ONCE at build (decode is the dominant cost of an image
+    // service; the 8-byte hash is not), then the doc_id % 5 = 0 slice
+    // arrives as the new ingest batch and admits against the STORED
+    // blocks + hashes — corpus blobs never re-decoded. The oracle
+    // replays q121's aHash pipeline with the candidate join restricted
+    // to the delta×corpus split; MultimodalSpec drives a re-encoded
+    // duplicate through the store path and pins the plan reads no
+    // corpus img bytes at admission.
+    "q147_phash_store_admit" -> ((s, d) => {
+      val dir = scratchDir(s, "q147_phash_store_" + graft.Tables.datasetTag(d))
+      val docs = documents(s, d)
+      buildPhashStore(s,
+        asMediaTable(s, docs.filter(col("doc_id") % 5 =!= 0)), dir)
+      admitPhash(s,
+        asMediaTable(s, docs.filter(col("doc_id") % 5 === 0)), dir, 0L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
   )
+
+  /** q121's full aHash replay from the text the BMP payload cycles —
+    * grayscale samples, mean-threshold bits, 13/12-bit pigeonhole
+    * blocks, exact Hamming verify — parameterized by the candidate CTE
+    * so the in-corpus pair join (q121) and the store-admission split
+    * (q147) share one SQL body that cannot drift. */
+  private def phashOracle(cand: String): String =
+    s"""WITH m AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS len,
+             octet_length(encode(text)) % 64 + 1 AS w,
+             (octet_length(encode(text)) // 64) % 64 + 1 AS h
+           FROM documents),
+         m2 AS (SELECT doc_id, text, len, w, h, ((w*3+3)//4)*4 AS row_size FROM m),
+         grays AS (
+           SELECT doc_id, flatten(list_transform(range(0, 8), gy ->
+             list_transform(range(0, 8), gx ->
+               (299*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 2) % len + 1 AS INT)])
+              + 587*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 1) % len + 1 AS INT)])
+              + 114*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 0) % len + 1 AS INT)]))//1000
+             ))) AS g
+           FROM m2),
+         hashes AS (
+           SELECT doc_id,
+             array_to_string(list_transform(g, v ->
+               CASE WHEN v > list_sum(g)//64 THEN '1' ELSE '0' END), '') AS ah
+           FROM grays),
+         blocks AS (
+           SELECT doc_id, k,
+             substring(ah, CAST(1 + 13*k AS INT),
+               CASE WHEN k = 4 THEN 12 ELSE 13 END) AS bv
+           FROM hashes, LATERAL (SELECT unnest(range(0, 5)) AS k) s),
+         cand AS ($cand),
+         ham AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 65), i ->
+               substring(ha.ah, CAST(i AS INT), 1) <>
+               substring(hb.ah, CAST(i AS INT), 1))) AS hamming
+           FROM cand c
+           JOIN hashes ha ON c.doc_a = ha.doc_id
+           JOIN hashes hb ON c.doc_b = hb.doc_id)
+         SELECT doc_a, doc_b, hamming FROM ham
+         WHERE hamming <= 4 ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
     // Replays the synthesis arithmetic: BMP dims from text length, file
@@ -430,45 +565,18 @@ object Multimodal {
     // pixel array, integer luma, mean threshold → 64-char bitstring;
     // same 13/12-bit pigeonhole blocks for candidates; Hamming = count
     // of differing positions ≡ the engine's bit_count(xor).
-    "q121_image_phash_pairs" ->
-      """WITH m AS (
-           SELECT doc_id, text, octet_length(encode(text)) AS len,
-             octet_length(encode(text)) % 64 + 1 AS w,
-             (octet_length(encode(text)) // 64) % 64 + 1 AS h
-           FROM documents),
-         m2 AS (SELECT doc_id, text, len, w, h, ((w*3+3)//4)*4 AS row_size FROM m),
-         grays AS (
-           SELECT doc_id, flatten(list_transform(range(0, 8), gy ->
-             list_transform(range(0, 8), gx ->
-               (299*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 2) % len + 1 AS INT)])
-              + 587*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 1) % len + 1 AS INT)])
-              + 114*ascii(text[CAST(((gy*h//8)*row_size + 3*(gx*w//8) + 0) % len + 1 AS INT)]))//1000
-             ))) AS g
-           FROM m2),
-         hashes AS (
-           SELECT doc_id,
-             array_to_string(list_transform(g, v ->
-               CASE WHEN v > list_sum(g)//64 THEN '1' ELSE '0' END), '') AS ah
-           FROM grays),
-         blocks AS (
-           SELECT doc_id, k,
-             substring(ah, CAST(1 + 13*k AS INT),
-               CASE WHEN k = 4 THEN 12 ELSE 13 END) AS bv
-           FROM hashes, LATERAL (SELECT unnest(range(0, 5)) AS k) s),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    "q121_image_phash_pairs" -> phashOracle(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM blocks a JOIN blocks b
-             ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         ham AS (
-           SELECT c.doc_a, c.doc_b,
-             len(list_filter(range(1, 65), i ->
-               substring(ha.ah, CAST(i AS INT), 1) <>
-               substring(hb.ah, CAST(i AS INT), 1))) AS hamming
-           FROM cand c
-           JOIN hashes ha ON c.doc_a = ha.doc_id
-           JOIN hashes hb ON c.doc_b = hb.doc_id)
-         SELECT doc_a, doc_b, hamming FROM ham
-         WHERE hamming <= 4 ORDER BY doc_a, doc_b""",
+             ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id"""),
+
+    // the same aHash replay with the candidate join restricted to the
+    // delta×corpus split — ONE shared SQL body (the q135/q142
+    // discipline), so the store path's oracle cannot drift from q121's.
+    "q147_phash_store_admit" -> phashOracle(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"""),
     // Replays the acoustic fingerprint bit-for-bit from the text the
     // samples cycle (q121's precedent): 65 equal windows of L = n//65
     // samples, per-window amplitude sums, bit i = [e(i+1) > e(i)] →

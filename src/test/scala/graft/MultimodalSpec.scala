@@ -116,6 +116,48 @@ class MultimodalSpec extends TestSpark {
       s"expected exactly the re-encoded pair at hamming 0, got ${pairs.toSeq}")
   }
 
+  test("q147 store admission: re-encoded duplicate caught via STORED hashes; corpus blobs never re-decoded") {
+    import spark.implicits._
+    val dir = Tables.scratchDir(spark, "phash_store_spec")
+    val texts = Seq(
+      1L -> "the original document behind the image payload with enough text",
+      2L -> "a completely different document producing unrelated pixel noise",
+      3L -> "yet another unrelated body of text for the negative control set")
+    val corpus = texts.map { case (id, t) =>
+      (id, Multimodal.synthesizeBmp(t.getBytes("UTF-8")))
+    }
+    Multimodal.buildPhashStore(spark, corpus.toDF("doc_id", "img"), dir)
+    // the delta: a re-encode of corpus doc 1's image (new bytes, same
+    // pixels) plus a novel image
+    val delta = Seq(
+      (10L, reencodeBmp(corpus.head._2)),
+      (11L, Multimodal.synthesizeBmp(
+        "a fourth novel body with no perceptual twin in the stored index"
+          .getBytes("UTF-8")))).toDF("doc_id", "img")
+    // metadata truncation would cut the scratch paths out of the plan
+    // string before the scan assertions see them (the q129-spec lesson)
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try {
+      val res = Multimodal.admitPhash(spark, delta, dir, beforeBatch = 0L)
+      val pairs = res.orderBy(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.toSeq == Seq((10L, 1L, 0L)),
+        s"expected exactly the re-encoded match against the store, got ${pairs.toSeq}")
+      // the admission PLAN decodes only the delta: the corpus img bytes
+      // exist nowhere on disk (only 8-byte hashes + blocks were
+      // persisted), and the plan's only file scans are the store tables
+      val plan = res.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+      assert(scans.nonEmpty && scans.forall(l =>
+        l.contains("/phashes") || l.contains("/pblocks")),
+        s"admission must scan only the stored index:\n${scans.mkString("\n").take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+      Multimodal.releaseCaches(spark)
+    }
+  }
+
   /** Same audio signal, different container bytes: rewrite the declared
     * sample rate (metadata a transcoder touches) and add a +10 DC offset
     * to every 8-bit sample — the level-shifted re-encode byte dedup
