@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * store, unblocked deltas re-admitting clean, and
   * q132 the modality-bridging per-doc verdict report),
   * similarity search and embedding ops (q30-q31, q41, q63, q73,
-  * q146 hybrid lexical+vector search fused by reciprocal rank,
+  * q146 hybrid lexical+vector search fused by reciprocal rank, q148
+  * the same fusion served entirely from the materialized indexes,
   * q102 hyperplane-LSH ANN, q122 embedding-family survivor list,
   * q123 product-quantization ANN — 8-byte codes + ADC table search,
   * the memory-compression scale path, q131 IVF+PQ composed IVFADC —

@@ -368,6 +368,19 @@ object AnnIndexStore {
       .orderBy(col("cell"))
   }
 
+  /** Hashed-token postings of a (doc_id, text) relation — one map pass,
+    * 16-hex md5 keys in the SAME stage (q137's no-raw-text-in-the-store
+    * discipline), distinct per doc. The lexical index q148 persists. */
+  private def hashedPosts(s: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
+          .distinct.map(w => (id, w)) }
+      .toDF(idCol, "tok")
+      .select(col(idCol), substring(md5(col("tok")), 1, 16).as("tk"))
+  }
+
   private def notHeldOut(c: Column): Column = c % 10 =!= 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -386,6 +399,59 @@ object AnnIndexStore {
       build(s, emb.filter(notHeldOut(col("vec_id"))), dir)
       append(s, emb.filter(!notHeldOut(col("vec_id"))), dir, 0L)
       search(s, dir, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // HYBRID SEARCH SERVED FROM THE STORES — q146's fusion with BOTH
+    // sides index-served, the shape a deployed retrieval stack actually
+    // runs: the vector ranking comes from the materialized IVF+PQ index
+    // (partition-pruned ADC over stored codes, k = 50 — corpus floats
+    // never read), the lexical ranking from a persisted hashed-token
+    // postings table (16-hex keys — no raw text in the store), and the
+    // two rank lists fuse by the SAME rank-space RRF tail (fusion is
+    // index-agnostic: it needs only ranks, so swapping exact scorers
+    // for indexes changes candidates, never the fusion algebra). Docs
+    // reachable through either index fuse via a full-outer rank join;
+    // the unreachable (unprobed cells AND zero shared tokens) are
+    // priced at zero — exactly the recall/serving-cost trade the
+    // indexes were built to make. Probe sides bounded and broadcast;
+    // store relations stream.
+    "q148_hybrid_index_serve" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val dir = scratchDir(s, "q148_ann_" + tag)
+      val lexDir = scratchDir(s, "q148_lex_" + tag)
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      build(s, emb.filter(notHeldOut(col("vec_id"))), dir)
+      append(s, emb.filter(!notHeldOut(col("vec_id"))), dir, 0L)
+      // the embedded slice of the corpus (q146's model), postings ONCE
+      val corpusText = documents(s, d)
+        .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+      hashedPosts(s, corpusText, "doc_id")
+        .write.mode("overwrite").parquet(lexDir)
+      val vecRanks = search(s, dir, emb.filter(col("vec_id") < 10), k = 50)
+        .select(col("probe_id"), col("vec_id").as("doc_id"),
+          col("rk").as("vec_rank"))
+      val probePosts = hashedPosts(s,
+        corpusText.filter(col("doc_id") < 10), "probe_id")
+      val lexRanks = s.read.parquet(lexDir)
+        .join(broadcast(probePosts), "tk")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(count(lit(1)).as("lex_score"))
+        .select(col("probe_id"), col("doc_id"),
+          row_number().over(Window.partitionBy(col("probe_id"))
+            .orderBy(col("lex_score").desc, col("doc_id"))).as("lex_rank"))
+      val fused = vecRanks
+        .join(lexRanks, Seq("probe_id", "doc_id"), "full_outer")
+        .select(col("probe_id"), col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
+            .as("rrf"))
+      fused
+        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
+        .orderBy(col("probe_id"), col("rk"))
     }),
 
     // the staleness audit over the standard q135 lifecycle (build on
@@ -486,15 +552,16 @@ object AnnIndexStore {
     })
   )
 
-  /** q135's oracle body — q131's full IVFADC replay with the training
-    * CTEs (centroid sample, codebook sample) restricted to the build
-    * subset; coding, probe cells, ADC tables, and ranking cover ALL
-    * vectors, exactly as the store serves build + appended codes
-    * together. `candFilter` appends an extra candidate predicate to the
-    * scoring join — q142's delete exclusion — so the delete path's
-    * oracle can never drift from the search path's. */
-  private def storeSearchOracle(candFilter: String): String =
-    s"""WITH cents AS (
+  /** q135's oracle CTE chain (through `ranked`) — q131's full IVFADC
+    * replay with the training CTEs (centroid sample, codebook sample)
+    * restricted to the build subset; coding, probe cells, ADC tables,
+    * and ranking cover ALL vectors, exactly as the store serves build +
+    * appended codes together. `candFilter` appends an extra candidate
+    * predicate to the scoring join — q142's delete exclusion — so every
+    * consumer (q135 search, q142 delete, q148 hybrid serve) replays ONE
+    * body that cannot drift. */
+  private def storeSearchCtes(candFilter: String): String =
+    s"""cents AS (
            SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
              SELECT vec_id, embedding,
                row_number() OVER (
@@ -588,7 +655,10 @@ object AnnIndexStore {
            SELECT probe_id, vec_id, adist,
              row_number() OVER (PARTITION BY probe_id
                ORDER BY adist, vec_id) AS rk
-           FROM ad)
+           FROM ad)"""
+
+  private def storeSearchOracle(candFilter: String): String =
+    s"""WITH ${storeSearchCtes(candFilter)}
          SELECT probe_id, rk, vec_id, round(adist, 6) AS adist FROM ranked
          WHERE rk <= 5 ORDER BY probe_id, rk"""
 
@@ -600,6 +670,47 @@ object AnnIndexStore {
     // pre-delete training, exactly as the store keeps them).
     "q142_ann_store_delete" -> storeSearchOracle(
       "\n             AND x.vec_id % 10 <> 3"),
+
+    // the shared ADC CTE chain truncated at rk <= 50 for the vector
+    // list, the q146-style postings replay (16-hex keys) for the
+    // lexical list, and the identical rank-space fusion tail.
+    "q148_hybrid_index_serve" ->
+      s"""WITH ${storeSearchCtes("")},
+         vec_ranks AS (
+           SELECT probe_id, vec_id AS doc_id, rk AS vec_rank
+           FROM ranked WHERE rk <= 50),
+         corpus AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         posts AS (
+           SELECT DISTINCT doc_id,
+             substr(md5(unnest(list_filter(
+               string_split_regex(text, '[^\\p{L}]+'), x -> x <> ''))),
+               1, 16) AS tk
+           FROM corpus),
+         lex_ranks AS (
+           SELECT probe_id, doc_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY lex_score DESC, doc_id) AS lex_rank
+           FROM (
+             SELECT p.doc_id AS probe_id, c.doc_id, count(*) AS lex_score
+             FROM posts p JOIN posts c USING (tk)
+             WHERE p.doc_id < 10 AND c.doc_id <> p.doc_id
+             GROUP BY 1, 2)),
+         fused AS (
+           SELECT coalesce(v.probe_id, l.probe_id) AS probe_id,
+             coalesce(v.doc_id, l.doc_id) AS doc_id,
+             round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
+               + coalesce(1.0::DOUBLE / (60 + v.vec_rank), 0.0::DOUBLE), 6)
+               AS rrf
+           FROM vec_ranks v FULL OUTER JOIN lex_ranks l
+             ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)
+         SELECT probe_id, rk, doc_id, rrf FROM (
+           SELECT probe_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY rrf DESC, doc_id) AS rk
+           FROM fused) WHERE rk <= 5
+         ORDER BY probe_id, rk""",
 
     // q135's training + assignment CTEs, then per-cell counts and
     // worst-fit minima split by the build/appended rule — counts and

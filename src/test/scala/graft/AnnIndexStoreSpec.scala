@@ -158,6 +158,60 @@ class AnnIndexStoreSpec extends TestSpark {
       "restart must not duplicate admitted rows")
   }
 
+  test("q148 hybrid serve: every fused doc comes from an index, both sides contribute, and fusion tracks exact") {
+    import graft.functions.Similarity
+    val res = AnnIndexStore.queries("q148_hybrid_index_serve")(spark, sf0001).collect()
+    assert(res.length == 50, s"expected 10 probes x 5, got ${res.length}")
+    res.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5),
+        s"probe $p ranks malformed")
+      val sc = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("rrf"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // provenance: re-serve the vector list from the store the query just
+    // built, recompute the lexical sharers driver-side — every fused doc
+    // must be reachable through one of the two indexes, and globally
+    // BOTH must contribute (else the fusion is decorative)
+    val dir = Tables.scratchDir(spark, "q148_ann_" + Tables.datasetTag(sf0001))
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val vec = AnnIndexStore.search(spark, dir, emb.filter(col("vec_id") < 10), 50)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val texts = Tables.documents(spark, sf0001)
+      .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> graft.functions.TokenizeUdtf.SplitRe
+        .split(r.getString(1)).filter(_.nonEmpty).toSet).toMap
+    val lexSet = (for {
+      p <- texts.keys.filter(_ < 10); c <- texts.keys
+      if c != p && (texts(p) & texts(c)).nonEmpty
+    } yield (p, c)).toSet
+    res.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("doc_id"))
+      assert(vec(key) || lexSet(key), s"fused doc from neither index: $key")
+    }
+    assert(res.exists(r => vec((r.getLong(0), r.getAs[Long]("doc_id")))),
+      "vector index never contributed")
+    // lexical evidence must move the result: for at least one probe the
+    // fused top-5 is NOT simply the vector list's first five
+    val vecTop5 = AnnIndexStore.search(spark, dir,
+        emb.filter(col("vec_id") < 10), 5).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+    val fusedTop5 = res.groupBy(_.getAs[Long]("probe_id")).view
+      .mapValues(_.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id")).toSeq)
+      .toMap
+    assert(fusedTop5.exists { case (p, s) => vecTop5.get(p).forall(_ != s) },
+      "fusion never departed from the vector-only order")
+    // directional: the index-served fusion keeps a healthy share of the
+    // exact fusion's top-5 (fixture measures 16/50; pin with margin)
+    val exact = Similarity.queries("q146_hybrid_rrf")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("doc_id"))).toSet
+    val kept = res.count(r => exact((r.getLong(0), r.getAs[Long]("doc_id"))))
+    assert(kept >= 6, s"index-served fusion kept only $kept/50 of the exact fusion")
+  }
+
   test("q145 staleness: same-distribution appends spread over cells; a drifted batch concentrates") {
     val dir = Tables.scratchDir(spark, "annstore_stale_spec")
     AnnIndexStore.build(spark, df(0L until 300L), dir)
