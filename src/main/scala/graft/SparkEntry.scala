@@ -49,7 +49,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * multimodal decode/resize/frame-sample + perceptual-hash image dedup
   * and acoustic-fingerprint audio dedup (q32, q93-q94, q121, q134,
   * q147 the materialized phash index — new images admitted against
-  * stored hashes, corpus blobs never re-decoded),
+  * stored hashes, corpus blobs never re-decoded, q149 its streaming
+  * form — per-batch decode-once admission with exactly-once pair
+  * sinks and survivor appends),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout and interchange
   * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing and

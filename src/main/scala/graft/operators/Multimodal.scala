@@ -241,7 +241,7 @@ object Multimodal {
   /** (doc_id, 64-bit aHash) of a media relation — one map-side decode
     * pass; the blobs never leave the map side. Factored from
     * [[phashPairs]] so the store paths hash identically. */
-  private def hashesOf(s: SparkSession, media: DataFrame): DataFrame = {
+  private[graft] def hashesOf(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
     media.select(col("doc_id"), col("img")).as[(Long, Array[Byte])]
       .map { case (id, img) => (id, aHash64(img)) }
@@ -281,9 +281,16 @@ object Multimodal {
     writePhashBatch(s, media, dir, batchId, dynamic = true)
 
   private def writePhashBatch(s: SparkSession, media: DataFrame, dir: String,
-      batchId: Long, dynamic: Boolean): Unit = {
+      batchId: Long, dynamic: Boolean): Unit =
+    writePhashHashes(s, tracked(hashesOf(s, media)), dir, batchId, dynamic)
+
+  /** [[writePhashBatch]] over a caller-managed hash relation — the form
+    * the streaming pipeline (q149) uses so survivor hashes come from the
+    * batch's one decode pass (batch-local persist lifetime, q130's
+    * discipline) instead of a second decode. */
+  private[graft] def writePhashHashes(s: SparkSession, h: DataFrame,
+      dir: String, batchId: Long, dynamic: Boolean): Unit = {
     val mode = if (dynamic) "dynamic" else "static"
-    val h = tracked(hashesOf(s, media))
     h.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", mode)
       .partitionBy("batch_id").parquet(phashHashesPath(dir))
@@ -300,8 +307,15 @@ object Multimodal {
     * is the candidate distinct (the q129 admission shape). Returns
     * (doc_a = delta, doc_b = stored, hamming). */
   def admitPhash(s: SparkSession, delta: DataFrame, dir: String,
-      beforeBatch: Long): DataFrame = {
-    val dh = tracked(hashesOf(s, delta))
+      beforeBatch: Long): DataFrame =
+    admitPhashHashes(s, tracked(hashesOf(s, delta)), dir, beforeBatch)
+
+  /** [[admitPhash]] over a caller-managed hash relation (q149's
+    * streaming micro-batches persist and release their own hashes —
+    * the session-tracked cache would grow per batch on an unbounded
+    * stream, the q130 lesson). */
+  private[graft] def admitPhashHashes(s: SparkSession, dh: DataFrame,
+      dir: String, beforeBatch: Long): DataFrame = {
     val db = blocksOf(s, dh)
     val cand = s.read.parquet(phashBlocksPath(dir))
       .filter(col("batch_id") < beforeBatch)
@@ -461,6 +475,61 @@ object Multimodal {
       admitPhash(s,
         asMediaTable(s, docs.filter(col("doc_id") % 5 === 0)), dir, 0L)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // STREAMING PHASH ADMISSION — the image member of the streaming-
+    // admission family, completing it across every store (LSH q130,
+    // vectors q138, grams q139, image hashes here): new images arrive
+    // as a stream, each micro-batch decodes + hashes ONCE, admits
+    // against the stored blocks/hashes (batch N sees seed + batches
+    // 0..N-1's survivors — never its own replayed append), its matched
+    // pairs land exactly-once in a batch-partitioned sink, and its
+    // survivors' hashes append from the same decode pass (no second
+    // decode — writePhashHashes over the batch-local persisted
+    // relation). Bounded single-file replay = one batch, so the result
+    // equals q147's one-shot admission and shares its oracle;
+    // multi-batch cross-visibility and restart idempotency are pinned
+    // by MultimodalSpec on a two-file stream.
+    "q149_stream_phash_admit" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val storeDir = scratchDir(s, "q149_phash_store_" + tag)
+      val sinkDir = scratchDir(s, "q149_phash_pairs_" + tag)
+      val docs = documents(s, d)
+      buildPhashStore(s,
+        asMediaTable(s, docs.filter(col("doc_id") % 5 =!= 0)), storeDir)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
+        .filter(col("doc_id") % 5 === 0)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val dh = hashesOf(s, asMediaTable(s, batch))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val pairs = admitPhashHashes(s, dh, storeDir, beforeBatch = id)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                pairs.withColumn("batch_id", lit(id))
+                  .write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("batch_id").parquet(sinkDir)
+                writePhashHashes(s,
+                  dh.join(pairs.select(col("doc_a").as("doc_id")).distinct(),
+                    Seq("doc_id"), "left_anti"),
+                  storeDir, id, dynamic = true)
+              } finally { pairs.unpersist(); () }
+            } finally { dh.unpersist(); () }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(sinkDir)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -574,6 +643,13 @@ object Multimodal {
     // delta×corpus split — ONE shared SQL body (the q135/q142
     // discipline), so the store path's oracle cannot drift from q121's.
     "q147_phash_store_admit" -> phashOracle(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"""),
+
+    // identical to q147's replay: bounded single-file replay is one
+    // micro-batch, which admits against exactly the seed store.
+    "q149_stream_phash_admit" -> phashOracle(
       """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv
            WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0"""),

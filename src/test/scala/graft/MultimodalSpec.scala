@@ -158,6 +158,78 @@ class MultimodalSpec extends TestSpark {
     }
   }
 
+  test("q149 streaming phash admission: batch 1 rejects a dup of batch 0's survivor; restart admits nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val storeDir = Tables.scratchDir(spark, "phash_stream_store")
+    val sinkDir = Tables.scratchDir(spark, "phash_stream_sink")
+    val srcDir = java.nio.file.Files.createTempDirectory("phash_src").toString
+    val cp = java.nio.file.Files.createTempDirectory("phash_cp").toString
+    def img(t: String) = Multimodal.synthesizeBmp(t.getBytes("UTF-8"))
+    Multimodal.buildPhashStore(spark, Seq(
+      (1L, img("stored corpus image number one with plenty of text body")),
+      (2L, img("stored corpus image number two, quite unlike the others")))
+      .toDF("doc_id", "img"), storeDir)
+
+    def addFile(name: String, rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("doc_id", "img").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(s"$srcDir/*").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the q149 body over a raw (doc_id, img) stream
+          val dh = Multimodal.hashesOf(spark, batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val pairs = Multimodal.admitPhashHashes(spark, dh, storeDir, id)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              pairs.withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(sinkDir)
+              Multimodal.writePhashHashes(spark,
+                dh.join(pairs.select(col("doc_a").as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti"),
+                storeDir, id, dynamic = true)
+            } finally { pairs.unpersist(); () }
+          } finally { dh.unpersist(); () }
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sinkPairs(): Set[(Long, Long)] =
+      spark.read.parquet(sinkDir).select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch 0: doc 10 = re-encode of stored doc 1 (rejected); doc 11 novel
+    addFile("a", Seq(10L -> reencodeBmp(img(
+      "stored corpus image number one with plenty of text body")),
+      11L -> img("a brand new image body that matches nothing stored yet")))
+    runOnce()
+    assert(sinkPairs() == Set((10L, 1L)), s"batch 0 pairs: ${sinkPairs()}")
+    // batch 1: doc 20 = re-encode of batch 0's SURVIVOR 11 — rejected
+    // through the store's appended hashes (cross-batch visibility)
+    addFile("b", Seq(20L -> reencodeBmp(img(
+      "a brand new image body that matches nothing stored yet"))))
+    runOnce()
+    assert(sinkPairs() == Set((10L, 1L), (20L, 11L)),
+      s"batch 1 must reject the dup of batch 0's survivor: ${sinkPairs()}")
+    // restart with no new input: nothing re-admitted, store unchanged
+    val storedBefore = spark.read.parquet(
+      Multimodal.phashHashesPath(storeDir)).count()
+    runOnce()
+    assert(sinkPairs() == Set((10L, 1L), (20L, 11L)))
+    assert(spark.read.parquet(
+      Multimodal.phashHashesPath(storeDir)).count() == storedBefore)
+  }
+
   /** Same audio signal, different container bytes: rewrite the declared
     * sample rate (metadata a transcoder touches) and add a +10 DC offset
     * to every 8-bit sample — the level-shifted re-encode byte dedup
