@@ -40,13 +40,14 @@ object Bench {
   // q130
   // stays out like q119: its cost is dominated by fixed streaming
   // micro-batch/checkpoint constants, not plan cost. The round-10
-  // continuation adds its three cheap new families — streaming
-  // decontamination (q139), the content-hash fold split (q140), and
-  // the snapshot diff (q141), the corpus datasheet (q144), and hybrid
-  // RRF search (q146); q142/q143/q145/q147 (store maintenance and the
-  // phash-store form of q121) stay out for the q119 precedent — their
-  // cost is the store build they must run first, already tracked via
-  // q121/q129/q133/q135.
+  // continuation adds its five cheap new families — streaming
+  // decontamination (q139), the content-hash fold split (q140), the
+  // snapshot diff (q141), the corpus datasheet (q144), and hybrid
+  // RRF search (q146). Staying out: q142/q143/q145/q147/q148 (store
+  // maintenance and the index-served forms) because their cost is the
+  // store build they must run first, already tracked via
+  // q121/q129/q133/q135; q149 (streaming phash) for the q130 streaming
+  // precedent — micro-batch/checkpoint constants, not plan cost.
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",

@@ -562,7 +562,14 @@ object Dedup {
           .start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(sinkDir)
+      // explicit schema: a corpus with ZERO contaminated docs writes no
+      // sink files at all (dynamic overwrite of empty batches), and a
+      // schema-inferring read of the empty dir would throw instead of
+      // returning the empty verdict table q137 returns (review finding)
+      val sinkSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("n_shared", "long")
+        .add("n_bench_docs", "long").add("batch_id", "long")
+      s.read.schema(sinkSchema).parquet(sinkDir)
         .select(col("doc_id"), col("n_shared"), col("n_bench_docs"))
         .orderBy(col("doc_id"))
     }),

@@ -453,13 +453,18 @@ object Similarity {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val corpus = documents(s, d).select(col("doc_id"), col("text"))
         .join(emb, "doc_id")
-      val posts = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, t) =>
-          graft.functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
-            .distinct.map(w => (id, w)) }
-        .toDF("doc_id", "tok")
-      val pPosts = posts.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("probe_id"), col("tok"))
+      // filter BEFORE the typed flatMap: a predicate above a typed map
+      // cannot push through it, so the probe postings would otherwise
+      // re-tokenize the whole corpus to keep 10 docs (review finding;
+      // q148 had this shape from the start)
+      def postsOf(docs: DataFrame, idCol: String): DataFrame =
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, t) =>
+            graft.functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
+              .distinct.map(w => (id, w)) }
+          .toDF(idCol, "tok")
+      val posts = postsOf(corpus, "doc_id")
+      val pPosts = postsOf(corpus.filter(col("doc_id") < 10), "probe_id")
       val lexRank = posts.join(broadcast(pPosts), "tok")
         .filter(col("doc_id") =!= col("probe_id"))
         .groupBy(col("probe_id"), col("doc_id"))

@@ -86,38 +86,15 @@ object AnnIndexStore {
     * q133 compaction discipline applied to deletes. */
   def vacuum(s: SparkSession, dir: String): Unit =
     tombstones(s, dir).foreach { t =>
-      val bcT = broadcast(t)
-      val codes = s.read.parquet(codesPath(dir))
-      val affected = codes.join(bcT, "vec_id")
-        .select(col("batch_id").cast("long"), col("cell").cast("long"))
-        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-      val fs = new org.apache.hadoop.fs.Path(codesPath(dir))
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (affected.nonEmpty) {
-        val hit = affected.map { case (b, c) => s"$b:$c" }.toSet
-        val tmp = dir + "/codes_vacuum_tmp"
-        // survivors of the affected lists only — unaffected lists are
-        // never read, written, or moved
-        s.read.parquet(codesPath(dir))
-          .filter(concat_ws(":", col("batch_id").cast("long"),
-            col("cell").cast("long")).isin(hit.toSeq: _*))
-          .join(bcT, Seq("vec_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("batch_id", "cell").parquet(tmp)
-        affected.foreach { case (b, c) =>
-          val dst = new org.apache.hadoop.fs.Path(
-            s"${codesPath(dir)}/batch_id=$b/cell=$c")
-          val src = new org.apache.hadoop.fs.Path(s"$tmp/batch_id=$b/cell=$c")
-          fs.delete(dst, true)
-          // src absent ⇔ the list was deleted whole; its dir stays gone
-          if (fs.exists(src)) { fs.rename(src, dst); () }
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        ()
-      }
-      // clear tombstones (fresh empty relation — never read-and-overwrite
-      // the same path in one plan)
-      s.range(0).select(col("id").as("vec_id"))
-        .write.mode("overwrite").parquet(tombstonesPath(dir))
+      PartitionRewrite.erase(s, codesPath(dir), Seq("batch_id", "cell"),
+        t, "vec_id")
+      // remove the tombstone table outright (erase has fully consumed
+      // it): searches return to the maskless fast path — a lingering
+      // empty table would cost every future search an exists-check, a
+      // read, and an anti-join against nothing (review finding)
+      val p = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
     }
 
   /** Train the quantizers on `emb` (the build corpus) and persist the

@@ -527,7 +527,14 @@ object Multimodal {
           .start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(sinkDir)
+      // explicit schema: a stream with no phash match ever writes no
+      // sink files, and a schema-inferring read of the empty dir would
+      // throw instead of returning q147's empty pair set (review
+      // finding — the q139 fix applied here too)
+      val sinkSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_a", "long").add("doc_b", "long")
+        .add("hamming", "long").add("batch_id", "long")
+      s.read.schema(sinkSchema).parquet(sinkDir)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     })

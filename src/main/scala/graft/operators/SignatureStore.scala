@@ -172,31 +172,8 @@ object SignatureStore {
     * side. The quantizer-free store needs no training caveat: forgetting
     * here is complete. */
   def forget(s: SparkSession, ids: DataFrame, dir: String): Unit = {
-    val bcIds = broadcast(ids.select(col("doc_id")))
-    def scrub(path: String => String): Unit = {
-      val rel = s.read.parquet(path(dir))
-      val affected = rel.join(bcIds, "doc_id")
-        .select(col("batch_id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      if (affected.nonEmpty) {
-        val tmp = path(dir) + "_forget_tmp"
-        rel.filter(col("batch_id").isin(affected: _*))
-          .join(bcIds, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(path(dir))
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        affected.foreach { b =>
-          val dst = new org.apache.hadoop.fs.Path(s"${path(dir)}/batch_id=$b")
-          val src = new org.apache.hadoop.fs.Path(s"$tmp/batch_id=$b")
-          fs.delete(dst, true)
-          if (fs.exists(src)) { fs.rename(src, dst); () }
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        ()
-      }
-    }
-    scrub(shinglesPath)
-    scrub(bandsPath)
+    PartitionRewrite.erase(s, shinglesPath(dir), Seq("batch_id"), ids, "doc_id")
+    PartitionRewrite.erase(s, bandsPath(dir), Seq("batch_id"), ids, "doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

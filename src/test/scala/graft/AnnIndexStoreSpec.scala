@@ -296,8 +296,10 @@ class AnnIndexStoreSpec extends TestSpark {
     // physical erasure: the codes table no longer holds the ids at all
     assert(spark.read.parquet(AnnIndexStore.codesPath(dir))
       .filter(col("vec_id").isin(del: _*)).count() == 0L)
-    // tombstones cleared
-    assert(spark.read.parquet(AnnIndexStore.tombstonesPath(dir)).count() == 0L)
+    // tombstone table removed outright — searches are back on the
+    // maskless fast path
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      AnnIndexStore.tombstonesPath(dir))))
     // proportional cost: every file of every UNAFFECTED inverted list is
     // byte-for-byte untouched (same path, same mtime)
     val afterFiles = files()
