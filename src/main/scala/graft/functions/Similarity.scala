@@ -483,20 +483,34 @@ object Similarity {
         .select(col("probe_id"), col("doc_id"),
           row_number().over(Window.partitionBy(col("probe_id"))
             .orderBy(col("ccos").desc, col("doc_id"))).as("vec_rank"))
-      val fused = vecRank
-        .join(lexRank, Seq("probe_id", "doc_id"), "left_outer")
-        .select(col("probe_id"), col("doc_id"),
-          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
-            + lit(1.0) / (lit(60) + col("vec_rank")), 6).as("rrf"))
-      graft.plans.TopKPerGroup.topK(fused, Seq("probe_id"),
-          Seq("rrf" -> false, "doc_id" -> true), 5)
-        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
-          .orderBy(col("rrf").desc, col("doc_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
-        .orderBy(col("probe_id"), col("rk"))
+      rrfFuse(vecRank, lexRank, "left_outer")
     })
   )
+
+  /** The rank-space RRF fusion tail shared by the exact (q146) and
+    * index-served (q148) hybrid paths: rrf = Σ 1/(60 + rank) over the
+    * lists a doc appears in (absence prices to zero), heap-pre-cut
+    * top-5 per probe, deterministic (rrf desc, doc_id) ranking — ONE
+    * tail, so the two paths cannot drift (the storeSearchCtes
+    * discipline applied to the fusion algebra). The join type is the
+    * caller's recall statement: an exhaustive vector ranking keeps
+    * every candidate with a left outer (q146); two partial index-served
+    * lists need the full outer (q148). */
+  private[graft] def rrfFuse(vecRanks: DataFrame, lexRanks: DataFrame,
+      joinType: String): DataFrame = {
+    val fused = vecRanks.join(lexRanks, Seq("probe_id", "doc_id"), joinType)
+      .select(col("probe_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
+          .as("rrf"))
+    graft.plans.TopKPerGroup.topK(fused, Seq("probe_id"),
+        Seq("rrf" -> false, "doc_id" -> true), 5)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
 
   /** PQ geometry: 8 subspaces × 8 dims over the 64-d embeddings, 16
     * codes per subspace → 8×4 bits = one long per vector. */

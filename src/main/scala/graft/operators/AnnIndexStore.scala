@@ -417,18 +417,7 @@ object AnnIndexStore {
         .select(col("probe_id"), col("doc_id"),
           row_number().over(Window.partitionBy(col("probe_id"))
             .orderBy(col("lex_score").desc, col("doc_id"))).as("lex_rank"))
-      val fused = vecRanks
-        .join(lexRanks, Seq("probe_id", "doc_id"), "full_outer")
-        .select(col("probe_id"), col("doc_id"),
-          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
-            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6)
-            .as("rrf"))
-      fused
-        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
-          .orderBy(col("rrf").desc, col("doc_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("rk"), col("doc_id"), col("rrf"))
-        .orderBy(col("probe_id"), col("rk"))
+      Similarity.rrfFuse(vecRanks, lexRanks, "full_outer")
     }),
 
     // the staleness audit over the standard q135 lifecycle (build on
