@@ -60,4 +60,48 @@ class StorageOpsSpec extends TestSpark {
     assert(trainRate > 0.6 && trainRate < 0.9, s"train rate $trainRate far from 12/16")
     assert(bySplit.contains("val") && bySplit.contains("test"))
   }
+
+  test("PartitionRewrite.erase: randomized erasure removes exactly the named ids, touches only their partitions") {
+    import spark.implicits._
+    // the shared erasure protocol behind SignatureStore.forget and
+    // AnnIndexStore.vacuum, exercised over random stores and erase sets:
+    // survivors exact, unaffected partition files byte-untouched,
+    // wholly-erased partition directories gone
+    (1L to 4L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val table = java.nio.file.Files
+        .createTempDirectory(s"graft_prw$seed").toString + "/t"
+      val rows = (0 until 200).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(3).toLong)
+      }
+      rows.toDF("id", "a", "b").write.partitionBy("a", "b").parquet(table)
+      val erase = rows.map(_._1).filter(_ => rnd.nextDouble() < 0.2).toSet
+      val affected = rows.filter(r => erase(r._1)).map(r => (r._2, r._3)).toSet
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      def untouchedSnapshot(): Map[String, Long] =
+        walk(new java.io.File(table))
+          .filterNot(f => affected.exists { case (a, b) =>
+            f.getPath.contains(s"a=$a/b=$b") })
+          .map(f => f.getPath -> f.lastModified).toMap
+      val before = untouchedSnapshot()
+
+      graft.operators.PartitionRewrite.erase(spark, table, Seq("a", "b"),
+        erase.toSeq.toDF("id"), "id")
+
+      val left = spark.read.parquet(table)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(left == rows.map(_._1).toSet -- erase,
+        s"seed $seed: survivor set wrong")
+      assert(untouchedSnapshot() == before,
+        s"seed $seed: an unaffected partition was rewritten")
+      val leftParts = rows.filterNot(r => erase(r._1))
+        .map(r => (r._2, r._3)).toSet
+      (affected -- leftParts).foreach { case (a, b) =>
+        assert(!new java.io.File(s"$table/a=$a/b=$b").exists,
+          s"seed $seed: wholly-erased partition dir a=$a/b=$b remains")
+      }
+    }
+  }
 }
