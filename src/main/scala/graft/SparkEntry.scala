@@ -54,7 +54,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sinks and survivor appends),
   * SQL-registered native expressions and the tokenize UDTF (q71, q90),
   * storage layout and interchange
-  * (q84, q87, q124 gzipped-JSONL roundtrip), corpus mixing and
+  * (q84, q87, q124 gzipped-JSONL roundtrip, q150 schema evolution
+  * across store generations via mergeSchema), corpus mixing and
   * lifecycle (q125 deterministic per-source rebalancing, q136 the
   * end-to-end curation run: shared q79 verdict → survivor mixing →
   * per-source raw/cleaned/final/token funnel, q140 the

@@ -124,6 +124,41 @@ object StorageOps {
           sum(length(col("text"))).as("sum_chars"),
           sum(col("n_ws_tokens")).as("sum_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // SCHEMA EVOLUTION across store generations — the reality every
+    // long-lived batch-appended table hits: the pipeline learns to emit
+    // a new column (a score here), old batches keep their narrower
+    // files, and readers must see ONE table with the old rows NULL in
+    // the new column. Generation 0 writes the original 3-column ingest
+    // schema; generation 1 appends with the added score column;
+    // mergeSchema reconciles per-file footers at read (the option IS
+    // the operator — a default read samples one footer and can miss the
+    // column entirely, StorageOpsSpec pins both). The rollup proves the
+    // semantics: pre-evolution rows count as schema-missing, and the
+    // aggregates are NULL-correct. Order-independent metrics only
+    // (counts + max of per-row rounded doubles) — a double SUM over
+    // floats would be accumulation-order-dependent and unverifiable.
+    "q150_schema_evolution" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s,
+        "q150_evo_sink_" + graft.Tables.datasetTag(d))
+      val ev = events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("batch_id", lit(0L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("score"))
+        .withColumn("batch_id", lit(1L))
+        .write.mode("append").partitionBy("batch_id").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("score").isNull, 1L).otherwise(0L))
+            .as("n_pre_evolution"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -148,6 +183,21 @@ object StorageOps {
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_price,
          strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the two generations replayed as a union with the old rows NULL in
+    // the evolved column — exactly what mergeSchema reconstructs
+    "q150_schema_evolution" ->
+      """WITH unioned AS (
+           SELECT event_type, NULL::DOUBLE AS score
+           FROM events WHERE event_id % 2 = 0
+           UNION ALL
+           SELECT event_type, round(value, 2)
+           FROM events WHERE event_id % 2 <> 0)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_evolution,
+           max(score) AS max_score
+         FROM unioned GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -61,6 +61,28 @@ class StorageOpsSpec extends TestSpark {
     assert(bySplit.contains("val") && bySplit.contains("test"))
   }
 
+  test("q150 schema evolution: generations differ on disk, mergeSchema reconciles, old rows NULL in the new column") {
+    val res = graft.operators.StorageOps
+      .queries("q150_schema_evolution")(spark, sf0001)
+    res.collect() // materialize the two generations
+    val dir = Tables.scratchDir(spark,
+      "q150_evo_sink_" + Tables.datasetTag(sf0001))
+    // the footers genuinely differ per generation — this is what a
+    // non-merging read can silently lose
+    val g0 = spark.read.parquet(s"$dir/batch_id=0").schema.fieldNames.toSet
+    val g1 = spark.read.parquet(s"$dir/batch_id=1").schema.fieldNames.toSet
+    assert(!g0.contains("score") && g1.contains("score"),
+      s"generation schemas unexpected: g0=$g0 g1=$g1")
+    // merged view: one table, old rows NULL in the evolved column
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.contains("score"))
+    import org.apache.spark.sql.functions.col
+    assert(merged.filter(col("batch_id") === 0 && col("score").isNotNull)
+      .count() == 0L, "pre-evolution rows must be NULL in the new column")
+    assert(merged.filter(col("batch_id") === 1 && col("score").isNull)
+      .count() == 0L, "evolved rows must all carry the new column")
+  }
+
   test("PartitionRewrite.erase: randomized erasure removes exactly the named ids, touches only their partitions") {
     import spark.implicits._
     // the shared erasure protocol behind SignatureStore.forget and
