@@ -20,6 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * chunk-level dedup: per-doc sharing, duplicate pairs, and the
   * clustered survivor list, q120 exact shared-span pairs, q127
   * incremental delta-vs-corpus near-dedup with broadcast delta bands,
+  * q151 the threshold-sensitivity sweep behind the j ≥ 0.8 policy,
   * q129 the materialized signature-store form — admission against
   * persisted bands, corpus text never re-scanned, q130 the streaming
   * ingestion-admission pipeline through the exactly-once sink, q133

@@ -387,6 +387,41 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // DEDUP-THRESHOLD SENSITIVITY SWEEP — the evidence table behind the
+    // "j ≥ 0.8" policy decision every dedup deployment makes: for each
+    // candidate threshold (50..90%), how many pairs would match and how
+    // many documents would be touched. ONE pass computes every pair's
+    // exact Jaccard (the q29 relation, same quadratic guard — at scale
+    // the pair source would be LSH banded for the LOWEST threshold under
+    // consideration, everything downstream unchanged); thresholds then
+    // explode over the scored pairs (pairs × 5 slim rows), and two tiny
+    // rollups join on the integer percent. Integer thresholds — a 0.7
+    // double literal is DECIMAL in DuckDB; pct/100 division yields the
+    // identical double in both engines.
+    "q151_threshold_sweep" -> ((s, d) => {
+      val n = documents(s, d).count()
+      require(n <= 200000,
+        s"q151_threshold_sweep shares q29's quadratic pair relation; corpus " +
+          s"has $n docs (> 200k). Derive candidates from LSH at scale.")
+      val shRel = sharedShingles(s, d)
+      val sh = shRel.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val allPairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val scored = verifyJaccardWith(shRel, allPairs)
+      val hits = scored
+        .select(explode(array((50 to 90 by 10).map(lit): _*)).as("pct"),
+          col("doc_a"), col("doc_b"), col("jaccard"))
+        .filter(col("jaccard") >= col("pct").cast("double") / lit(100))
+        .select(col("pct"), col("doc_a"), col("doc_b"))
+      val nPairs = hits.groupBy(col("pct")).agg(count(lit(1)).as("n_pairs"))
+      val nDocs = hits
+        .select(col("pct"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy(col("pct")).agg(countDistinct(col("doc")).as("n_docs"))
+      nPairs.join(nDocs, "pct").orderBy(col("pct"))
+    }),
+
     // Near-dup CLUSTERING — the step that turns q27's verified pairs into
     // dedup groups (the canonical end of a MinHash pipeline: pairs →
     // connected components → keep one doc per component). Components via
@@ -1026,6 +1061,31 @@ object Dedup {
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
          ORDER BY doc_a, doc_b""",
     "q29_ngram_jaccard" -> exactJaccardSql,
+
+    // the same scored-pair relation, thresholds unnested over it; the
+    // round(.., 6) mirrors the engine's verified jaccard exactly, and
+    // CAST(pct AS DOUBLE)/100 reproduces the engine's comparison value
+    "q151_threshold_sweep" ->
+      s"""WITH $shingleCtes,
+         j AS (
+           SELECT doc_a, doc_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+           FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id),
+         hits AS (
+           SELECT t.pct, j.doc_a, j.doc_b
+           FROM j CROSS JOIN (SELECT unnest([50, 60, 70, 80, 90]) AS pct) t
+           WHERE j.jaccard >= CAST(t.pct AS DOUBLE) / 100),
+         np AS (SELECT pct, count(*) AS n_pairs FROM hits GROUP BY pct),
+         nd AS (
+           SELECT pct, count(DISTINCT doc) AS n_docs FROM (
+             SELECT pct, doc_a AS doc FROM hits
+             UNION ALL SELECT pct, doc_b FROM hits)
+           GROUP BY pct)
+         SELECT np.pct, np.n_pairs, nd.n_docs
+         FROM np JOIN nd ON np.pct = nd.pct
+         ORDER BY np.pct""",
     // Connected components replayed as a recursive transitive closure:
     // a node's cluster id = min doc_id reachable over the verified
     // near-dup edges — exactly the fixpoint min-label propagation reaches.

@@ -214,6 +214,20 @@ class DedupSimilaritySpec extends TestSpark {
     assert(rerun.sameElements(batch), "re-run is not idempotent")
   }
 
+  test("q151 threshold sweep: counts non-increasing in threshold; the 80% row equals q29's pair set") {
+    val rows = Dedup.queries("q151_threshold_sweep")(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("pct"))
+    assert(rows.map(_.getAs[Int]("pct")).sameElements(Array(50, 60, 70, 80, 90)))
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    val nd = rows.map(_.getAs[Long]("n_docs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b },
+      s"pair counts must be non-increasing: ${np.mkString(",")}")
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b })
+    // the sweep's 80% row IS the production threshold's pair count
+    val q29 = Dedup.queries("q29_ngram_jaccard")(spark, sf0001).count()
+    assert(rows.find(_.getAs[Int]("pct") == 80).get.getAs[Long]("n_pairs") == q29)
+  }
+
   test("q146 hybrid RRF: well-formed ranks, and fusion departs from the pure-vector order") {
     val rows = Similarity.queries("q146_hybrid_rrf")(spark, sf0001).collect()
     assert(rows.length == 50, s"expected 10 probes x 5, got ${rows.length}")
