@@ -48,6 +48,10 @@ object Bench {
   // store build they must run first, already tracked via
   // q121/q129/q133/q135; q149 (streaming phash) for the q130 streaming
   // precedent — micro-batch/checkpoint constants, not plan cost.
+  // The second continuation adds its four batch families — iterative
+  // integer PageRank (q152), the bottom-K quantile sketch (q153), the
+  // join-key skew audit (q154), and BM25 ranking (q155); q156
+  // (streaming quantiles) stays out per the q130/q149 precedent.
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -64,7 +68,9 @@ object Bench {
     "q129_store_delta_dedup", "q131_ann_ivfpq", "q133_store_compact_admit",
     "q134_audio_fp_pairs", "q135_ann_store_search", "q136_curation_run",
     "q139_stream_decontam", "q140_stratified_split", "q141_snapshot_diff",
-    "q144_corpus_datasheet", "q146_hybrid_rrf")
+    "q144_corpus_datasheet", "q146_hybrid_rrf",
+    "q152_pagerank", "q153_quantile_sketch", "q154_skew_audit",
+    "q155_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -100,6 +100,7 @@ object SparkEntry {
       functions.CustomAgg.queries ++
       functions.SqlFunctions.queries ++
       operators.SaltedJoin.queries ++
+      operators.GraphOps.queries ++
       plans.TopKPerGroup.queries ++
       plans.TopKRewrite.queries ++
       operators.Multimodal.queries ++
@@ -128,6 +129,7 @@ object SparkEntry {
       functions.CustomAgg.oracles ++
       functions.SqlFunctions.oracles ++
       operators.SaltedJoin.oracles ++
+      operators.GraphOps.oracles ++
       plans.TopKPerGroup.oracles ++
       plans.TopKRewrite.oracles ++
       operators.Multimodal.oracles ++

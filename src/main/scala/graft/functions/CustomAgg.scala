@@ -78,6 +78,66 @@ object CustomAgg {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Buffer of [[QuantileSketch]]: ≤ K (hash key, value) pairs — the
+    * rows whose md5 row keys are the K smallest seen, kept sorted by
+    * key (parallel arrays). */
+  case class QsB(keys: Array[String], vals: Array[Double])
+
+  /** Finished estimate: sample size actually held plus four quantile
+    * points read off the sample. */
+  case class QsOut(sample_n: Long, p25: Double, p50: Double,
+      p75: Double, p90: Double)
+
+  /** Bounded approximate-quantile sketch as a mergeable Aggregator — the
+    * KMV trick ([[KmvDistinct]]) pointed at ORDER STATISTICS instead of
+    * cardinality: keeping the rows with the K smallest md5 row-keys is a
+    * uniform random-but-DETERMINISTIC sample of the group (the hash is
+    * the coin), so the sample's quantiles estimate the group's, state is
+    * bounded at K pairs (~10 KB) for any group size, and bottom-K of a
+    * set is order-independent — partial aggregation, shuffle order, and
+    * streaming micro-batch boundaries cannot change the answer, which is
+    * why DuckDB can replay the whole estimator exactly (same bottom-K
+    * selection, same (value, key)-ordered positional pick) instead of
+    * settling for an error-band check. Groups smaller than K are EXACT.
+    * Quantile index: 0-based floor(((m-1)·p)/100) over the sample sorted
+    * by (value, key) — all-integer, tie-broken by the hash key. */
+  object QuantileSketch extends Aggregator[(String, Double), QsB, QsOut] {
+    val K = 256
+    def zero: QsB = QsB(Array.empty, Array.empty)
+    def reduce(b: QsB, x: (String, Double)): QsB =
+      if (x._1 == null) b else insert(b, x._1, x._2)
+    def merge(a: QsB, b: QsB): QsB = {
+      var r = a
+      var i = 0
+      while (i < b.keys.length) { r = insert(r, b.keys(i), b.vals(i)); i += 1 }
+      r
+    }
+    def finish(b: QsB): QsOut = {
+      val m = b.keys.length
+      if (m == 0) QsOut(0, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else {
+        val ord = Array.range(0, m).sortBy(i => (b.vals(i), b.keys(i)))
+        def pick(p: Int): Double = b.vals(ord(((m - 1) * p) / 100))
+        QsOut(m, pick(25), pick(50), pick(75), pick(90))
+      }
+    }
+    private def insert(b: QsB, h: String, v: Double): QsB = {
+      val m = b.keys
+      // fast path: full sketch and h displaces nothing (covers re-seen
+      // keys ≥ the kth min too); the explicit contains covers re-seen
+      // keys below it (merge replay / task retry idempotence)
+      if (m.length == K && h >= m(K - 1)) b
+      else if (m.contains(h)) b
+      else {
+        val nb = (m.zip(b.vals) :+ (h, v)).sortBy(_._1)
+        val kept = if (nb.length > K) nb.take(K) else nb
+        QsB(kept.map(_._1), kept.map(_._2))
+      }
+    }
+    def bufferEncoder: Encoder[QsB] = Encoders.product[QsB]
+    def outputEncoder: Encoder[QsOut] = Encoders.product[QsOut]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Geometric mean of extended price per return flag through the custom
     // Aggregator; oracle = exp(avg(ln x)). Σ ln x is order-sensitive in
@@ -118,6 +178,32 @@ object CustomAgg {
            FROM customer_v ORDER BY c_custkey""")
     }),
 
+    // Approximate per-group quantiles through the bounded bottom-K-hash
+    // sample sketch — the percentile monitor a 100 TB pipeline can
+    // afford: exact percentile_disc needs the whole group sorted (or
+    // held) somewhere; this holds 256 rows per group no matter the group
+    // size, partial-aggregates map-side, and the estimate is
+    // deterministic (the hash is the coin), so the oracle replays it
+    // bit-exactly. Groups ≤ K are exact by construction.
+    "q153_quantile_sketch" -> ((s, d) => {
+      val qs = udaf(QuantileSketch)
+      // row key = all four of (orderkey, linenumber, partkey, suppkey):
+      // the synthetic fixture repeats (orderkey, linenumber) pairs, and a
+      // DUPLICATE hash key is dropped by the sketch's set semantics —
+      // the sample stays deterministic only if row keys are unique
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          qs(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))),
+            col("l_extendedprice")).as("qs"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("qs.sample_n").as("sample_n"), col("qs.p25").as("p25"),
+          col("qs.p50").as("p50"), col("qs.p75").as("p75"),
+          col("qs.p90").as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Regexp extraction + predicates over the documents source tag.
     "q51_regex_extract" -> ((s, d) => {
       documents(s, d)
@@ -146,6 +232,33 @@ object CustomAgg {
          (SELECT round(max(o_totalprice), 2) FROM orders
           WHERE o_custkey = c_custkey) AS max_total
          FROM customer ORDER BY c_custkey""",
+    "q153_quantile_sketch" ->
+      """WITH h AS (
+           SELECT l_returnflag AS grp, l_extendedprice AS val,
+             md5(concat_ws(':', l_orderkey, l_linenumber,
+               l_partkey, l_suppkey)) AS hh
+           FROM lineitem),
+         samp AS (
+           SELECT grp, val, hh FROM (
+             SELECT grp, val, hh,
+               row_number() OVER (PARTITION BY grp ORDER BY hh) AS rh
+             FROM h)
+           WHERE rh <= 256),
+         ord AS (
+           SELECT grp, val,
+             row_number() OVER (PARTITION BY grp ORDER BY val, hh) - 1 AS idx,
+             count(*) OVER (PARTITION BY grp) AS m
+           FROM samp),
+         tot AS (SELECT l_returnflag AS grp, count(*) AS n_rows
+                 FROM lineitem GROUP BY 1)
+         SELECT o.grp AS l_returnflag, t.n_rows,
+           CAST(max(m) AS BIGINT) AS sample_n,
+           max(CASE WHEN idx = ((m - 1) * 25) // 100 THEN val END) AS p25,
+           max(CASE WHEN idx = ((m - 1) * 50) // 100 THEN val END) AS p50,
+           max(CASE WHEN idx = ((m - 1) * 75) // 100 THEN val END) AS p75,
+           max(CASE WHEN idx = ((m - 1) * 90) // 100 THEN val END) AS p90
+         FROM ord o JOIN tot t ON t.grp = o.grp
+         GROUP BY o.grp, t.n_rows ORDER BY o.grp""",
     "q51_regex_extract" ->
       """SELECT doc_id,
          CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS src_num,

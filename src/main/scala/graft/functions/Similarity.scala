@@ -484,6 +484,53 @@ object Similarity {
           row_number().over(Window.partitionBy(col("probe_id"))
             .orderBy(col("ccos").desc, col("doc_id"))).as("vec_rank"))
       rrfFuse(vecRank, lexRank, "left_outer")
+    }),
+
+    // OKAPI BM25 ranking (Robertson & Walker 1994; k1 = 1.2, b = 0.75) —
+    // the lexical scorer real search stacks run where q146's arm uses
+    // raw overlap: idf damps stopwords, tf saturates at k1, and the
+    // length norm stops long documents winning on volume. Probes are
+    // docs 0-9 (their distinct token sets are the queries; self
+    // excluded). Scale shape: probe tokens are bounded and BROADCAST
+    // twice — once to prune the tf relation to probe-term postings
+    // before anything joins, once to prune the vocabulary-sized df
+    // relation down to probe terms (itself then broadcast) — so the only
+    // corpus-sized exchanges are the tf/length partial aggregations and
+    // the final probe-hit rollup; idf and the corpus stats enter as
+    // 1-row/slim broadcasts. Scores round to 6 (sum order differs
+    // between engines — q62's ln discipline), and ranking happens ON the
+    // rounded score with a doc_id tiebreak, so order is deterministic.
+    "q155_bm25_topk" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+          .as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val len = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = len.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val probes = toks.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("tok")).distinct()
+      val dfProbe = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .join(broadcast(probes.select(col("tok")).distinct()), "tok")
+      val scored = tf.join(broadcast(probes), "tok")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .join(broadcast(dfProbe), "tok")
+        .join(len, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(round(sum(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))),
+          6).as("bm25"))
+      graft.plans.TopKPerGroup.topK(scored, Seq("probe_id"),
+          Seq("bm25" -> false, "doc_id" -> true), 5)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("doc_id"), col("bm25"))
+        .orderBy(col("probe_id"), col("rk"))
     })
   )
 
@@ -1001,6 +1048,37 @@ object Similarity {
              row_number() OVER (PARTITION BY probe_id
                ORDER BY rrf DESC, doc_id) AS rk
            FROM fused) WHERE rk <= 5
+         ORDER BY probe_id, rk""",
+
+    "q155_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                   FROM len),
+         dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         probe AS (SELECT DISTINCT doc_id AS probe_id, tok FROM toks
+                   WHERE doc_id < 10),
+         scored AS (
+           SELECT p.probe_id, t.doc_id,
+             round(SUM(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+           FROM probe p
+           JOIN tf t ON t.tok = p.tok AND t.doc_id <> p.probe_id
+           JOIN dfr d ON d.tok = p.tok
+           JOIN len l ON l.doc_id = t.doc_id
+           CROSS JOIN stats s
+           GROUP BY 1, 2)
+         SELECT probe_id, rk, doc_id, bm25 FROM (
+           SELECT probe_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY bm25 DESC, doc_id) AS rk
+           FROM scored) WHERE rk <= 5
          ORDER BY probe_id, rk""",
 
     // q73's knn edges at cosine ≥ 0.4, then the same recursive

@@ -213,6 +213,30 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The ORDER-STATISTICS twin of q126: per-type value-distribution
+    // monitoring through the bounded bottom-K-hash quantile sketch
+    // ([[graft.functions.CustomAgg.QuantileSketch]]) as the streaming
+    // aggregate — p25/p50/p75/p90 of the event value, held in ≤256
+    // (hash, value) pairs per group (~10 KB) no matter how many events
+    // flow through, where an exact streaming percentile would buffer
+    // every value forever. Bottom-K of a set is order-independent, so
+    // micro-batch boundaries and state checkpoints cannot change the
+    // answer — the oracle replays the batch estimator exactly (same
+    // bottom-K selection on the md5 row key, same positional pick).
+    "q156_stream_quantiles" -> ((s, d) => {
+      val qs = udaf(graft.functions.CustomAgg.QuantileSketch)
+      runStream(s, d, "events", "sink_quantiles") { src =>
+        src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            qs(md5(col("event_id").cast("string")), col("value")).as("qs"))
+      }
+        .select(col("event_type"), col("n_events"),
+          col("qs.sample_n").as("sample_n"), col("qs.p25").as("p25"),
+          col("qs.p50").as("p50"), col("qs.p75").as("p75"),
+          col("qs.p90").as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
     "q54_stream_stream_join" -> ((s, d) => {
       val path = s"$d/events.parq*"
       graft.Tables.nanosTs(s)
@@ -408,6 +432,34 @@ object StreamingQueries {
            END AS est_users
          FROM ev e JOIN agg a USING (event_type)
          ORDER BY e.event_type""",
+    // streaming quantile-sketch replay: per-type bottom-256 md5 row
+    // keys, the q153 (value, key)-ordered positional pick
+    "q156_stream_quantiles" ->
+      """WITH h AS (
+           SELECT event_type AS grp, value AS val,
+             md5(CAST(event_id AS VARCHAR)) AS hh
+           FROM events),
+         samp AS (
+           SELECT grp, val, hh FROM (
+             SELECT grp, val, hh,
+               row_number() OVER (PARTITION BY grp ORDER BY hh) AS rh
+             FROM h)
+           WHERE rh <= 256),
+         ord AS (
+           SELECT grp, val,
+             row_number() OVER (PARTITION BY grp ORDER BY val, hh) - 1 AS idx,
+             count(*) OVER (PARTITION BY grp) AS m
+           FROM samp),
+         tot AS (SELECT event_type AS grp, count(*) AS n_events
+                 FROM events GROUP BY 1)
+         SELECT o.grp AS event_type, t.n_events,
+           CAST(max(m) AS BIGINT) AS sample_n,
+           max(CASE WHEN idx = ((m - 1) * 25) // 100 THEN val END) AS p25,
+           max(CASE WHEN idx = ((m - 1) * 50) // 100 THEN val END) AS p50,
+           max(CASE WHEN idx = ((m - 1) * 75) // 100 THEN val END) AS p75,
+           max(CASE WHEN idx = ((m - 1) * 90) // 100 THEN val END) AS p90
+         FROM ord o JOIN tot t ON t.grp = o.grp
+         GROUP BY o.grp, t.n_events ORDER BY o.grp""",
     "q54_stream_stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
          p.event_id AS purchase_id,

@@ -610,4 +610,44 @@ class DedupSimilaritySpec extends TestSpark {
     val j = (shA & shB).size.toDouble / (shA | shB).size
     assert(j < 0.8, s"jaccard $j should be sub-threshold")
   }
+
+  test("q155 BM25: well-formed top-5, and idf/length-norm depart from raw overlap") {
+    val rows = Similarity.queries("q155_bm25_topk")(spark, sf0001).collect()
+    assert(rows.length == 50, s"expected 10 probes x 5, got ${rows.length}")
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 5),
+        s"probe $p ranks malformed")
+      assert(!rs.exists(_.getAs[Long]("doc_id") == p), s"probe $p ranked itself")
+      val sc = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("bm25"))
+      assert(sc.forall(_ > 0) && sc.zip(sc.tail).forall { case (a, b) => a >= b },
+        s"probe $p scores not positive/non-increasing: ${sc.mkString(",")}")
+    }
+    // BM25's idf damping + tf saturation + length norm must actually
+    // change the answer vs q146's raw distinct-token overlap arm: at
+    // least one probe's BM25 top-5 set differs from its overlap top-5
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        functions.TokenizeUdtf.SplitRe.split(t).filter(_.nonEmpty)
+          .distinct.map(w => (id, w)) }
+      .toDF("doc_id", "tok")
+    val overlapTop = toks.join(
+        toks.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("probe_id"), col("tok")), "tok")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("ov").desc, col("doc_id"))))
+      .filter(col("rk") <= 5).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val bmTop = rows.groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(bmTop.keySet == overlapTop.keySet)
+    assert(bmTop.exists { case (p, s) => s != overlapTop(p) },
+      "BM25 never departed from raw overlap — weighting is inert")
+  }
 }

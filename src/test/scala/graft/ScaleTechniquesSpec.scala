@@ -423,4 +423,26 @@ class ScaleTechniquesSpec extends TestSpark {
     assert(m("chars").asInstanceOf[Long] > 0)
     assert(out > 0)
   }
+
+  test("q154 skew audit agrees with a direct per-column recount") {
+    val rows = SaltedJoin.queries("q154_skew_audit")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("keycol") -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    rows.foreach { case (c, r) =>
+      assert(r.getAs[Long]("n_rows") == total, s"$c n_rows")
+      val counts = li.groupBy(col(c)).count().collect()
+        .map(x => x.getAs[Long](0) -> x.getAs[Long]("count"))
+      assert(r.getAs[Long]("n_keys") == counts.length, s"$c n_keys")
+      val hotCnt = counts.map(_._2).max
+      val hotKey = counts.filter(_._2 == hotCnt).map(_._1).min
+      assert(r.getAs[Long]("hot_cnt") == hotCnt, s"$c hot_cnt")
+      assert(r.getAs[Long]("hot_key") == hotKey, s"$c hot_key tiebreak")
+      assert(r.getAs[Long]("share_ppm") == hotCnt * 1000000L / total)
+      // the salt recommendation is exactly the ceil of the hot key's
+      // share of a 32-partition shuffle — what SaltedJoin.join spreads
+      assert(r.getAs[Long]("rec_salt") == (hotCnt * 32 + total - 1) / total)
+    }
+  }
 }

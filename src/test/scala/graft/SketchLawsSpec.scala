@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CustomAgg.{KmvB, KmvDistinct}
+import graft.functions.CustomAgg.{KmvB, KmvDistinct, QsB, QuantileSketch}
 import graft.functions.TextQueries
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -65,6 +65,55 @@ class SketchLawsSpec extends AnyFunSuite {
       assert(math.abs(est - 2000) / 2000.0 < 0.5,
         s"seed=$seed estimate $est vs 2000 outside the k=64 band")
     }
+  }
+
+  private def qsReduceAll(xs: Seq[(String, Double)]): QsB =
+    xs.foldLeft(QuantileSketch.zero)(QuantileSketch.reduce)
+
+  private def randPairs(seed: Long, n: Int): Seq[(String, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (md5hex(s"row$seed-$i"), rnd.nextDouble() * 1000))
+  }
+
+  test("QuantileSketch merge laws and partition-split invariance") {
+    for (seed <- 21L to 25L) {
+      val xs = randPairs(seed, 700)
+      val (x, y, z) = (qsReduceAll(xs.take(250)),
+        qsReduceAll(xs.slice(250, 500)), qsReduceAll(xs.drop(500)))
+      assert(QuantileSketch.merge(x, y).keys.toSeq
+        == QuantileSketch.merge(y, x).keys.toSeq, s"seed=$seed not commutative")
+      assert(QuantileSketch.merge(QuantileSketch.merge(x, y), z).keys.toSeq
+        == QuantileSketch.merge(x, QuantileSketch.merge(y, z)).keys.toSeq,
+        s"seed=$seed not associative")
+      val rnd = new scala.util.Random(seed)
+      val parts = xs.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(8))).values.toSeq
+      val merged = rnd.shuffle(parts.map(qsReduceAll))
+        .foldLeft(QuantileSketch.zero)(QuantileSketch.merge)
+      val whole = qsReduceAll(xs)
+      assert(merged.keys.toSeq == whole.keys.toSeq
+        && merged.vals.toSeq == whole.vals.toSeq, s"seed=$seed split-variant")
+      assert(QuantileSketch.finish(merged) == QuantileSketch.finish(whole))
+    }
+  }
+
+  test("QuantileSketch keeps exactly the bottom-K keys, exact under K, near-exact over K") {
+    val xs = randPairs(31L, 3000)
+    val b = qsReduceAll(xs)
+    assert(b.keys.toSeq == xs.map(_._1).sorted.take(QuantileSketch.K),
+      "sample must be the K smallest distinct hash keys")
+    // under K the sketch IS the group: its p50 equals the true median pick
+    val small = xs.take(41)
+    val fb = QuantileSketch.finish(qsReduceAll(small))
+    val ordered = small.sortBy(t => (t._2, t._1)).map(_._2)
+    assert(fb.sample_n == 41 && fb.p50 == ordered((40 * 50) / 100),
+      "under K the positional pick must be exact")
+    // over K the estimate tracks the truth (uniform values: p90 ≈ 900)
+    val fB = QuantileSketch.finish(b)
+    assert(math.abs(fB.p90 - 900.0) < 100.0,
+      s"p90 estimate ${fB.p90} implausible for uniform [0,1000)")
+    // duplicate row keys collapse (set semantics — task-retry idempotence)
+    val dup = qsReduceAll(xs ++ xs.take(100))
+    assert(dup.keys.toSeq == b.keys.toSeq, "duplicate keys must not displace")
   }
 
   test("CDC chunks reconstruct the text and agree with the boundary rule") {

@@ -440,4 +440,38 @@ class StreamingSpec extends TestSpark {
         s"${r.getString(0)}: estimate $est vs exact $ex outside 50%")
     }
   }
+
+  test("q156 streaming quantile sketch == its batch twin, near the exact quantiles") {
+    // bottom-K of a set is order-independent, so micro-batch boundaries
+    // and state checkpoints must leave the sketch BIT-identical to the
+    // same Aggregator over a batch read
+    val streamed = StreamingQueries.queries("q156_stream_quantiles")(spark, sf0001)
+      .collect()
+    val qs = udaf(graft.functions.CustomAgg.QuantileSketch)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        qs(md5(col("event_id").cast("string")), col("value")).as("qs"))
+      .select(col("event_type"), col("n_events"),
+        col("qs.sample_n").as("sample_n"), col("qs.p25").as("p25"),
+        col("qs.p50").as("p50"), col("qs.p75").as("p75"),
+        col("qs.p90").as("p90"))
+      .orderBy(col("event_type"))
+      .collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming quantile sketch diverged from the batch aggregation")
+    // and the bounded sample estimates the true quantiles usefully: the
+    // p50 estimate must sit within the group's true p25..p75 band
+    val bands = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("lo"),
+        expr("percentile(value, 0.75)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    streamed.foreach { r =>
+      val (lo, hi) = bands(r.getString(0))
+      val p50 = r.getAs[Double]("p50")
+      assert(p50 >= lo && p50 <= hi,
+        s"${r.getString(0)}: p50 estimate $p50 outside true IQR [$lo, $hi]")
+    }
+  }
 }
