@@ -8,6 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q37-q40, q45, q47-q51, q55-q59, q86, q89, q96-q97, q100 unpivot, q108 moments,
   * q103 distribution windows, q104 map functions + q109 map transforms,
   * q107 sessionization),
+  * graph analytics (q152 scaled-integer PageRank over the trade graph,
+  * q157 Doulion-sampled degree-oriented triangle counting, q159
+  * TextRank keywords through the same pagerank kernel),
+  * sketches and audits (q153 bottom-K-hash quantile sketch, q156 its
+  * streaming form, q154 join-key skew audit, q158 retention cohorts,
+  * q155 Okapi BM25 ranking),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -312,6 +312,25 @@ object ExtendedQueries {
         .select(col("user_id"), col("a_id"), col("b_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
         .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
+    // RETENTION COHORTS — the product-analytics staple: users grouped by
+    // first-seen week, then for each (cohort, weeks-since-cohort) how
+    // many of them were active. Week = integer days-since-Monday-epoch
+    // div 7 (all-integer — date_trunc('week') semantics vary across
+    // engines). Both aggregations key on user_id, so Catalyst reuses one
+    // exchange for the cohort min and the join probe; the final rollup
+    // is cohort×offset-sized (tiny). At 100 TB the distinct-user count
+    // per cell is the only heavy op and is exactly what it must be.
+    "q158_retention_cohorts" -> ((s, d) => {
+      val wk = events(s, d).select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-05') div 7")
+          .cast("long").as("week"))
+      val coh = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      wk.join(coh, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("offset_weeks"))
     })
   )
 
@@ -466,6 +485,15 @@ object ExtendedQueries {
          FROM events a JOIN events b
            ON a.user_id = b.user_id AND b.ts > a.ts
            AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
-         ORDER BY a.user_id, a_id, b_id"""
+         ORDER BY a.user_id, a_id, b_id""",
+    "q158_retention_cohorts" ->
+      """WITH wk AS (SELECT user_id,
+           date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS week
+         FROM events),
+         coh AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id)
+         SELECT c.cohort, w.week - c.cohort AS offset_weeks,
+           count(DISTINCT w.user_id) AS n_users
+         FROM wk w JOIN coh c ON c.user_id = w.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -60,8 +60,105 @@ object GraphOps {
           .otherwise(lit("supp")).as("kind"),
           expr("node div 2").as("key"), col("pr"))
         .orderBy(col("kind"), col("key"))
+    }),
+
+    // TRIANGLE COUNTING with deterministic edge sampling (DOULION,
+    // Tsourakakis et al. 2009) over the part co-purchase graph (parts
+    // sharing an order). Two scale techniques compose: (1) keep an edge
+    // iff its content hash lands in 1/4 of the space (p = 1/4, so a
+    // triangle survives with p³ = 1/64 and the unbiased estimate is
+    // 64 × the sampled count — DETERMINISTIC because the hash is the
+    // coin, hence replayable); (2) DEGREE ORIENTATION (each edge points
+    // low→high in (degree, id) order) so every triangle is counted
+    // exactly once from its lowest-ordered vertex and the wedge join
+    // fans out by OUT-degree, bounded at O(√m) per node — the naive
+    // undirected 3-way self-join explodes on hub nodes. Orientation
+    // keys pack (deg, id) into one long (ids ≪ 10⁹).
+    "q157_triangle_doulion" -> ((s, d) => {
+      def truncate(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // co-purchase edges, canonical a < b; checkpointed because both the
+      // sample and the audit count read it (lineage cut, no cache leak)
+      val e0 = truncate(op.alias("x")
+        .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
+      val samp = e0.filter(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 1)
+        .isin("0", "1", "2", "3"))
+      val tri = orientedTriangles(s, samp)
+        .agg(count(lit(1)).as("n_tri_sampled"))
+      e0.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(samp.agg(count(lit(1)).as("n_sampled")))
+        .crossJoin(tri)
+        .select(col("n_edges"), col("n_sampled"), col("n_tri_sampled"),
+          (col("n_tri_sampled") * 64).as("est_triangles"))
+    }),
+
+    // TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — the
+    // [[pagerank]] kernel pointed at the word co-occurrence graph
+    // (consecutive tokens, undirected): corpus-level salient terms
+    // without any supervision. Node ids are the words themselves — the
+    // kernel only ever joins/groups on the node column, so it is
+    // type-agnostic. The final top-20 is heap-selected (orderBy+limit),
+    // THEN rank-numbered on the 20 survivors — no corpus-sized window.
+    "q159_textrank" -> ((s, d) => {
+      import s.implicits._
+      val adj = documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, t) =>
+          val ts = graft.functions.TokenizeUdtf.SplitRe.split(t)
+            .filter(_.nonEmpty)
+          (0 until ts.length - 1).iterator
+            .map { i =>
+              val (a, b) = (ts(i), ts(i + 1))
+              if (a <= b) (a, b) else (b, a)
+            }
+            .filter(p => p._1 != p._2)
+        }
+        .toDF("a", "b").distinct()
+      val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(adj.select(col("b").as("src"), col("a").as("dst")))
+      val top = pagerank(s, edges)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+      top.withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("pr").desc, col("node"))))
+        .select(col("rk"), col("node").as("word"), col("pr"))
+        .orderBy(col("rk"))
     })
   )
+
+  /** Degree-oriented triangle enumeration over a CANONICAL undirected
+    * edge relation (a, b) with a < b: orient each edge low→high in
+    * (degree, id) order, wedge-join on the common source, close against
+    * the oriented edge set. Each triangle appears exactly once (from its
+    * lowest-ordered vertex), and wedge fan-out is bounded by OUT-degree
+    * — O(√m) per node — instead of raw degree. Returns one row per
+    * triangle (v, w legs). Ids must stay below 10⁹ (the orientation key
+    * packs deg·10⁹ + id into one long). */
+  private[graft] def orientedTriangles(s: SparkSession, canon: DataFrame): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val okey = deg.select(col("node"),
+      (col("deg") * lit(1000000000L) + col("node")).as("okey"))
+    // oriented edges (src ≺ dst), dkey = dst's orientation key;
+    // referenced three times (two wedge sides + closure) → checkpoint
+    val o = truncate(canon
+      .join(okey.select(col("node").as("a"), col("okey").as("ka")), "a")
+      .join(okey.select(col("node").as("b"), col("okey").as("kb")), "b")
+      .select(when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ka"), col("kb")).as("dkey")))
+    o.alias("o1").join(o.alias("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dkey") < col("o2.dkey"))
+      .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+  }
 
   /** Ten damped integer-PageRank iterations over a SYMMETRIZED edge
     * relation (src, dst) — every node must appear as a src (true of any
@@ -72,7 +169,12 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
     // (src, dst, deg(src)) — the per-iteration join input, built once.
+    // Partitioned BY src BEFORE caching: the cached scan then carries
+    // HashPartitioning(src), so each iteration's join re-shuffles only
+    // the node-sized rank relation — the edge-sized side moves through
+    // the cluster exactly once for the whole ten rounds, not per round.
     val adj = edges.join(deg.select(col("node").as("src"), col("deg")), "src")
+      .repartition(col("src"))
       .persist()
     // n is a 1-row aggregate pulled to the driver because the DRIVER
     // loops: base rank and the initial mass split are loop constants,
@@ -91,47 +193,102 @@ object GraphOps {
         .join(msgs.groupBy(col("node")).agg(sum(col("m")).as("acc")),
           Seq("node"), "left_outer")
         .select(col("node"), (lit(base) + coalesce(col("acc"), lit(0L))).as("pr"))
-      // truncate lineage every 4 rounds (and on the last: an eager
+      // truncate lineage every 8 rounds (and on the last: an eager
       // checkpoint, so the result is materialized and the adj cache can
       // be dropped with no recompute): keeps the analyzed tree
-      // constant-size over any iteration count without paying a
-      // materialization per round
-      pr = if (i % 4 == 0 || i == Iters) truncate(nxt) else nxt
+      // constant-size over any iteration count while paying as few
+      // mid-loop materializations as possible
+      pr = if (i % 8 == 0 || i == Iters) truncate(nxt) else nxt
     }
     adj.unpersist()
     pr
   }
 
-  /** The identical ten iterations unrolled as chained CTEs (recursive
+  /** The kernel's ten iterations unrolled as chained CTEs (recursive
     * CTEs with aggregation in the recursive member are not portable);
     * every arithmetic step is the same integer op the Spark side runs,
-    * so ranks match bit-exactly. */
+    * so ranks match bit-exactly. Appends deg/nn/p0..pN after the
+    * caller's CTEs, which must define `edges(src, dst)`. ONE builder
+    * shared by every pagerank consumer (q152, q159) — the replay
+    * arithmetic cannot drift per query. */
+  private def pagerankCtes: String = {
+    val head =
+      s"""deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM deg),
+         p0 AS (SELECT node, $Mass // n AS pr FROM deg, nn)"""
+    val steps = (1 to Iters).map { k =>
+      s"""p$k AS (SELECT d.node,
+         CAST((${100 - Damp} * $Mass) // (100 * nn.n)
+              + COALESCE(s.acc, 0) AS BIGINT) AS pr
+         FROM deg d CROSS JOIN nn LEFT JOIN (
+           SELECT e.dst AS node, SUM(($Damp * p.pr) // (100 * g.deg)) AS acc
+           FROM edges e JOIN p${k - 1} p ON p.node = e.src
+                        JOIN deg g ON g.node = e.src
+           GROUP BY e.dst) s ON s.node = d.node)"""
+    }
+    (Seq(head) ++ steps).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
-    "q152_pagerank" -> {
-      val head =
-        s"""WITH pairs AS (
+    "q152_pagerank" ->
+      (s"""WITH pairs AS (
            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          edges AS (SELECT c AS src, p AS dst FROM pairs
                    UNION ALL SELECT p, c FROM pairs),
-         deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
-         nn AS (SELECT count(*) AS n FROM deg),
-         p0 AS (SELECT node, $Mass // n AS pr FROM deg, nn)"""
-      val steps = (1 to Iters).map { k =>
-        s"""p$k AS (SELECT d.node,
-           CAST((${100 - Damp} * $Mass) // (100 * nn.n)
-                + COALESCE(s.acc, 0) AS BIGINT) AS pr
-           FROM deg d CROSS JOIN nn LEFT JOIN (
-             SELECT e.dst AS node, SUM(($Damp * p.pr) // (100 * g.deg)) AS acc
-             FROM edges e JOIN p${k - 1} p ON p.node = e.src
-                          JOIN deg g ON g.node = e.src
-             GROUP BY e.dst) s ON s.node = d.node)"""
-      }
-      (Seq(head) ++ steps).mkString(",\n") +
+         """ + pagerankCtes +
         s"""
          SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
                 node // 2 AS key, pr
-         FROM p$Iters ORDER BY kind, key"""
-    }
+         FROM p$Iters ORDER BY kind, key"""),
+
+    "q157_triangle_doulion" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+         samp AS (SELECT a, b FROM e0
+           WHERE substr(md5(concat_ws(':', a, b)), 1, 1)
+             IN ('0', '1', '2', '3')),
+         deg AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM samp UNION ALL SELECT b FROM samp)
+           GROUP BY node),
+         ok AS (SELECT node, deg * 1000000000 + node AS okey FROM deg),
+         o AS (SELECT
+             CASE WHEN ka.okey < kb.okey THEN s.a ELSE s.b END AS src,
+             CASE WHEN ka.okey < kb.okey THEN s.b ELSE s.a END AS dst,
+             CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END AS dkey
+           FROM samp s JOIN ok ka ON ka.node = s.a
+                       JOIN ok kb ON kb.node = s.b),
+         w AS (SELECT o1.dst AS v, o2.dst AS w FROM o o1 JOIN o o2
+           ON o1.src = o2.src AND o1.dkey < o2.dkey),
+         tri AS (SELECT count(*) AS t FROM w
+           JOIN o ON o.src = w.v AND o.dst = w.w)
+         SELECT (SELECT count(*) FROM e0) AS n_edges,
+                (SELECT count(*) FROM samp) AS n_sampled,
+                t AS n_tri_sampled, t * 64 AS est_triangles
+         FROM tri""",
+
+    "q159_textrank" ->
+      ("""WITH tl AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         pz AS (SELECT doc_id,
+             unnest(list_slice(ts, 1, len(ts) - 1)) AS x,
+             unnest(list_slice(ts, 2, len(ts))) AS y
+           FROM tl),
+         adj AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+           FROM pz
+           WHERE x IS NOT NULL AND y IS NOT NULL AND x <> y),
+         edges AS (SELECT a AS src, b AS dst FROM adj
+                   UNION ALL SELECT b, a FROM adj),
+         """ + pagerankCtes +
+        s"""
+         SELECT rk, node AS word, pr FROM (
+           SELECT node, pr,
+             row_number() OVER (ORDER BY pr DESC, node) AS rk
+           FROM p$Iters)
+         WHERE rk <= 20 ORDER BY rk""")
   )
 }

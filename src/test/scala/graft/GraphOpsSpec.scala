@@ -40,4 +40,52 @@ class GraphOpsSpec extends TestSpark {
       .collect().map(_.getAs[Long]("pr"))
     assert(cyc.distinct.length == 1, s"cycle ranks must tie: ${cyc.toSeq}")
   }
+
+  test("oriented triangle enumeration counts hand graphs exactly once each") {
+    import spark.implicits._
+    def count(es: Seq[(Long, Long)]): Long =
+      GraphOps.orientedTriangles(spark,
+        es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+          .distinct.toDF("a", "b")).count()
+    // K4 has C(4,3) = 4 triangles; removing one edge leaves 2
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(count(k4) == 4, "K4 must have 4 triangles")
+    assert(count(k4.filterNot(_ == (0L, 1L))) == 2, "K4 minus an edge has 2")
+    // two disjoint triangles + a connecting path (no new closure)
+    val two = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    assert(count(two) == 2, "disjoint triangles must not double-count")
+    // a star is triangle-free however large
+    assert(count((1L to 6L).map(i => (0L, i))) == 0, "star has none")
+  }
+
+  test("q157 sampling audit: quarter-rate sample, estimator arithmetic, determinism") {
+    val r = GraphOps.queries("q157_triangle_doulion")(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (ne, ns) = (row.getAs[Long]("n_edges"), row.getAs[Long]("n_sampled"))
+    assert(ne > 0 && ns > 0)
+    // the hash coin keeps 1/4 of the edge space; allow a generous band
+    assert(math.abs(ns.toDouble / ne - 0.25) < 0.05,
+      s"sample rate ${ns.toDouble / ne} far from 1/4")
+    assert(row.getAs[Long]("est_triangles")
+      == row.getAs[Long]("n_tri_sampled") * 64, "estimator must scale by p^-3")
+    // the hash is the coin: a second run is bit-identical
+    val r2 = GraphOps.queries("q157_triangle_doulion")(spark, sf0001).collect()
+    assert(r.sameElements(r2), "sampling must be deterministic")
+  }
+
+  test("q159 TextRank emits a well-formed top-20 from the corpus vocabulary") {
+    val rows = GraphOps.queries("q159_textrank")(spark, sf0001).collect()
+    assert(rows.length == 20, s"expected 20 keywords, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 20))
+    val prs = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("pr"))
+    assert(prs.forall(_ > 0) && prs.zip(prs.tail).forall { case (a, b) => a >= b },
+      "ranks must be positive and non-increasing")
+    val vocab = Tables.documents(spark, sf0001).collect()
+      .flatMap(r => functions.TokenizeUdtf.SplitRe.split(r.getAs[String]("text")))
+      .filter(_.nonEmpty).toSet
+    assert(rows.forall(r => vocab.contains(r.getAs[String]("word"))),
+      "every keyword must come from the corpus vocabulary")
+  }
 }

@@ -67,4 +67,28 @@ class RelationalSpec extends TestSpark {
     assert(perCust.values.forall(g => g.map(_.getAs[Int]("rk")).sorted
       .sameElements(1 to g.length)))
   }
+
+  test("q158 retention cohorts: offset-0 equals cohort size, retention never exceeds it") {
+    val rows = run("q158_retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort"))
+    // users whose first week is W form cohort W — recount directly
+    val sizes = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-05') div 7").as("week"))
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      .groupBy(col("cohort")).count().collect()
+      .map(r => r.getAs[Long]("cohort") -> r.getAs[Long]("count")).toMap
+    assert(byCohort.keySet == sizes.keySet, "cohort set mismatch")
+    byCohort.foreach { case (c, rs) =>
+      val at0 = rs.find(_.getAs[Long]("offset_weeks") == 0L)
+      assert(at0.isDefined, s"cohort $c lacks its offset-0 row")
+      assert(at0.get.getAs[Long]("n_users") == sizes(c),
+        s"cohort $c offset-0 must equal cohort size")
+      assert(rs.forall(_.getAs[Long]("n_users") <= sizes(c)),
+        s"cohort $c retains more users than it has")
+      assert(rs.forall(_.getAs[Long]("offset_weeks") >= 0L),
+        s"cohort $c has activity before its own first week")
+    }
+  }
 }
