@@ -48,10 +48,14 @@ object Bench {
   // store build they must run first, already tracked via
   // q121/q129/q133/q135; q149 (streaming phash) for the q130 streaming
   // precedent — micro-batch/checkpoint constants, not plan cost.
-  // The second continuation adds its four batch families — iterative
+  // The second continuation adds its batch families — iterative
   // integer PageRank (q152), the bottom-K quantile sketch (q153), the
-  // join-key skew audit (q154), and BM25 ranking (q155); q156
-  // (streaming quantiles) stays out per the q130/q149 precedent.
+  // join-key skew audit (q154), BM25 ranking (q155), sampled triangle
+  // counting (q157), retention cohorts (q158), quality contracts
+  // (q160), anomaly detection (q161), and the PSI drift report (q162);
+  // q156 (streaming quantiles) stays out per the q130/q149 precedent,
+  // and q159 (TextRank) because its cost IS the pagerank kernel
+  // already tracked via q152, on a far smaller graph.
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -70,7 +74,8 @@ object Bench {
     "q139_stream_decontam", "q140_stratified_split", "q141_snapshot_diff",
     "q144_corpus_datasheet", "q146_hybrid_rrf",
     "q152_pagerank", "q153_quantile_sketch", "q154_skew_audit",
-    "q155_bm25_topk")
+    "q155_bm25_topk", "q157_triangle_doulion", "q158_retention_cohorts",
+    "q160_quality_contracts", "q161_event_anomalies", "q162_drift_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

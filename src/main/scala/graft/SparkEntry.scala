@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * TextRank keywords through the same pagerank kernel),
   * sketches and audits (q153 bottom-K-hash quantile sketch, q156 its
   * streaming form, q154 join-key skew audit, q158 retention cohorts,
-  * q155 Okapi BM25 ranking),
+  * q155 Okapi BM25 ranking, q160 data-quality contracts, q161
+  * trailing-window anomaly detection, q162 PSI drift report),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

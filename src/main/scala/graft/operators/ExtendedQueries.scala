@@ -331,6 +331,36 @@ object ExtendedQueries {
         .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset_weeks"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort"), col("offset_weeks"))
+    }),
+
+    // TIME-SERIES ANOMALY DETECTION — the volume monitor every ingestion
+    // pipeline runs: daily event counts scored against their own 7-day
+    // trailing window (mean, sample stddev, z = (n−μ)/σ), flagged at
+    // |z| > 3. The trailing frame excludes today (ROWS -7..-1) so an
+    // anomalous day can't mask itself, and days without a full 7-day
+    // history emit nothing instead of a noisy partial baseline. The
+    // window is over the DAILY rollup — date-cardinality rows, so the
+    // unpartitioned ordering is a few-row sort, not a corpus sort; the
+    // heavy lifting is the partial-aggregated count. σ = 0 (a perfectly
+    // flat week) yields z = 0 by convention in BOTH engines rather than
+    // an engine-specific division edge case.
+    "q161_event_anomalies" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t7 = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("mu", avg(col("n")).over(t7))
+        .withColumn("sd", stddev_samp(col("n")).over(t7))
+        .withColumn("n_hist", count(lit(1)).over(t7))
+        .filter(col("n_hist") === 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          round(col("mu"), 4).as("mu7"), round(col("sd"), 4).as("sd7"),
+          round(when(col("sd") > 0, (col("n") - col("mu")) / col("sd"))
+            .otherwise(lit(0.0)), 4).as("z"),
+          when(col("sd") > 0 && abs((col("n") - col("mu")) / col("sd")) > 3,
+            1).otherwise(0).as("is_anomaly"))
+        .orderBy(col("day"))
     })
   )
 
@@ -494,6 +524,22 @@ object ExtendedQueries {
          SELECT c.cohort, w.week - c.cohort AS offset_weeks,
            count(DISTINCT w.user_id) AS n_users
          FROM wk w JOIN coh c ON c.user_id = w.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q161_event_anomalies" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         w AS (
+           SELECT day, n,
+             avg(n) OVER t7 AS mu, stddev_samp(n) OVER t7 AS sd,
+             count(*) OVER t7 AS n_hist
+           FROM daily
+           WINDOW t7 AS (ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           round(mu, 4) AS mu7, round(sd, 4) AS sd7,
+           round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 4) AS z,
+           CAST(sd > 0 AND abs((n - mu) / sd) > 3 AS INT) AS is_anomaly
+         FROM w WHERE n_hist = 7 ORDER BY day"""
   )
 }

@@ -365,6 +365,80 @@ object PipelineOps {
           (abs(col("ap") - col("exact_p50")) <= col("exact_p50") * 0.01)
             .as("approx_within_1pct"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // DATA-QUALITY CONTRACTS — the ingestion gate a production pipeline
+    // runs before anything downstream trusts a batch (Deequ-style
+    // constraint checking re-expressed as aggregates): nullability, key
+    // uniqueness, value ranges, and cross-column consistency, ONE full
+    // scan per table (every check on a table is a conditional SUM inside
+    // the same aggregate — adding checks costs nothing extra), melted to
+    // one row per (table, check) with the violation count. A violation
+    // COUNT, not a boolean: the report tells you how broken, not just
+    // that it's broken.
+    "q160_quality_contracts" -> ((s, d) => {
+      def melt(tbl: String, one: DataFrame): DataFrame = {
+        val cols = one.columns
+        one.select(explode(array(cols.map(c =>
+          struct(lit(tbl).as("tbl"), lit(c).as("chk"),
+            col(c).as("n_violations"))): _*)).as("kv"))
+          .select(col("kv.tbl"), col("kv.chk"), col("kv.n_violations"))
+      }
+      def bad(cond: org.apache.spark.sql.Column) =
+        sum(when(cond, 1L).otherwise(0L))
+      val li = lineitem(s, d).agg(
+        bad(col("l_orderkey").isNull).as("orderkey_not_null"),
+        bad(!col("l_quantity").between(1, 50)).as("quantity_in_1_50"),
+        bad(col("l_extendedprice") <= 0).as("price_positive"))
+      val or = orders(s, d).agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orderkey_unique"),
+        bad(col("o_totalprice") <= 0).as("totalprice_positive"))
+      val ev = events(s, d).agg(
+        (count(lit(1)) - countDistinct(col("event_id"))).as("event_id_unique"),
+        bad(col("ts").isNull).as("ts_not_null"))
+      val doc = documents(s, d).agg(
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_unique"),
+        bad(col("n_chars") =!= length(col("text"))).as("n_chars_consistent"),
+        bad(col("lang").isNull || col("lang") === "").as("lang_present"))
+      melt("lineitem", li).unionByName(melt("orders", or))
+        .unionByName(melt("events", ev)).unionByName(melt("documents", doc))
+        .select(col("tbl"), col("chk"), col("n_violations"),
+          (col("n_violations") === 0).cast("int").as("ok"))
+        .orderBy(col("tbl"), col("chk"))
+    }),
+
+    // DISTRIBUTION-DRIFT REPORT (population stability index) — the
+    // train/serve monitoring staple: does today's candidate slice
+    // (src0, the q127 ingest stand-in) still look like the corpus it
+    // joins? Doc lengths bucket into 8 fixed-width bins; per bin the
+    // Laplace-smoothed (+1, the convention that keeps ln finite on
+    // empty bins) shares of both sides yield PSI terms
+    // (p_cand − p_base)·ln(p_cand/p_base); Σ > 0.2 is the usual
+    // retrain/alert line. The bin spine is generated (8 rows, crossed
+    // with the 2-row totals) so EMPTY bins appear with their smoothed
+    // floor instead of silently vanishing — the drift you most want to
+    // see is a bin one side no longer populates. One scan; everything
+    // after the first rollup is bin-sized.
+    "q162_drift_psi" -> ((s, d) => {
+      val b = documents(s, d).select(
+        when(col("source") === "src0", lit("cand")).otherwise(lit("base"))
+          .as("side"),
+        least(expr("n_chars div 128"), lit(7L)).as("bucket"))
+      val c = b.groupBy(col("side"), col("bucket")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("side")).agg(sum(col("n")).as("t"))
+      val spine = tot.crossJoin(broadcast(
+        s.range(0, 8).select(col("id").as("bucket"))))
+      val sm = spine.join(c, Seq("side", "bucket"), "left_outer")
+        .select(col("side"), col("bucket"),
+          ((coalesce(col("n"), lit(0L)) + 1.0) / (col("t") + 8.0)).as("p"))
+      sm.groupBy(col("bucket"))
+        .agg(max(when(col("side") === "base", col("p"))).as("pb"),
+          max(when(col("side") === "cand", col("p"))).as("pc"))
+        .select(col("bucket"), round(col("pb"), 6).as("p_base"),
+          round(col("pc"), 6).as("p_cand"),
+          round((col("pc") - col("pb")) * log(col("pc") / col("pb")), 6)
+            .as("psi_term"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -432,6 +506,55 @@ object PipelineOps {
          round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
          TRUE AS approx_within_1pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q160_quality_contracts" ->
+      """WITH raw AS (
+           SELECT 'lineitem' AS tbl, 'orderkey_not_null' AS chk,
+             count(*) FILTER (WHERE l_orderkey IS NULL) AS n_violations
+           FROM lineitem
+           UNION ALL SELECT 'lineitem', 'quantity_in_1_50',
+             count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50)
+           FROM lineitem
+           UNION ALL SELECT 'lineitem', 'price_positive',
+             count(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem
+           UNION ALL SELECT 'orders', 'orderkey_unique',
+             count(*) - count(DISTINCT o_orderkey) FROM orders
+           UNION ALL SELECT 'orders', 'totalprice_positive',
+             count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+           UNION ALL SELECT 'events', 'event_id_unique',
+             count(*) - count(DISTINCT event_id) FROM events
+           UNION ALL SELECT 'events', 'ts_not_null',
+             count(*) FILTER (WHERE ts IS NULL) FROM events
+           UNION ALL SELECT 'documents', 'doc_id_unique',
+             count(*) - count(DISTINCT doc_id) FROM documents
+           UNION ALL SELECT 'documents', 'n_chars_consistent',
+             count(*) FILTER (WHERE n_chars <> length(text)) FROM documents
+           UNION ALL SELECT 'documents', 'lang_present',
+             count(*) FILTER (WHERE lang IS NULL OR lang = '')
+           FROM documents)
+         SELECT tbl, chk, n_violations,
+           CAST(n_violations = 0 AS INT) AS ok
+         FROM raw ORDER BY tbl, chk""",
+    "q162_drift_psi" ->
+      """WITH b AS (
+           SELECT CASE WHEN source = 'src0' THEN 'cand' ELSE 'base' END AS side,
+             least(n_chars // 128, 7) AS bucket
+           FROM documents),
+         c AS (SELECT side, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         tot AS (SELECT side, sum(n) AS t FROM c GROUP BY 1),
+         spine AS (SELECT t.side, g.bucket, t.t
+           FROM tot t
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) g),
+         sm AS (SELECT sp.side, sp.bucket,
+             (COALESCE(c.n, 0) + 1.0) / (sp.t + 8.0) AS p
+           FROM spine sp
+           LEFT JOIN c ON c.side = sp.side AND c.bucket = sp.bucket),
+         p AS (SELECT bucket,
+             max(CASE WHEN side = 'base' THEN p END) AS pb,
+             max(CASE WHEN side = 'cand' THEN p END) AS pc
+           FROM sm GROUP BY bucket)
+         SELECT bucket, round(pb, 6) AS p_base, round(pc, 6) AS p_cand,
+           round((pc - pb) * ln(pc / pb), 6) AS psi_term
+         FROM p ORDER BY bucket""",
     "q60_token_packing" ->
       """WITH t AS (
            SELECT doc_id,

@@ -233,4 +233,38 @@ class PipelineOpsSpec extends TestSpark {
     // gap filling is the point: some (month, status) cells must be zeros
     assert(rows.exists(_.getAs[Long]("n_orders") == 0L))
   }
+
+  test("q160 quality contracts: full check matrix, ok consistent, recount agrees") {
+    val rows = PipelineOps.queries("q160_quality_contracts")(spark, sf0001)
+      .collect()
+    val byKey = rows.map(r =>
+      (r.getAs[String]("tbl"), r.getAs[String]("chk")) -> r).toMap
+    assert(byKey.size == 10, s"expected the 10-check matrix, got ${byKey.size}")
+    assert(rows.forall(r =>
+      (r.getAs[Int]("ok") == 1) == (r.getAs[Long]("n_violations") == 0L)),
+      "ok must be exactly n_violations == 0")
+    // cross-column consistency check vs a direct recount
+    val direct = Tables.documents(spark, sf0001)
+      .filter(col("n_chars") =!= length(col("text"))).count()
+    assert(byKey(("documents", "n_chars_consistent"))
+      .getAs[Long]("n_violations") == direct)
+    // uniqueness checks on the fixture's actual primary keys hold
+    assert(byKey(("documents", "doc_id_unique")).getAs[Long]("n_violations") == 0L)
+    assert(byKey(("events", "event_id_unique")).getAs[Long]("n_violations") == 0L)
+  }
+
+  test("q162 drift PSI: smoothed shares are a distribution, terms non-negative") {
+    val rows = PipelineOps.queries("q162_drift_psi")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).sorted.sameElements(0L to 7L),
+      "all 8 bins must appear (empty bins at the smoothed floor)")
+    // Laplace smoothing makes each side sum to exactly 1 over the spine
+    def sumSide(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(sumSide("p_base") - 1.0) < 1e-4, "base shares must sum to 1")
+    assert(math.abs(sumSide("p_cand") - 1.0) < 1e-4, "cand shares must sum to 1")
+    // (p−q)·ln(p/q) ≥ 0 pointwise — a negative term means broken algebra
+    assert(rows.forall(_.getAs[Double]("psi_term") >= 0.0),
+      "PSI terms are non-negative by construction")
+    assert(rows.forall(r => r.getAs[Double]("p_base") > 0
+      && r.getAs[Double]("p_cand") > 0), "smoothing must keep shares positive")
+  }
 }

@@ -91,4 +91,28 @@ class RelationalSpec extends TestSpark {
         s"cohort $c has activity before its own first week")
     }
   }
+
+  test("q161 anomalies: z agrees with the trailing stats, flag fires exactly at |z| > 3") {
+    val rows = run("q161_event_anomalies").collect()
+    assert(rows.nonEmpty, "fixture spans > 8 days, output must be non-empty")
+    rows.foreach { r =>
+      val (n, mu, sd, z) = (r.getAs[Long]("n"), r.getAs[Double]("mu7"),
+        r.getAs[Double]("sd7"), r.getAs[Double]("z"))
+      if (sd > 0) {
+        assert(math.abs(z - (n - mu) / sd) < 1e-2,
+          s"day ${r.getAs[String]("day")}: z $z vs recomputed ${(n - mu) / sd}")
+      } else assert(z == 0.0, "flat-week convention is z = 0")
+      assert((r.getAs[Int]("is_anomaly") == 1) == (sd > 0 && math.abs(z) > 3),
+        s"day ${r.getAs[String]("day")}: flag inconsistent with z")
+    }
+    // the trailing window excludes today: for the first output day, mu7
+    // must equal the mean of the 7 PRIOR days' counts, not include today
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("ts").cast("date").as("day")).count()
+      .orderBy(col("day")).collect().map(_.getAs[Long]("count"))
+    val first = rows.minBy(_.getAs[String]("day"))
+    val expectMu = daily.take(7).sum.toDouble / 7
+    assert(math.abs(first.getAs[Double]("mu7") - expectMu) < 1e-4,
+      "first output day's baseline must be exactly the 7 prior days")
+  }
 }
