@@ -52,10 +52,13 @@ object Bench {
   // integer PageRank (q152), the bottom-K quantile sketch (q153), the
   // join-key skew audit (q154), BM25 ranking (q155), sampled triangle
   // counting (q157), retention cohorts (q158), quality contracts
-  // (q160), anomaly detection (q161), and the PSI drift report (q162);
+  // (q160), anomaly detection (q161), the PSI drift report (q162),
+  // and the SCD2 dimension build (q164);
   // q156 (streaming quantiles) stays out per the q130/q149 precedent,
-  // and q159 (TextRank) because its cost IS the pagerank kernel
-  // already tracked via q152, on a far smaller graph.
+  // q159 (TextRank) because its cost IS the pagerank kernel already
+  // tracked via q152 on a far smaller graph, and q163 (admission gate)
+  // because its cost is its q127 leg, already tracked (the q142/q143
+  // store-maintenance precedent).
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -75,7 +78,8 @@ object Bench {
     "q144_corpus_datasheet", "q146_hybrid_rrf",
     "q152_pagerank", "q153_quantile_sketch", "q154_skew_audit",
     "q155_bm25_topk", "q157_triangle_doulion", "q158_retention_cohorts",
-    "q160_quality_contracts", "q161_event_anomalies", "q162_drift_psi")
+    "q160_quality_contracts", "q161_event_anomalies", "q162_drift_psi",
+    "q164_scd2_dimension")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -14,7 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sketches and audits (q153 bottom-K-hash quantile sketch, q156 its
   * streaming form, q154 join-key skew audit, q158 retention cohorts,
   * q155 Okapi BM25 ranking, q160 data-quality contracts, q161
-  * trailing-window anomaly detection, q162 PSI drift report),
+  * trailing-window anomaly detection, q162 PSI drift report, q163 the
+  * composed batch-admission gate over q160/q162/q127's relations, q164
+  * SCD Type-2 dimension build),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

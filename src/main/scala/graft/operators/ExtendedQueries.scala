@@ -361,6 +361,37 @@ object ExtendedQueries {
           when(col("sd") > 0 && abs((col("n") - col("mu")) / col("sd")) > 3,
             1).otherwise(0).as("is_anomaly"))
         .orderBy(col("day"))
+    }),
+
+    // SCD TYPE-2 DIMENSION BUILD — the warehouse staple: an event log
+    // becomes a versioned dimension with validity intervals. The tracked
+    // attribute is the user's tier (props.k div 25 — JSON-extracted);
+    // consecutive equal tiers collapse into one version
+    // (gaps-and-islands: change flag via lag, running sum numbers the
+    // versions), each version carries [valid_from, valid_to) chained
+    // through lead over the version sequence, open-ended current rows
+    // flagged. Everything windows per user on (ts, event_id) — one hash
+    // exchange on user_id serves the change detection, the version
+    // rollup, and the interval chaining.
+    "q164_scd2_dimension" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25").as("tier"))
+      val chg = e.withColumn("is_chg",
+        when(lag(col("tier"), 1).over(w).isNull
+          || lag(col("tier"), 1).over(w) =!= col("tier"), 1L).otherwise(0L))
+      val ver = chg.withColumn("v", sum(col("is_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dim = ver.groupBy(col("user_id"), col("v"))
+        .agg(max(col("tier")).as("tier"), min(col("ts")).as("valid_from"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("v"))
+      dim.select(col("user_id"), col("v").as("ver"), col("tier"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_from"),
+          date_format(lead(col("valid_from"), 1).over(wv),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          lead(col("valid_from"), 1).over(wv).isNull.cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("ver"))
     })
   )
 
@@ -540,6 +571,31 @@ object ExtendedQueries {
            round(mu, 4) AS mu7, round(sd, 4) AS sd7,
            round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 4) AS z,
            CAST(sd > 0 AND abs((n - mu) / sd) > 3 AS INT) AS is_anomaly
-         FROM w WHERE n_hist = 7 ORDER BY day"""
+         FROM w WHERE n_hist = 7 ORDER BY day""",
+    "q164_scd2_dimension" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+           FROM events),
+         chg AS (
+           SELECT user_id, ts, event_id, tier,
+             CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+                  THEN 1 ELSE 0 END AS is_chg
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         ver AS (
+           SELECT user_id, ts, tier,
+             sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v
+           FROM chg),
+         dim AS (
+           SELECT user_id, v, max(tier) AS tier, min(ts) AS valid_from
+           FROM ver GROUP BY user_id, v)
+         SELECT user_id, CAST(v AS BIGINT) AS ver, tier,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
+             '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v)
+             IS NULL AS INT) AS is_current
+         FROM dim ORDER BY user_id, ver"""
   )
 }

@@ -439,6 +439,37 @@ object PipelineOps {
           round((col("pc") - col("pb")) * log(col("pc") / col("pb")), 6)
             .as("psi_term"))
         .orderBy(col("bucket"))
+    }),
+
+    // BATCH-ADMISSION GATE — the three operational checks composed into
+    // the one yes/no an ingestion scheduler actually consumes: does the
+    // incoming slice (src0) pass its data contracts, does its length
+    // distribution still look like the corpus (q162's PSI under the 0.5
+    // action line), and is it substantially novel (q127's verified
+    // near-dups under a 20% rate, integer-compared)? Each leg CONSUMES
+    // THE SIBLING OPERATOR'S OUTPUT RELATION — one implementation per
+    // check, the gate is pure composition (the q132 discipline), and
+    // the oracle composes the siblings' oracle texts the same way. One
+    // row out: the counts behind the verdict plus the verdict, because
+    // a gate that only says "no" without the numbers is undebuggable.
+    "q163_admission_gate" -> ((s, d) => {
+      val delta = documents(s, d).filter(col("source") === "src0")
+      val contracts = delta.agg(
+        count(lit(1)).as("n_delta_docs"),
+        ((count(lit(1)) - countDistinct(col("doc_id")))
+          + sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          + sum(when(col("lang").isNull || col("lang") === "", 1L)
+            .otherwise(0L))).as("n_violations"))
+      val psi = queries("q162_drift_psi")(s, d)
+        .agg(round(sum(col("psi_term")), 4).as("psi"))
+      val dups = graft.functions.Dedup.queries("q127_delta_dedup")(s, d)
+        .agg(countDistinct(col("doc_a")).as("n_dup_docs"))
+      contracts.crossJoin(psi).crossJoin(dups)
+        .select(col("n_delta_docs"), col("n_violations"), col("psi"),
+          col("n_dup_docs"),
+          (col("n_violations") === 0 && col("psi") < 0.5
+            && col("n_dup_docs") * 5 < col("n_delta_docs"))
+            .cast("int").as("admit"))
     })
   )
 
@@ -446,6 +477,30 @@ object PipelineOps {
     * test/app teardown) — the shared module contract. */
   def releaseCaches(s: SparkSession): Unit =
     graft.PersistTracker.release("pipeline", s)
+
+  /** q162's replay text, shared verbatim with the q163 gate's PSI leg
+    * (the q132 compose-the-sibling's-oracle discipline). */
+  private val DriftPsiSql: String =
+    """WITH b AS (
+           SELECT CASE WHEN source = 'src0' THEN 'cand' ELSE 'base' END AS side,
+             least(n_chars // 128, 7) AS bucket
+           FROM documents),
+         c AS (SELECT side, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         tot AS (SELECT side, sum(n) AS t FROM c GROUP BY 1),
+         spine AS (SELECT t.side, g.bucket, t.t
+           FROM tot t
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) g),
+         sm AS (SELECT sp.side, sp.bucket,
+             (COALESCE(c.n, 0) + 1.0) / (sp.t + 8.0) AS p
+           FROM spine sp
+           LEFT JOIN c ON c.side = sp.side AND c.bucket = sp.bucket),
+         p AS (SELECT bucket,
+             max(CASE WHEN side = 'base' THEN p END) AS pb,
+             max(CASE WHEN side = 'cand' THEN p END) AS pc
+           FROM sm GROUP BY bucket)
+         SELECT bucket, round(pb, 6) AS p_base, round(pc, 6) AS p_cand,
+           round((pc - pb) * ln(pc / pb), 6) AS psi_term
+         FROM p ORDER BY bucket"""
 
   val oracles: Map[String, String] = Map(
     "q55_merge_upsert" ->
@@ -534,27 +589,23 @@ object PipelineOps {
          SELECT tbl, chk, n_violations,
            CAST(n_violations = 0 AS INT) AS ok
          FROM raw ORDER BY tbl, chk""",
-    "q162_drift_psi" ->
-      """WITH b AS (
-           SELECT CASE WHEN source = 'src0' THEN 'cand' ELSE 'base' END AS side,
-             least(n_chars // 128, 7) AS bucket
-           FROM documents),
-         c AS (SELECT side, bucket, count(*) AS n FROM b GROUP BY 1, 2),
-         tot AS (SELECT side, sum(n) AS t FROM c GROUP BY 1),
-         spine AS (SELECT t.side, g.bucket, t.t
-           FROM tot t
-           CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) g),
-         sm AS (SELECT sp.side, sp.bucket,
-             (COALESCE(c.n, 0) + 1.0) / (sp.t + 8.0) AS p
-           FROM spine sp
-           LEFT JOIN c ON c.side = sp.side AND c.bucket = sp.bucket),
-         p AS (SELECT bucket,
-             max(CASE WHEN side = 'base' THEN p END) AS pb,
-             max(CASE WHEN side = 'cand' THEN p END) AS pc
-           FROM sm GROUP BY bucket)
-         SELECT bucket, round(pb, 6) AS p_base, round(pc, 6) AS p_cand,
-           round((pc - pb) * ln(pc / pb), 6) AS psi_term
-         FROM p ORDER BY bucket""",
+    "q162_drift_psi" -> DriftPsiSql,
+    "q163_admission_gate" ->
+      s"""WITH contracts AS (
+           SELECT count(*) AS n_delta_docs,
+             (count(*) - count(DISTINCT doc_id))
+              + count(*) FILTER (WHERE n_chars <> length(text))
+              + count(*) FILTER (WHERE lang IS NULL OR lang = '')
+              AS n_violations
+           FROM documents WHERE source = 'src0'),
+         psi AS (SELECT round(sum(psi_term), 4) AS psi
+                 FROM ($DriftPsiSql)),
+         dups AS (SELECT count(DISTINCT doc_a) AS n_dup_docs
+                  FROM (${graft.functions.Dedup.oracles("q127_delta_dedup")}))
+         SELECT c.n_delta_docs, c.n_violations, p.psi, d.n_dup_docs,
+           CAST((c.n_violations = 0 AND p.psi < 0.5
+             AND d.n_dup_docs * 5 < c.n_delta_docs) AS INT) AS admit
+         FROM contracts c, psi p, dups d""",
     "q60_token_packing" ->
       """WITH t AS (
            SELECT doc_id,

@@ -267,4 +267,25 @@ class PipelineOpsSpec extends TestSpark {
     assert(rows.forall(r => r.getAs[Double]("p_base") > 0
       && r.getAs[Double]("p_cand") > 0), "smoothing must keep shares positive")
   }
+
+  test("q163 admission gate: each leg equals its sibling operator, verdict is the conjunction") {
+    val r = PipelineOps.queries("q163_admission_gate")(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_delta_docs") ==
+      Tables.documents(spark, sf0001).filter(col("source") === "src0").count())
+    val psiDirect = PipelineOps.queries("q162_drift_psi")(spark, sf0001)
+      .collect().map(_.getAs[Double]("psi_term")).sum
+    assert(math.abs(row.getAs[Double]("psi") - psiDirect) < 1e-3,
+      "gate PSI must be the sum of q162's terms")
+    val dupsDirect = functions.Dedup.queries("q127_delta_dedup")(spark, sf0001)
+      .select(col("doc_a")).distinct().count()
+    assert(row.getAs[Long]("n_dup_docs") == dupsDirect,
+      "gate dup count must equal q127's distinct delta docs")
+    val expect = row.getAs[Long]("n_violations") == 0 &&
+      row.getAs[Double]("psi") < 0.5 &&
+      row.getAs[Long]("n_dup_docs") * 5 < row.getAs[Long]("n_delta_docs")
+    assert((row.getAs[Int]("admit") == 1) == expect,
+      "verdict must be exactly the three-way conjunction")
+  }
 }

@@ -229,6 +229,18 @@ class PlanSpec extends TestSpark {
     }
   }
 
+  test("q155 BM25: probe terms, probe-pruned idf, and corpus stats all broadcast") {
+    val plan = graft.functions.Similarity.queries("q155_bm25_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // three bounded relations must reach their joins as broadcasts:
+    // the probe postings, the probe-restricted df (idf) table, and the
+    // 1-row corpus stats — the corpus-sized tf/len relations must never
+    // be a broadcast build side
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 3,
+      s"expected >= 3 broadcast exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q27 minhash reuses ONE cached shingle scan across its consumers") {
     val df = graft.functions.Dedup.queries("q27_dedup_minhash")(spark, sf0001)
     df.collect()

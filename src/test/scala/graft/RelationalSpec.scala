@@ -115,4 +115,28 @@ class RelationalSpec extends TestSpark {
     assert(math.abs(first.getAs[Double]("mu7") - expectMu) < 1e-4,
       "first output day's baseline must be exactly the 7 prior days")
   }
+
+  test("q164 SCD2: one open row per user, intervals chain, versions actually change") {
+    val rows = run("q164_scd2_dimension").collect()
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(rows.count(_.getAs[Int]("is_current") == 1) == users,
+      "exactly one open-ended version per user")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val byVer = rs.sortBy(_.getAs[Long]("ver"))
+      assert(byVer.map(_.getAs[Long]("ver")).sameElements(1L to byVer.length),
+        s"user $u versions must be dense from 1")
+      byVer.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"),
+            s"user $u: interval chain broken at ver ${a.getAs[Long]("ver")}")
+          assert(a.getAs[Long]("tier") != b.getAs[Long]("tier"),
+            s"user $u: consecutive versions with equal tier (not collapsed)")
+        case _ =>
+      }
+      assert(byVer.last.getAs[String]("valid_to") == null
+        && byVer.init.forall(_.getAs[Int]("is_current") == 0),
+        s"user $u: only the last version may be open")
+    }
+  }
 }
