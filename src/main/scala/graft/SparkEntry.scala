@@ -16,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q155 Okapi BM25 ranking, q160 data-quality contracts, q161
   * trailing-window anomaly detection, q162 PSI drift report, q163 the
   * composed batch-admission gate over q160/q162/q127's relations, q164
-  * SCD Type-2 dimension build),
+  * SCD Type-2 dimension build, q165 ranked 3-gram path mining),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

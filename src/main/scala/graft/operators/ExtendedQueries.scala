@@ -392,6 +392,30 @@ object ExtendedQueries {
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
           lead(col("valid_from"), 1).over(wv).isNull.cast("int").as("is_current"))
         .orderBy(col("user_id"), col("ver"))
+    }),
+
+    // BEHAVIORAL PATH MINING — q83's 2-step transition matrix extended
+    // to ranked 3-grams: the most common 3-event journeys across user
+    // streams (each user's events ordered by (ts, event_id), windows
+    // never cross users). One user_id exchange feeds the double lead;
+    // the path rollup is |event_types|³-bounded, and the top-10 is a
+    // heap cut over that bounded relation, then rank-numbered on the 10
+    // survivors — nothing after the window touches event-cardinality
+    // data.
+    "q165_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val paths = events(s, d)
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val top = paths.orderBy(col("n").desc, col("path")).limit(10)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("path"))))
+        .select(col("rk"), col("path"), col("n"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -596,6 +620,21 @@ object ExtendedQueries {
              '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
            CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v)
              IS NULL AS INT) AS is_current
-         FROM dim ORDER BY user_id, ver"""
+         FROM dim ORDER BY user_id, ver""",
+    "q165_event_paths" ->
+      """WITH tri AS (
+           SELECT event_type AS e1,
+             lead(event_type, 1) OVER w2 AS e2,
+             lead(event_type, 2) OVER w2 AS e3
+           FROM events
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         paths AS (
+           SELECT concat(e1, '>', e2, '>', e3) AS path, count(*) AS n
+           FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1)
+         SELECT rk, path, n FROM (
+           SELECT path, n,
+             row_number() OVER (ORDER BY n DESC, path) AS rk
+           FROM paths)
+         WHERE rk <= 10 ORDER BY rk"""
   )
 }

@@ -241,6 +241,19 @@ class PlanSpec extends TestSpark {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q164 SCD2: one user_id hash exchange serves windows, rollup, and chaining") {
+    val plan = graft.operators.ExtendedQueries.queries("q164_scd2_dimension")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    // change-detection windows partition by user_id; the (user_id, v)
+    // rollup and the chaining window are both satisfied by that same
+    // HashPartitioning(user_id) (subset rule) — so exactly ONE hash
+    // exchange; the only other exchange is the output sort's range
+    // partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n"
+      + plan.take(3000))
+  }
+
   test("q27 minhash reuses ONE cached shingle scan across its consumers") {
     val df = graft.functions.Dedup.queries("q27_dedup_minhash")(spark, sf0001)
     df.collect()

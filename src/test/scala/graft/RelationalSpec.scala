@@ -139,4 +139,21 @@ class RelationalSpec extends TestSpark {
         s"user $u: only the last version may be open")
     }
   }
+
+  test("q165 paths: well-formed ranked 3-grams from the event-type domain") {
+    val rows = run("q165_event_paths").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 10))
+    val ns = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n"))
+    assert(ns.forall(_ > 0) && ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "counts must be positive and non-increasing in rank")
+    val types = Tables.events(spark, sf0001)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val parts = r.getAs[String]("path").split(">")
+      assert(parts.length == 3 && parts.forall(types.contains),
+        s"malformed path ${r.getAs[String]("path")}")
+    }
+  }
 }
