@@ -84,6 +84,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Targeted perf iteration: comma-separated substrings restrict the
+    // headline (builder-side only — the driver never sets this, so the
+    // artifact always carries the full set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val picked = headline.filter(n => only.forall(_.exists(n.contains)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -113,7 +118,7 @@ object Bench {
     // the plan, not first-run compilation.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      headline.foreach { n =>
+      picked.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -129,7 +134,7 @@ object Bench {
       catch { case _: Throwable => "[]" }
 
     val loadBefore = loadavg()
-    val allRuns = headline.map(n => n -> runs3(n))
+    val allRuns = picked.map(n => n -> runs3(n))
     // Stateful state-backend runs (round-8 judge ask #7): q65 (RocksDB)
     // and q66 (transformWithState) timed min-of-3 INSIDE the loadavg
     // window and with their run arrays in the forensics below, so a
@@ -146,6 +151,7 @@ object Bench {
     // the min-of-3 session. (Each run's own provider load stays inside
     // its measured time — the honest per-run cost.)
     val statefulRuns = Seq("q65_stream_rocksdb", "q66_transform_with_state")
+      .filter(n => only.forall(_.exists(n.contains)))
       .map(n => n -> (1 to 3).map { _ =>
         val t = once(n)
         org.apache.spark.sql.graftbridge.GraftBridge.unloadStateStores()

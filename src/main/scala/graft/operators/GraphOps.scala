@@ -161,13 +161,20 @@ object GraphOps {
   }
 
   /** Ten damped integer-PageRank iterations over a SYMMETRIZED edge
-    * relation (src, dst) — every node must appear as a src (true of any
-    * symmetrized graph), so there are no dangling nodes. Returns
+    * relation (src, dst) — every node must appear both as a src and as
+    * a dst (true of any symmetrized graph: each edge exists both ways),
+    * so there are no dangling nodes and the per-round message aggregate
+    * covers the full node set without a spine join. Returns
     * (node, pr) with Σpr ≤ [[Mass]] (each truncating division loses
     * < 1 unit). */
   private[graft] def pagerank(s: SparkSession, edges: DataFrame): DataFrame = {
+    // Persisted: deg is node-sized, but its lineage is the full edge
+    // derivation (for q152 that's an orders⋈lineitem join + distinct) —
+    // without the cache the spine join below would re-derive the edge
+    // relation from the base tables once per iteration.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
+      .persist()
     // (src, dst, deg(src)) — the per-iteration join input, built once.
     // Partitioned BY src BEFORE caching: the cached scan then carries
     // HashPartitioning(src), so each iteration's join re-shuffles only
@@ -189,10 +196,12 @@ object GraphOps {
       val msgs = adj.join(pr.select(col("node").as("src"), col("pr")), "src")
         .select(col("dst").as("node"),
           expr(s"($Damp * pr) div (100 * deg)").as("m"))
-      val nxt = deg.select(col("node"))
-        .join(msgs.groupBy(col("node")).agg(sum(col("m")).as("acc")),
-          Seq("node"), "left_outer")
-        .select(col("node"), (lit(base) + coalesce(col("acc"), lit(0L))).as("pr"))
+      // No node spine join: symmetrization means every node appears as
+      // a dst (it appears as a src, and each edge exists both ways), so
+      // the message aggregate alone already covers the full node set —
+      // a per-round left-outer join against deg would be a no-op.
+      val nxt = msgs.groupBy(col("node")).agg(sum(col("m")).as("acc"))
+        .select(col("node"), (lit(base) + col("acc")).as("pr"))
       // truncate lineage every 8 rounds (and on the last: an eager
       // checkpoint, so the result is materialized and the adj cache can
       // be dropped with no recompute): keeps the analyzed tree
@@ -201,6 +210,7 @@ object GraphOps {
       pr = if (i % 8 == 0 || i == Iters) truncate(nxt) else nxt
     }
     adj.unpersist()
+    deg.unpersist()
     pr
   }
 
