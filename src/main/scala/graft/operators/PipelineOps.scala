@@ -470,6 +470,49 @@ object PipelineOps {
           (col("n_violations") === 0 && col("psi") < 0.5
             && col("n_dup_docs") * 5 < col("n_delta_docs"))
             .cast("int").as("admit"))
+    }),
+
+    // ANALYZE-style column statistics — the table profile a cost-based
+    // optimizer (and every "can we broadcast this?" decision) consumes:
+    // per profiled column, row count, null count, exact NDV, and
+    // min/max. ONE scan per table: all per-column aggregates ride a
+    // single .agg() — the multiple DISTINCT aggregates compile to one
+    // Expand (×cols) feeding two-phase partial aggregation, so the scan
+    // happens once and only the expanded distinct keys shuffle;
+    // null/min/max are pure map-side. The melt to (tbl, col_name, ...)
+    // rows is the q160 struct-array-explode over the 1-row aggregate.
+    // Profiled columns are the join keys and categoricals (BIGINT /
+    // VARCHAR), where NDV and bounds actually drive plans; at 100 TB
+    // the exact-NDV expand is the one heavy stat — q110's KMV sketch is
+    // the bounded-state alternative when estimates suffice.
+    "q166_table_stats" -> ((s, d) => {
+      def profile(tbl: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
+            countDistinct(col(c)).as(s"${c}__ndv"),
+            min(col(c)).cast("string").as(s"${c}__min"),
+            max(col(c)).cast("string").as(s"${c}__max"))
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        one.select(explode(array(cols.map(c =>
+          struct(lit(tbl).as("tbl"), lit(c).as("col_name"),
+            col("n_rows"), col(s"${c}__nul").as("n_null"),
+            col(s"${c}__ndv").as("n_distinct"),
+            col(s"${c}__min").as("min_val"),
+            col(s"${c}__max").as("max_val"))): _*)).as("kv"))
+          .select(col("kv.*"))
+      }
+      profile("lineitem", lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus"))
+        .unionByName(profile("orders", orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+        .unionByName(profile("documents", documents(s, d),
+          Seq("doc_id", "lang", "source", "n_chars")))
+        .unionByName(profile("events", events(s, d),
+          Seq("event_id", "user_id", "event_type")))
+        .orderBy(col("tbl"), col("col_name"))
     })
   )
 
@@ -753,6 +796,24 @@ object PipelineOps {
                ORDER BY score DESC, tok ASC) AS rk
            FROM scored)
          SELECT doc_id, rk, tok, score FROM ranked
-         WHERE rk <= 3 ORDER BY doc_id, rk"""
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // One UNION ALL block per profiled column, generated from the same
+    // (table, columns) spec the Spark side uses — the replay recomputes
+    // every stat directly per column.
+    "q166_table_stats" -> Seq(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority"),
+      "documents" -> Seq("doc_id", "lang", "source", "n_chars"),
+      "events" -> Seq("event_id", "user_id", "event_type"))
+      .flatMap { case (t, cs) => cs.map(c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col_name, count(*) AS n_rows,
+           count(*) - count($c) AS n_null,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_val,
+           CAST(max($c) AS VARCHAR) AS max_val FROM $t""")
+      }.mkString("", " UNION ALL ", " ORDER BY tbl, col_name")
   )
 }

@@ -288,4 +288,36 @@ class PipelineOpsSpec extends TestSpark {
     assert((row.getAs[Int]("admit") == 1) == expect,
       "verdict must be exactly the three-way conjunction")
   }
+
+  test("q166 table stats: recounts agree, bounds ordered, one scan per table") {
+    val df = PipelineOps.queries("q166_table_stats")(spark, sf0001)
+    val rows = df.collect()
+    // every profiled column of a table reports the same n_rows, and it
+    // equals the direct count
+    val liRows = rows.filter(_.getAs[String]("tbl") == "lineitem")
+    assert(liRows.map(_.getAs[Long]("n_rows")).distinct.length == 1)
+    assert(liRows.head.getAs[Long]("n_rows") ==
+      Tables.lineitem(spark, sf0001).count())
+    // NDV recount for one key and one categorical
+    val byCol = rows.map(r =>
+      (r.getAs[String]("tbl"), r.getAs[String]("col_name")) -> r).toMap
+    assert(byCol(("orders", "o_orderkey")).getAs[Long]("n_distinct") ==
+      Tables.orders(spark, sf0001).select("o_orderkey").distinct().count())
+    assert(byCol(("lineitem", "l_returnflag")).getAs[Long]("n_distinct") == 3)
+    // bounds are ordered under the column's own type ordering (stringified
+    // after aggregation, so numeric columns don't suffer lexical compare)
+    assert(byCol(("events", "user_id")).getAs[String]("min_val").toLong <=
+      byCol(("events", "user_id")).getAs[String]("max_val").toLong)
+    assert(rows.forall(_.getAs[Long]("n_null") == 0L))
+    // plan shape: the multi-DISTINCT aggregate compiles to ONE Expand per
+    // table over a single scan — not one scan per statistic
+    // AQE's toString appends an "== Initial Plan ==" copy of every node;
+    // count only the final plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val expands = "Expand \\[".r.findAllIn(plan).length
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(expands == 4, s"one Expand per profiled table, got $expands")
+    assert(scans == 4, s"one parquet scan per profiled table, got $scans")
+  }
 }
