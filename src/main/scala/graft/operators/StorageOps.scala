@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators: Hive-style partitioned sinks and the
@@ -159,6 +160,65 @@ object StorageOps {
             .as("n_pre_evolution"),
           max(col("score")).as("max_score"))
         .orderBy(col("event_type"))
+    }),
+
+    // Z-ORDER LAYOUT AUDIT — [[mortonCode]] turned into the
+    // file-skipping report a table-format OPTIMIZE command emits:
+    // lineitem is laid out into 64 equi-depth files twice (clustered by
+    // the Morton code of (l_partkey, l_suppkey), and 1-D sorted by
+    // l_partkey), and per file the audit reports the min/max range of
+    // BOTH dimensions plus whether a fixed probe predicate on each
+    // dimension could skip the file. The claim a Z-layout exists to
+    // make — the SECOND dimension's probe prunes files under Z but hits
+    // every file under the 1-D sort, while the leading dimension prunes
+    // under both — is visible in the hit columns and pinned in
+    // ScaleTechniquesSpec. File assignment is deterministic equi-depth
+    // (file = (rank-1)·64 div n over the total (code, key) order), with
+    // the global rank computed by the DISTRIBUTED two-phase pattern: a
+    // window over the COARSE-prefix group counts (bounded, ≤ 2^18 rows)
+    // yields per-group offsets, and the per-row row_number runs
+    // PARTITIONED by that prefix — no corpus-sized single-partition
+    // window, the same shape a range-partitioned writer uses to number
+    // rows at 100 TB.
+    "q167_zorder_audit" -> ((s, d) => {
+      val base = lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 65536L).as("p"),
+        (col("l_suppkey") % 65536L).as("sk"))
+      val withZ = base.withColumn("z", mortonCode(col("p"), col("sk"), 16))
+      val n = base.agg(count(lit(1)).as("__n"))
+      // distributed total-order rank: coarse-group offsets + partitioned
+      // row_number; `coarse` must be a prefix of the total order
+      def fileOf(df: DataFrame, coarse: Column, fine: Seq[Column]): DataFrame = {
+        val withC = df.withColumn("__c", coarse)
+        val offs = withC.groupBy(col("__c")).agg(count(lit(1)).as("__cnt"))
+          .select(col("__c"), coalesce(sum(col("__cnt")).over(
+            Window.orderBy(col("__c"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("__off"))
+        withC.join(broadcast(offs), "__c").crossJoin(broadcast(n))
+          .select(col("p"), col("sk"),
+            expr("((__off + " +
+              "row_number() OVER (PARTITION BY __c ORDER BY " +
+              fine.map(_.toString).mkString(", ") + ") - 1) * 64) div __n")
+              .as("file_id"))
+      }
+      val zf = fileOf(withZ, expr("z div 16384"),
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber")))
+        .withColumn("layout", lit("zorder"))
+      val pf = fileOf(base, col("p"),
+        Seq(col("sk"), col("l_orderkey"), col("l_linenumber")))
+        .withColumn("layout", lit("partsort"))
+      zf.unionByName(pf)
+        .groupBy(col("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+        .select(col("layout"), col("file_id"), col("n_rows"),
+          col("p_min"), col("p_max"), col("sk_min"), col("sk_max"),
+          (col("p_min") <= 95 && col("p_max") >= 64).cast("int").as("hit_p"),
+          (col("sk_min") <= 5 && col("sk_max") >= 2).cast("int").as("hit_sk"))
+        .orderBy(col("layout"), col("file_id"))
     })
   )
 
@@ -198,6 +258,37 @@ object StorageOps {
            CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pre_evolution,
            max(score) AS max_score
-         FROM unioned GROUP BY 1 ORDER BY 1"""
+         FROM unioned GROUP BY 1 ORDER BY 1""",
+
+    // The Morton interleave is replayed as the same 32-term bit sum the
+    // Spark expression compiles to; ranks replay as plain row_number
+    // over the identical total orders.
+    "q167_zorder_audit" -> {
+      val z = (0 until 16).map(i =>
+        s"((p >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((sk >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH base AS (
+           SELECT l_orderkey, l_linenumber,
+             l_partkey % 65536 AS p, l_suppkey % 65536 AS sk
+           FROM lineitem),
+         n AS (SELECT count(*) AS n FROM base),
+         z AS (SELECT *, $z AS z FROM base),
+         zr AS (SELECT p, sk, row_number() OVER
+             (ORDER BY z, l_orderkey, l_linenumber) AS rk FROM z),
+         pr AS (SELECT p, sk, row_number() OVER
+             (ORDER BY p, sk, l_orderkey, l_linenumber) AS rk FROM base),
+         u AS (
+           SELECT 'zorder' AS layout, ((rk - 1) * 64) // n.n AS file_id,
+             p, sk FROM zr CROSS JOIN n
+           UNION ALL
+           SELECT 'partsort' AS layout, ((rk - 1) * 64) // n.n AS file_id,
+             p, sk FROM pr CROSS JOIN n)
+         SELECT layout, file_id, count(*) AS n_rows,
+           min(p) AS p_min, max(p) AS p_max,
+           min(sk) AS sk_min, max(sk) AS sk_max,
+           CAST(min(p) <= 95 AND max(p) >= 64 AS INT) AS hit_p,
+           CAST(min(sk) <= 5 AND max(sk) >= 2 AS INT) AS hit_sk
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
+    }
   )
 }

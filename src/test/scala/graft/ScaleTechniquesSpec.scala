@@ -445,4 +445,30 @@ class ScaleTechniquesSpec extends TestSpark {
       assert(r.getAs[Long]("rec_salt") == (hotCnt * 32 + total - 1) / total)
     }
   }
+
+  test("q167 zorder audit: equi-depth files, Z prunes the second dimension") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.StorageOps
+      .queries("q167_zorder_audit")(spark, sf0001).collect()
+    val byLayout = rows.groupBy(_.getAs[String]("layout"))
+    assert(byLayout.keySet == Set("zorder", "partsort"))
+    byLayout.foreach { case (_, fs) =>
+      // 64 equi-depth files covering every row, sizes within ±1
+      assert(fs.length == 64)
+      val sizes = fs.map(_.getAs[Long]("n_rows"))
+      assert(sizes.sum == Tables.lineitem(spark, sf0001).count())
+      assert(sizes.max - sizes.min <= 1, "equi-depth means ±1 row sizes")
+    }
+    def hits(layout: String, c: String): Int =
+      byLayout(layout).map(_.getAs[Int](c)).sum
+    // the Z-layout's reason to exist: the SECOND dimension's probe skips
+    // files under Z but hits every file under the 1-D sort
+    assert(hits("partsort", "hit_sk") == 64,
+      "1-D p-sorted files each span the full suppkey range")
+    assert(hits("zorder", "hit_sk") < 64,
+      "Z files are (p, sk) rectangles, so the sk probe must skip some")
+    // and the leading dimension stays prunable under both layouts
+    assert(hits("partsort", "hit_p") < 16)
+    assert(hits("zorder", "hit_p") < 16)
+  }
 }
