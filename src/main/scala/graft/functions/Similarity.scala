@@ -531,6 +531,38 @@ object Similarity {
         .filter(col("rk") <= 5)
         .select(col("probe_id"), col("rk"), col("doc_id"), col("bm25"))
         .orderBy(col("probe_id"), col("rk"))
+    }),
+
+    // EXACT PHRASE SEARCH — the lexical complement to BM25's bag-of-
+    // words ranking: how often does each probe phrase occur verbatim in
+    // each document? Fixed-length phrases are n-gram equality, so the
+    // right distributed shape is NOT a positional-postings self-join
+    // (that's for large/variable phrase dictionaries — q120/q137 hold
+    // that machinery): one map-side pass forms each doc's 2-gram and
+    // 3-gram streams via transform(sequence(...)) — codegen'd, no
+    // shuffle — and the isin filter kills everything but probe hits at
+    // the scan, so the ONLY exchange is the hit-sized count rollup. At
+    // 100 TB the plan moves probe hits, never the corpus token stream.
+    "q168_phrase_search" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        filter(split(col("text"), "[^\\p{L}]+"), x => x =!= "").as("ts"))
+      // sequence(a, b) descends when b < a, so short docs must be
+      // filtered before forming the index range
+      val bi = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1)," +
+            " i -> concat_ws(' ', ts[i-1], ts[i]))")).as("phrase"))
+      val tri = toks.filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 2)," +
+            " i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("phrase"))
+      val probes = Seq("table table", "fast sort", "scan query",
+        "sort key agg")
+      bi.unionByName(tri)
+        .filter(col("phrase").isin(probes: _*))
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("phrase"), col("doc_id"))
     })
   )
 
@@ -1103,7 +1135,31 @@ object Similarity {
            FROM labels GROUP BY cluster_id)
          SELECT l.vec_id, l.cluster_id, cs.cluster_size
          FROM labels l JOIN csizes cs USING (cluster_id)
-         ORDER BY l.vec_id"""
+         ORDER BY l.vec_id""",
+
+    "q168_phrase_search" ->
+      ("""WITH tl AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         bi AS (SELECT doc_id,
+             unnest(list_slice(ts, 1, len(ts) - 1)) AS x,
+             unnest(list_slice(ts, 2, len(ts))) AS y
+           FROM tl WHERE len(ts) >= 2),
+         tri AS (SELECT doc_id,
+             unnest(list_slice(ts, 1, len(ts) - 2)) AS x,
+             unnest(list_slice(ts, 2, len(ts) - 1)) AS y,
+             unnest(list_slice(ts, 3, len(ts))) AS z
+           FROM tl WHERE len(ts) >= 3),
+         grams AS (
+           SELECT doc_id, x || ' ' || y AS phrase FROM bi
+           UNION ALL
+           SELECT doc_id, x || ' ' || y || ' ' || z AS phrase FROM tri)
+         SELECT phrase, doc_id, count(*) AS n_matches
+         FROM grams
+         WHERE phrase IN ('table table', 'fast sort', 'scan query',
+           'sort key agg')
+         GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
   /** The IVF replay CTE block shared by q31/q73/q77's oracles: centroid

@@ -650,4 +650,26 @@ class DedupSimilaritySpec extends TestSpark {
     assert(bmTop.exists { case (p, s) => s != overlapTop(p) },
       "BM25 never departed from raw overlap — weighting is inert")
   }
+
+  test("q168 phrase search: counts equal a direct sliding-window recount") {
+    val rows = Similarity.queries("q168_phrase_search")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("n_matches")).toMap
+    assert(rows.nonEmpty, "probe phrases must occur in the fixture")
+    // recount every (phrase, doc) pair independently: tokenize the raw
+    // text and slide a window — overlapping occurrences count each time
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val probes = Seq("table table", "fast sort", "scan query",
+      "sort key agg").map(p => p -> p.split(' ').toSeq)
+    val expected = (for {
+      (docId, text) <- texts.toSeq
+      ts = text.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+      (p, ws) <- probes
+      n = ts.sliding(ws.length).count(_ == ws) if n > 0
+    } yield (p, docId) -> n.toLong).toMap
+    assert(rows == expected, "phrase counts must match the direct recount")
+  }
 }
