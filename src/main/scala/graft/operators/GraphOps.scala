@@ -47,15 +47,7 @@ object GraphOps {
     // Long column. Ten damped iterations; output = every node's final
     // integer rank, decoded to (kind, key).
     "q152_pagerank" -> ((s, d) => {
-      val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(lineitem(s, d)
-          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-          "o_orderkey")
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-      pagerank(s, edges)
+      pagerank(s, tradeEdges(s, d))
         .select(when(pmod(col("node"), lit(2)) === 0, lit("cust"))
           .otherwise(lit("supp")).as("kind"),
           expr("node div 2").as("key"), col("pr"))
@@ -126,6 +118,44 @@ object GraphOps {
           .Window.orderBy(col("pr").desc, col("node"))))
         .select(col("rk"), col("node").as("word"), col("pr"))
         .orderBy(col("rk"))
+    }),
+
+    // K-HOP REACHABILITY (frontier BFS — the shortest-path workload
+    // class): minimum hop distance from the nation-0 suppliers to every
+    // node within 3 hops of the trade graph. Each hop is DELTA
+    // iteration — only the NEW frontier joins the edge relation (the
+    // visited set enters as an anti-join), so per-hop work is
+    // proportional to the frontier, not to everything reached so far;
+    // the per-hop exchanges are the frontier-keyed join + a distinct.
+    // Hop count is fixed and small, so lineage stays bounded without
+    // checkpoints.
+    "q169_bfs_reach" -> ((s, d) => {
+      val edges = tradeEdges(s, d).persist()
+      val perHop = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val src = supplier(s, d).filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      var dist = src.select(col("node"), lit(0).as("dist"))
+      var frontier = src
+      for (h <- 1 to 3) {
+        val next = edges
+          .join(frontier.select(col("node").as("src")), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .persist()
+        perHop += next
+        dist = dist.unionByName(next.select(col("node"), lit(h).as("dist")))
+        frontier = next
+      }
+      // eager: materialized before the per-hop caches are dropped
+      val out = dist
+        .select(when(pmod(col("node"), lit(2)) === 0, lit("cust"))
+          .otherwise(lit("supp")).as("kind"),
+          expr("node div 2").as("key"), col("dist"))
+        .orderBy(col("kind"), col("key"))
+        .localCheckpoint()
+      edges.unpersist()
+      perHop.foreach(_.unpersist())
+      out
     })
   )
 
@@ -158,6 +188,21 @@ object GraphOps {
         col("o1.src") === col("o2.src") && col("o1.dkey") < col("o2.dkey"))
       .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
       .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+  }
+
+  /** The symmetrized customer↔supplier trade graph: an edge per distinct
+    * trading pair from orders⋈lineitem, node encoding 2·custkey /
+    * 2·suppkey+1 so the two key spaces stay disjoint in one Long column.
+    * Shared by q152 (pagerank) and q169 (BFS). */
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
 
   /** Ten damped integer-PageRank iterations over a SYMMETRIZED edge
@@ -299,6 +344,31 @@ object GraphOps {
            SELECT node, pr,
              row_number() OVER (ORDER BY pr DESC, node) AS rk
            FROM p$Iters)
-         WHERE rk <= 20 ORDER BY rk""")
+         WHERE rk <= 20 ORDER BY rk"""),
+
+    // BFS replay: three unrolled full-neighborhood expansions (r_k =
+    // every node adjacent to r_{k-1}); min(level) per node is exactly
+    // the delta-frontier BFS distance.
+    "q169_bfs_reach" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT c AS src, p AS dst FROM pairs
+                   UNION ALL SELECT p, c FROM pairs),
+         d0 AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+                WHERE s_nationkey = 0),
+         r1 AS (SELECT DISTINCT dst AS node FROM edges
+                WHERE src IN (SELECT node FROM d0)),
+         r2 AS (SELECT DISTINCT dst AS node FROM edges
+                WHERE src IN (SELECT node FROM r1)),
+         r3 AS (SELECT DISTINCT dst AS node FROM edges
+                WHERE src IN (SELECT node FROM r2)),
+         lv AS (SELECT node, 0 AS lvl FROM d0
+                UNION ALL SELECT node, 1 FROM r1
+                UNION ALL SELECT node, 2 FROM r2
+                UNION ALL SELECT node, 3 FROM r3)
+         SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+                node // 2 AS key, min(lvl) AS dist
+         FROM lv GROUP BY node ORDER BY kind, key"""
   )
 }

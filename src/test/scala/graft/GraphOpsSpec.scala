@@ -88,4 +88,28 @@ class GraphOpsSpec extends TestSpark {
     assert(rows.forall(r => vocab.contains(r.getAs[String]("word"))),
       "every keyword must come from the corpus vocabulary")
   }
+
+  test("q169 BFS: seeds at 0, bipartite parity, every hop has a parent") {
+    val rows = GraphOps.queries("q169_bfs_reach")(spark, sf0001).collect()
+    val seeds = Tables.supplier(spark, sf0001)
+      .filter(col("s_nationkey") === 0).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(rows.filter(_.getAs[Int]("dist") == 0)
+      .map(_.getAs[Long]("key")).toSet == seeds, "dist 0 = exactly the seeds")
+    assert(rows.forall(r => r.getAs[String]("kind") match {
+      // bipartite trade graph: suppliers sit at even hops, customers odd
+      case "supp" => r.getAs[Int]("dist") % 2 == 0
+      case _      => r.getAs[Int]("dist") % 2 == 1
+    }), "hop parity must follow the bipartite structure")
+    // chain integrity: every node at dist k >= 1 has a neighbor at k-1
+    val dist = rows.map(r => (if (r.getAs[String]("kind") == "cust")
+      r.getAs[Long]("key") * 2 else r.getAs[Long]("key") * 2 + 1)
+      -> r.getAs[Int]("dist")).toMap
+    val edges = GraphOps.tradeEdges(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst"))
+    val ok = dist.filter(_._2 >= 1).forall { case (n, k) =>
+      edges.exists { case (a, b) => b == n && dist.get(a).contains(k - 1) }
+    }
+    assert(ok, "every reached node needs a parent one hop closer")
+  }
 }
