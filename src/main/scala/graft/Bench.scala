@@ -80,7 +80,8 @@ object Bench {
     "q155_bm25_topk", "q157_triangle_doulion", "q158_retention_cohorts",
     "q160_quality_contracts", "q161_event_anomalies", "q162_drift_psi",
     "q164_scd2_dimension", "q165_event_paths", "q166_table_stats",
-    "q167_zorder_audit", "q168_phrase_search", "q169_bfs_reach")
+    "q167_zorder_audit", "q168_phrase_search", "q169_bfs_reach",
+    "q170_bpe_learn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -420,6 +420,55 @@ object TextQueries {
         .toDF("doc_id", "tok_cnt", "uniq_ratio", "top2_frac", "dup3_frac",
           "flagged")
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE MERGE LEARNING — the TRAINING side of the tokenizer family
+    // (q113/q115/q118 consume a FROZEN merge table; this is where such
+    // a table comes from, learned distributed): six merge steps over
+    // the corpus. The state is the WORD-TYPE relation (word → corpus
+    // frequency — vocabulary-sized, orders of magnitude smaller than
+    // the corpus; the corpus text is read ONCE), each word held as a
+    // sentinel-wrapped symbol string '(c) (c) …'. Per step: adjacent
+    // symbol pairs are counted frequency-weighted in one partial-
+    // aggregated rollup, the argmax pair is a 1-row driver action (the
+    // inherent global decision every BPE trainer synchronizes on), and
+    // the merge applies as a literal string replace() — whose
+    // left-to-right non-overlapping scan IS the BPE merge rule, and
+    // which both engines implement identically, so the whole training
+    // loop replays bit-exactly in SQL. Sentinels make the replace
+    // collision-safe ('(a) (b)' can never match inside '(xa) (b)').
+    "q170_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(tokens).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .select(trim(regexp_replace(col("tok"), "(.)", "($1) ")).as("ws"),
+          col("f"))
+        .persist()
+      var cur = words
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (k <- 1 to 6) {
+        val best = cur
+          .select(split(col("ws"), " ").as("ts"), col("f"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(ts) - 1)," +
+            " i -> struct(ts[i-1] AS x, ts[i] AS y))")).as("p"), col("f"))
+          .groupBy(col("p.x"), col("p.y")).agg(sum(col("f")).as("cnt"))
+          .select(col("x"), col("y"), col("cnt"),
+            expr("replace(replace(x, '(', ''), ')', '')").as("l"),
+            expr("replace(replace(y, '(', ''), ')', '')").as("r"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .collect()(0)
+        val (x, y) = (best.getAs[String]("x"), best.getAs[String]("y"))
+        val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
+        merges += ((k, l, r, l + r, best.getAs[Long]("cnt")))
+        cur = cur.withColumn("ws",
+          expr(s"replace(ws, '$x $y', '($l$r)')"))
+      }
+      words.unpersist()
+      merges.result()
+        .toDF("step", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("step"))
     })
   )
 
@@ -1165,6 +1214,42 @@ object TextQueries {
          FROM base b
          LEFT JOIN bstats bs ON b.doc_id = bs.doc_id
          LEFT JOIN tstats ts ON b.doc_id = ts.doc_id
-         ORDER BY b.doc_id"""
+         ORDER BY b.doc_id""",
+
+    // The six training steps unrolled: per step a pair-count CTE, a
+    // 1-row argmax CTE (same count-desc + stripped-pair tiebreak), and
+    // the merged word relation via the identical literal replace().
+    "q170_bpe_learn" -> {
+      val ctes = scala.collection.mutable.ListBuffer(
+        """w0 AS (
+          SELECT trim(regexp_replace(tok, '(.)', '(\1) ', 'g')) AS ws,
+                 count(*) AS f
+          FROM (SELECT unnest(list_filter(
+                  string_split_regex(text, '[^\p{L}]+'),
+                  x -> x <> '')) AS tok FROM documents)
+          GROUP BY 1)""")
+      for (k <- 1 to 6) {
+        ctes += s"""p$k AS (
+          SELECT x, y, CAST(sum(f) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS x,
+                   unnest(list_slice(ts, 2, len(ts))) AS y, f
+            FROM (SELECT string_split(ws, ' ') AS ts, f FROM w${k - 1})
+            WHERE len(ts) >= 2)
+          GROUP BY 1, 2)"""
+        ctes += s"""b$k AS (
+          SELECT x, y, cnt,
+            replace(replace(x, '(', ''), ')', '') AS l,
+            replace(replace(y, '(', ''), ')', '') AS r
+          FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"""
+        ctes += s"""w$k AS (
+          SELECT replace(ws, b.x || ' ' || b.y, '(' || b.l || b.r || ')')
+                   AS ws, f
+          FROM w${k - 1}, b$k b)"""
+      }
+      val sel = (1 to 6).map(k =>
+        s"SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged," +
+          s" cnt AS pair_count FROM b$k").mkString(" UNION ALL ")
+      "WITH " + ctes.mkString(",\n") + "\n" + sel + " ORDER BY step"
+    }
   )
 }

@@ -427,4 +427,43 @@ class CorpusCleaningSpec extends TestSpark {
     assert(streamed.collect().sameElements(batch.collect()),
       "streamed upsert sink differs from the batch latest-per-key answer")
   }
+
+  test("q170 BPE learning equals a sequential reference trainer") {
+    val got = graft.functions.TextQueries.queries("q170_bpe_learn")(
+      spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    // independent reference: plain Scala BPE over driver-side word counts
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf0001).select(col("text")).collect()
+      .foreach(_.getAs[String]("text").split("[^\\p{L}]+")
+        .filter(_.nonEmpty).foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    var words: Map[Seq[String], Long] =
+      wc.toMap.map { case (w, f) => w.map(_.toString) -> f }
+    val expect = (1 to 6).map { k =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (ss, f) =>
+        ss.zip(ss.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.map { case (ss, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        out.toSeq -> f
+      }
+      (k, l, r, l + r, cnt)
+    }
+    assert(got == expect,
+      s"learned merges diverge from the reference: $got vs $expect")
+    // best-pair counts can only fall: new pairs are bounded by the
+    // number of merge applications, which is bounded by the prior best
+    val cnts = got.map(_._5)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
 }
