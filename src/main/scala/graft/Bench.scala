@@ -81,7 +81,7 @@ object Bench {
     "q160_quality_contracts", "q161_event_anomalies", "q162_drift_psi",
     "q164_scd2_dimension", "q165_event_paths", "q166_table_stats",
     "q167_zorder_audit", "q168_phrase_search", "q169_bfs_reach",
-    "q170_bpe_learn")
+    "q170_bpe_learn", "q171_incremental_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -513,8 +513,52 @@ object PipelineOps {
         .unionByName(profile("events", events(s, d),
           Seq("event_id", "user_id", "event_type")))
         .orderBy(col("tbl"), col("col_name"))
+    }),
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
+    // a daily pipeline runs: a standing per-(user, event_type) rollup
+    // exists as a table; a new delta batch arrives; the refreshed view
+    // is the MERGE of the stored aggregate state with the delta's
+    // partial aggregate — delta-sized work, never a full recompute.
+    // Only decomposable statistics are maintained (counts ADD, maxima
+    // MAX — the algebra that makes IVM sound; avg/distinct need
+    // auxiliary state), and the merge is a full-outer join + coalesce so
+    // groups new in the delta and groups absent from it both survive.
+    // The correctness theorem — merged state ≡ recompute over base ∪
+    // delta — IS the oracle. PlanSpec locks that the final plan reads
+    // the events source ONCE (the delta slice; the base side comes from
+    // the materialized rollup, not raw history).
+    "q171_incremental_rollup" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s,
+        "q171_mv_" + graft.Tables.datasetTag(d))
+      val ev = events(s, d)
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            max(round(col("value"), 2)).as("max_value"))
+      // one-time: materialize the standing view over the base history
+      rollup(ev.filter(col("event_id") % 10 < 8))
+        .write.mode("overwrite").parquet(dir)
+      val base = s.read.parquet(dir)
+      val delta = rollup(ev.filter(col("event_id") % 10 >= 8))
+      mergeRollups(base, delta)
+        .orderBy(col("user_id"), col("event_type"))
     })
   )
+
+  /** The q171 aggregate-state merge: full-outer on the group key so
+    * base-only groups (no delta rows) and delta-only groups (first seen
+    * this batch) both survive; counts add, maxima max. */
+  private[graft] def mergeRollups(base: DataFrame, delta: DataFrame)
+      : DataFrame =
+    base.join(delta.select(col("user_id"), col("event_type"),
+        col("n_events").as("d_n"), col("max_value").as("d_max")),
+        Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        greatest(coalesce(col("max_value"), lit(Double.MinValue)),
+          coalesce(col("d_max"), lit(Double.MinValue))).as("max_value"))
 
   /** Unpersist this session's tracked relations (q136's verdict cache;
     * test/app teardown) — the shared module contract. */
@@ -814,6 +858,14 @@ object PipelineOps {
            count(DISTINCT $c) AS n_distinct,
            CAST(min($c) AS VARCHAR) AS min_val,
            CAST(max($c) AS VARCHAR) AS max_val FROM $t""")
-      }.mkString("", " UNION ALL ", " ORDER BY tbl, col_name")
+      }.mkString("", " UNION ALL ", " ORDER BY tbl, col_name"),
+
+    // The IVM theorem as SQL: the replay is the FULL recompute the
+    // incremental path must equal.
+    "q171_incremental_rollup" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+           max(round(value, 2)) AS max_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -320,4 +320,19 @@ class PipelineOpsSpec extends TestSpark {
     assert(expands == 4, s"one Expand per profiled table, got $expands")
     assert(scans == 4, s"one parquet scan per profiled table, got $scans")
   }
+
+  test("q171 merge keeps base-only and delta-only groups, adds and maxes") {
+    import spark.implicits._
+    val base = Seq((1L, "click", 5L, 2.0), (2L, "view", 3L, 9.5))
+      .toDF("user_id", "event_type", "n_events", "max_value")
+    val delta = Seq((1L, "click", 2L, 7.25), (3L, "buy", 1L, 0.5))
+      .toDF("user_id", "event_type", "n_events", "max_value")
+    val got = PipelineOps.mergeRollups(base, delta)
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "click", 7L, 7.25),   // both sides: counts add, max wins
+      (2L, "view", 3L, 9.5),     // base-only survives unchanged
+      (3L, "buy", 1L, 0.5)))     // delta-only (new group) appears
+  }
 }

@@ -333,4 +333,20 @@ class PlanSpec extends TestSpark {
     // and the whole scan→filter→partial-agg pipeline is one codegen stage
     assert(plan.contains("*(1) HashAggregate"), plan.take(3000))
   }
+
+  test("q171 incremental rollup: raw history is read once, delta-filtered") {
+    val df = graft.operators.PipelineOps
+      .queries("q171_incremental_rollup")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // exactly two parquet scans: the materialized rollup and the
+    // delta slice of events — a full-recompute plan would read the
+    // events source on both sides
+    val evScans = "events\\.parquet".r.findAllIn(plan).size
+    val mvScans = "q171_mv_".r.findAllIn(plan).size
+    assert(evScans == 1, s"events source must be scanned once, got $evScans")
+    assert(mvScans == 1, s"materialized rollup must be scanned, got $mvScans")
+    // and the one events scan carries the delta predicate down
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+  }
 }
