@@ -543,6 +543,42 @@ object PipelineOps {
       val delta = rollup(ev.filter(col("event_id") % 10 >= 8))
       mergeRollups(base, delta)
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // JOIN-CARDINALITY ESTIMATION AUDIT — what a cost-based planner
+    // DOES with q166's statistics: the textbook equi-join estimate
+    // |L ⋈ R| ≈ |L|·|R| / max(ndv_L(k), ndv_R(k)) evaluated against the
+    // measured join size for every star-schema edge, with the error in
+    // ppm. Per join: two 1-row per-side stat aggregates and the 1-row
+    // actual count — everything after the scans is scalar, assembled by
+    // broadcast cross joins (the q162 discipline); integer arithmetic
+    // throughout so the replay is exact.
+    "q172_join_estimate" -> ((s, d) => {
+      def audit(name: String, l: DataFrame, lk: String,
+          r: DataFrame, rk: String): DataFrame = {
+        val ls = l.agg(count(lit(1)).as("n_l"),
+          countDistinct(col(lk)).as("ndv_l"))
+        val rs = r.agg(count(lit(1)).as("n_r"),
+          countDistinct(col(rk)).as("ndv_r"))
+        val actual = l.select(col(lk))
+          .join(r.select(col(rk)), col(lk) === col(rk))
+          .agg(count(lit(1)).as("actual_rows"))
+        ls.crossJoin(broadcast(rs)).crossJoin(broadcast(actual))
+          .select(lit(name).as("join_key"), col("n_l"), col("n_r"),
+            expr("(n_l * n_r) div greatest(ndv_l, ndv_r)").as("est_rows"),
+            col("actual_rows"),
+            expr("abs((n_l * n_r) div greatest(ndv_l, ndv_r) - actual_rows)" +
+              " * 1000000 div actual_rows").as("err_ppm"))
+      }
+      audit("c_custkey", customer(s, d), "c_custkey",
+          orders(s, d), "o_custkey")
+        .unionByName(audit("o_orderkey", orders(s, d), "o_orderkey",
+          lineitem(s, d), "l_orderkey"))
+        .unionByName(audit("p_partkey", part(s, d), "p_partkey",
+          lineitem(s, d), "l_partkey"))
+        .unionByName(audit("s_suppkey", supplier(s, d), "s_suppkey",
+          lineitem(s, d), "l_suppkey"))
+        .orderBy(col("join_key"))
     })
   )
 
@@ -866,6 +902,24 @@ object PipelineOps {
       """SELECT user_id, event_type, count(*) AS n_events,
            max(round(value, 2)) AS max_value
          FROM events
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q172_join_estimate" -> Seq(
+      ("c_custkey", "customer", "c_custkey", "orders", "o_custkey"),
+      ("o_orderkey", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("p_partkey", "part", "p_partkey", "lineitem", "l_partkey"),
+      ("s_suppkey", "supplier", "s_suppkey", "lineitem", "l_suppkey"))
+      .map { case (name, lt, lk, rt, rk) =>
+        s"""SELECT '$name' AS join_key, n_l, n_r,
+             (n_l * n_r) // greatest(ndv_l, ndv_r) AS est_rows,
+             actual_rows,
+             abs((n_l * n_r) // greatest(ndv_l, ndv_r) - actual_rows)
+               * 1000000 // actual_rows AS err_ppm
+           FROM
+             (SELECT count(*) AS n_l, count(DISTINCT $lk) AS ndv_l FROM $lt),
+             (SELECT count(*) AS n_r, count(DISTINCT $rk) AS ndv_r FROM $rt),
+             (SELECT count(*) AS actual_rows FROM $lt JOIN $rt
+              ON $lt.$lk = $rt.$rk)"""
+      }.mkString("", " UNION ALL ", " ORDER BY join_key")
   )
 }

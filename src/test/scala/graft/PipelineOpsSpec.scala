@@ -335,4 +335,24 @@ class PipelineOpsSpec extends TestSpark {
       (2L, "view", 3L, 9.5),     // base-only survives unchanged
       (3L, "buy", 1L, 0.5)))     // delta-only (new group) appears
   }
+
+  test("q172 estimates recompute from direct stats; actuals are real joins") {
+    val rows = PipelineOps.queries("q172_join_estimate")(spark, sf0001)
+      .collect()
+    assert(rows.length == 4)
+    val byKey = rows.map(r => r.getAs[String]("join_key") -> r).toMap
+    // one edge recomputed end-to-end from independent stats
+    val o = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val est = o.count() * li.count() /
+      math.max(o.select("o_orderkey").distinct().count(),
+        li.select("l_orderkey").distinct().count())
+    val r = byKey("o_orderkey")
+    assert(r.getAs[Long]("est_rows") == est)
+    assert(r.getAs[Long]("actual_rows") ==
+      o.join(li, col("o_orderkey") === col("l_orderkey")).count())
+    // uniform synthetic keys: the textbook formula should sit within 5%
+    assert(rows.forall(_.getAs[Long]("err_ppm") < 50000),
+      "estimate error exceeded 5% on uniform data")
+  }
 }
