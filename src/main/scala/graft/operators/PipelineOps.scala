@@ -579,8 +579,73 @@ object PipelineOps {
         .unionByName(audit("s_suppkey", supplier(s, d), "s_suppkey",
           lineitem(s, d), "l_suppkey"))
         .orderBy(col("join_key"))
+    }),
+
+    // STREAMING MATERIALIZED-VIEW MAINTENANCE — q171's merge run as a
+    // continuous pipeline (the fifth streaming-admission path after
+    // q130/q138/q139/q149): the standing rollup is seeded from the base
+    // history, then every micro-batch of new events merges its partial
+    // aggregate into the store. State is GENERATIONAL — batch b writes
+    // generation b as merge(latest generation < b, rollup(batch b))
+    // under dynamic partition overwrite, so a replayed batch recomputes
+    // exactly its own generation from inputs that exclude it:
+    // exactly-once by construction, no dedup bookkeeping. The refresh
+    // reads the delta and the PREVIOUS AGGREGATE only — never raw
+    // history (the q171 IVM contract, now per micro-batch); the final
+    // answer is the latest generation and must equal the full batch
+    // recompute, which is the oracle.
+    "q173_stream_mv_refresh" -> ((s, d) => {
+      val mvDir = graft.Tables.scratchDir(s,
+        "q173_mv_" + graft.Tables.datasetTag(d))
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            max(round(col("value"), 2)).as("max_value"))
+      // seed the standing view from the base history, generation -1
+      rollup(events(s, d).filter(col("event_id") % 10 < 8))
+        .withColumn("gen", lit(-1L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("gen").parquet(mvDir)
+      val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
+        .filter(col("event_id") % 10 >= 8)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            refreshGeneration(s, mvDir, rollup(batch), id)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val mv = s.read.parquet(mvDir)
+      // partition-column inference narrows gen to int — read type-agnostic
+      val latest = mv.agg(max(col("gen"))).first().getAs[Number](0).longValue()
+      mv.filter(col("gen") === latest)
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          col("max_value"))
+        .orderBy(col("user_id"), col("event_type"))
     })
   )
+
+  /** One q173 refresh step: generation `id` := merge(latest generation
+    * strictly below `id`, the batch's partial rollup), written under
+    * dynamic partition overwrite. Reading only generations < id makes a
+    * REPLAYED batch recompute its own generation from the same inputs —
+    * idempotent without any processed-batch bookkeeping. */
+  private[graft] def refreshGeneration(s: SparkSession, mvDir: String,
+      batchRollup: DataFrame, id: Long): Unit = {
+    val prior = s.read.parquet(mvDir).filter(col("gen") < id)
+    // partition-column inference narrows gen to int — read type-agnostic
+    val latest = prior.agg(max(col("gen"))).first().getAs[Number](0).longValue()
+    mergeRollups(prior.filter(col("gen") === latest).drop("gen"), batchRollup)
+      .withColumn("gen", lit(id))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen").parquet(mvDir)
+  }
 
   /** The q171 aggregate-state merge: full-outer on the group key so
     * base-only groups (no delta rows) and delta-only groups (first seen
@@ -920,6 +985,14 @@ object PipelineOps {
              (SELECT count(*) AS n_r, count(DISTINCT $rk) AS ndv_r FROM $rt),
              (SELECT count(*) AS actual_rows FROM $lt JOIN $rt
               ON $lt.$lk = $rt.$rk)"""
-      }.mkString("", " UNION ALL ", " ORDER BY join_key")
+      }.mkString("", " UNION ALL ", " ORDER BY join_key"),
+
+    // streamed ≡ batch: the latest generation must equal the full
+    // recompute — q171's oracle verbatim.
+    "q173_stream_mv_refresh" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+           max(round(value, 2)) AS max_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
