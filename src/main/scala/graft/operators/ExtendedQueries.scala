@@ -416,8 +416,62 @@ object ExtendedQueries {
           Window.orderBy(col("n").desc, col("path"))))
         .select(col("rk"), col("path"), col("n"))
         .orderBy(col("rk"))
+    }),
+
+    // POINT-IN-TIME SNAPSHOT over the q164 SCD2 dimension — the
+    // temporal lookup a versioned dimension exists to answer: how many
+    // users sat in each tier at each midnight? The q163/q132 composition
+    // discipline: the dimension relation IS q164's output (one
+    // implementation of the versioning), probed at day boundaries that
+    // fall MID-interval, so the [valid_from, valid_to) containment does
+    // real work (an event-time join would trivially read the event's own
+    // tier). The day spine is bounded (the fixture's date range) and
+    // broadcast, so the containment join is a broadcast nested-loop over
+    // dim × days — dim-sized work, never event-sized; the fixed-width
+    // timestamp strings compare chronologically, which is what makes the
+    // sibling's formatted output directly joinable. Users whose first
+    // version opens after a boundary are absent that day by design.
+    "q174_pit_snapshot" -> ((s, d) => {
+      val dim = queries("q164_scd2_dimension")(s, d)
+      val days = events(s, d)
+        .select(date_format(date_trunc("day", col("ts")),
+          "yyyy-MM-dd 00:00:00.SSSSSS").as("day_ts")).distinct()
+      dim.join(broadcast(days),
+          col("valid_from") <= col("day_ts") &&
+            (col("valid_to").isNull || col("day_ts") < col("valid_to")))
+        .groupBy(substring(col("day_ts"), 1, 10).as("day"), col("tier"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("day"), col("tier"))
     })
   )
+
+  /** q164's full replay — also embedded verbatim as q174's dimension
+    * leg, so the two entries can never drift apart. */
+  private val Scd2Oracle: String =
+    """WITH e AS (
+           SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+           FROM events),
+         chg AS (
+           SELECT user_id, ts, event_id, tier,
+             CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+                  THEN 1 ELSE 0 END AS is_chg
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         ver AS (
+           SELECT user_id, ts, tier,
+             sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v
+           FROM chg),
+         dim AS (
+           SELECT user_id, v, max(tier) AS tier, min(ts) AS valid_from
+           FROM ver GROUP BY user_id, v)
+         SELECT user_id, CAST(v AS BIGINT) AS ver, tier,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
+             '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v)
+             IS NULL AS INT) AS is_current
+         FROM dim ORDER BY user_id, ver"""
 
   val oracles: Map[String, String] = Map(
     "q96_stats_agg" ->
@@ -596,31 +650,22 @@ object ExtendedQueries {
            round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 4) AS z,
            CAST(sd > 0 AND abs((n - mu) / sd) > 3 AS INT) AS is_anomaly
          FROM w WHERE n_hist = 7 ORDER BY day""",
-    "q164_scd2_dimension" ->
-      """WITH e AS (
-           SELECT user_id, ts, event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
-           FROM events),
-         chg AS (
-           SELECT user_id, ts, event_id, tier,
-             CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
-                  THEN 1 ELSE 0 END AS is_chg
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         ver AS (
-           SELECT user_id, ts, tier,
-             sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS v
-           FROM chg),
-         dim AS (
-           SELECT user_id, v, max(tier) AS tier, min(ts) AS valid_from
-           FROM ver GROUP BY user_id, v)
-         SELECT user_id, CAST(v AS BIGINT) AS ver, tier,
-           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v),
-             '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY v)
-             IS NULL AS INT) AS is_current
-         FROM dim ORDER BY user_id, ver""",
+    "q164_scd2_dimension" -> Scd2Oracle,
+
+    // the q174 replay embeds the SIBLING's oracle verbatim as the
+    // dimension leg (q163's composition discipline)
+    "q174_pit_snapshot" ->
+      s"""WITH dimv AS ($Scd2Oracle),
+         days AS (
+           SELECT DISTINCT strftime(date_trunc('day', ts),
+             '%Y-%m-%d %H:%M:%S.%f') AS day_ts
+           FROM events)
+         SELECT substring(day_ts, 1, 10) AS day, tier,
+           count(*) AS n_users
+         FROM dimv JOIN days
+           ON valid_from <= day_ts
+          AND (valid_to IS NULL OR day_ts < valid_to)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q165_event_paths" ->
       """WITH tri AS (
            SELECT event_type AS e1,

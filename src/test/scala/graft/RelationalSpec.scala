@@ -156,4 +156,25 @@ class RelationalSpec extends TestSpark {
         s"malformed path ${r.getAs[String]("path")}")
     }
   }
+
+  test("q174 PIT snapshot: day totals equal users with an open version") {
+    val snap = run("q174_pit_snapshot").collect()
+    val dim = run("q164_scd2_dimension").collect()
+    assert(snap.nonEmpty)
+    // at each midnight, every user contributes AT MOST one version, and
+    // exactly one iff their first version opened on or before it
+    val perDay = snap.groupBy(_.getAs[String]("day")).view
+      .mapValues(_.map(_.getAs[Long]("n_users")).sum).toMap
+    val firstOpen = dim.filter(_.getAs[Long]("ver") == 1L)
+      .map(_.getAs[String]("valid_from"))
+    perDay.foreach { case (day, total) =>
+      val boundary = day + " 00:00:00.000000"
+      val expected = firstOpen.count(_ <= boundary)
+      assert(total == expected.toLong,
+        s"$day: snapshot covers $total users, expected $expected")
+    }
+    // a later snapshot day covers at least as many users (versions only open)
+    val days = perDay.toSeq.sortBy(_._1).map(_._2)
+    assert(days.zip(days.tail).forall { case (a, b) => a <= b })
+  }
 }
