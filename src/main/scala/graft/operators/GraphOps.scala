@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph dataflow — the Pregel-shaped workload class the engine
@@ -156,8 +157,64 @@ object GraphOps {
       edges.unpersist()
       perHop.foreach(_.unpersist())
       out
+    }),
+
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007, made
+    // deterministic): the third aggregation kernel of the graph family —
+    // pagerank SUMS neighbor mass, BFS MINS distance, LP takes the
+    // neighbor-label MODE. Four synchronized rounds over the part
+    // co-purchase graph (q157's edge derivation, unsampled,
+    // symmetrized); each round is label-join → (node, label) partial-
+    // aggregated count → per-node argmax via a node-partitioned window
+    // with the (count desc, label asc) tiebreak that makes synchronous
+    // LP replayable. Lineage is cut per round (the window output feeds
+    // the next join three more times). Output: every part's community
+    // label plus its community size.
+    "q175_label_propagation" -> ((s, d) => {
+      def truncate(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint()
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e0 = op.alias("x")
+        .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val edges = truncate(e0.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst"))))
+      val labels = labelPropagation(s, edges, 4)
+      // label-keyed equi-join; the engine broadcasts when the community
+      // table is small, hash-joins when it isn't — don't force it
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "lbl")
+        .select(col("node").as("p_partkey"), col("lbl").as("community"),
+          col("community_size"))
+        .orderBy(col("p_partkey"))
     })
   )
+
+  /** Deterministic synchronous label propagation over a SYMMETRIZED edge
+    * relation: per round each node takes its neighbors' mode label, ties
+    * broken (count desc, label asc). Lineage is cut per round. */
+  private[graft] def labelPropagation(s: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val wMode = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = truncate(edges
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wMode))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("lbl")))
+    }
+    labels
+  }
 
   /** Degree-oriented triangle enumeration over a CANONICAL undirected
     * edge relation (a, b) with a < b: orient each edge low→high in
@@ -369,6 +426,36 @@ object GraphOps {
                 UNION ALL SELECT node, 3 FROM r3)
          SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
                 node // 2 AS key, min(lvl) AS dist
-         FROM lv GROUP BY node ORDER BY kind, key"""
+         FROM lv GROUP BY node ORDER BY kind, key""",
+
+    // four label-propagation rounds unrolled; the per-node argmax
+    // replays with the identical (count desc, label asc) tiebreak
+    "q175_label_propagation" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""c$k AS (
+             SELECT e.dst AS node, l.lbl, count(*) AS cnt
+             FROM edges e JOIN l${k - 1} l ON e.src = l.node
+             GROUP BY 1, 2),
+           l$k AS (
+             SELECT node, lbl FROM (
+               SELECT node, lbl, row_number() OVER
+                 (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk
+               FROM c$k) WHERE rk = 1)"""
+      }.mkString(",\n")
+      s"""WITH op AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e0 AS (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         edges AS (SELECT a AS src, b AS dst FROM e0
+                   UNION ALL SELECT b, a FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         $rounds,
+         sizes AS (SELECT lbl, count(*) AS community_size
+                   FROM l4 GROUP BY 1)
+         SELECT l.node AS p_partkey, l.lbl AS community, s.community_size
+         FROM l4 l JOIN sizes s USING (lbl)
+         ORDER BY p_partkey"""
+    }
   )
 }

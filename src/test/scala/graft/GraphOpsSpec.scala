@@ -112,4 +112,31 @@ class GraphOpsSpec extends TestSpark {
     }
     assert(ok, "every reached node needs a parent one hop closer")
   }
+
+  test("q175 LP: sizes recount, labels from the node set, components never mix") {
+    val rows = GraphOps.queries("q175_label_propagation")(spark, sf0001)
+      .collect()
+    val parts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSet.subsetOf(parts))
+    assert(rows.forall(r => parts.contains(r.getAs[Long]("community"))),
+      "a community label must be some node's id")
+    val sizes = rows.groupBy(_.getAs[Long]("community")).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows.forall(r =>
+      r.getAs[Long]("community_size") == sizes(r.getAs[Long]("community"))),
+      "community_size must recount the label assignment")
+    // kernel on a hand graph: two disjoint triangles — labels can never
+    // cross a component boundary
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = tri.toDF("src", "dst")
+      .unionByName(tri.map(_.swap).toDF("src", "dst"))
+    val lbl = GraphOps.labelPropagation(spark, edges, 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    assert(Set(1L, 2L, 3L).forall(n => lbl(n) <= 3L))
+    assert(Set(10L, 11L, 12L).forall(n => lbl(n) >= 10L))
+  }
 }
