@@ -16,14 +16,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q155 Okapi BM25 ranking, q160 data-quality contracts, q161
   * trailing-window anomaly detection, q162 PSI drift report, q163 the
   * composed batch-admission gate over q160/q162/q127's relations, q164
-  * SCD Type-2 dimension build, q165 ranked 3-gram path mining),
+  * SCD Type-2 dimension build, q165 ranked 3-gram path mining, q166
+  * ANALYZE-style column statistics — one scan per table, multi-DISTINCT
+  * via one Expand, q172 the join-cardinality estimation audit those
+  * stats feed, q171 incremental aggregate maintenance — the
+  * materialized-view refresh as a delta merge, q173 its STREAMING form
+  * — generational exactly-once refresh per micro-batch, q174 the
+  * point-in-time snapshot probing q164's dimension at day boundaries,
+  * q167 the Z-order layout audit — Morton-clustered equi-depth files vs
+  * a 1-D sort with second-dimension pruning made visible, q169 k-hop
+  * BFS reachability via delta-frontier iteration, q175
+  * label-propagation communities — the neighbor-label MODE kernel),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
   * Misra-Gries bound, q110/q112 KMV distinct-count sketches, q113 BPE
   * pre-tokenizer fertility, q115 TRUE BPE encode under a frozen merge
-  * table, q118 BPE-budget sequence packing, q114 rolling-hash
-  * fingerprinting),
+  * table, q170 BPE merge LEARNING — where that table comes from, the
+  * training loop replayed bit-exactly through literal string replace,
+  * q118 BPE-budget sequence packing, q114 rolling-hash
+  * fingerprinting, q168 exact phrase search — verbatim 2-/3-gram
+  * occurrence counts, map-side with only probe hits shuffling),
   * dedup and clustering (q26-q29, q67-q68, q72,
   * q74, q76-q77, q88, q99 stop-shingle LSH, q116/q117/q119 CDC
   * chunk-level dedup: per-doc sharing, duplicate pairs, and the
