@@ -462,6 +462,10 @@ object TextQueries {
         val (x, y) = (best.getAs[String]("x"), best.getAs[String]("y"))
         val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
         merges += ((k, l, r, l + r, best.getAs[Long]("cnt")))
+        // splicing collected symbols into the expr is safe ONLY because
+        // the [^\p{L}]+ tokenizer guarantees symbols are letters (plus
+        // the parens we add) — no quotes/backslashes can appear; if the
+        // tokenizer alphabet ever widens, this needs escaping
         cur = cur.withColumn("ws",
           expr(s"replace(ws, '$x $y', '($l$r)')"))
       }

@@ -68,16 +68,9 @@ object GraphOps {
     // undirected 3-way self-join explodes on hub nodes. Orientation
     // keys pack (deg, id) into one long (ids ≪ 10⁹).
     "q157_triangle_doulion" -> ((s, d) => {
-      def truncate(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
-      val op = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       // co-purchase edges, canonical a < b; checkpointed because both the
       // sample and the audit count read it (lineage cut, no cache leak)
-      val e0 = truncate(op.alias("x")
-        .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
+      val e0 = truncate(s, coPurchaseEdges(s, d))
       val samp = e0.filter(substring(md5(concat_ws(":", col("a"), col("b"))), 1, 1)
         .isin("0", "1", "2", "3"))
       val tri = orientedTriangles(s, samp)
@@ -171,15 +164,8 @@ object GraphOps {
     // the next join three more times). Output: every part's community
     // label plus its community size.
     "q175_label_propagation" -> ((s, d) => {
-      def truncate(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint()
-      val op = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e0 = op.alias("x")
-        .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val edges = truncate(e0.select(col("a").as("src"), col("b").as("dst"))
+      val e0 = coPurchaseEdges(s, d)
+      val edges = truncate(s, e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst"))))
       val labels = labelPropagation(s, edges, 4)
       // label-keyed equi-join; the engine broadcasts when the community
@@ -197,15 +183,12 @@ object GraphOps {
     * broken (count desc, label asc). Lineage is cut per round. */
   private[graft] def labelPropagation(s: SparkSession, edges: DataFrame,
       rounds: Int): DataFrame = {
-    def truncate(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     val wMode = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("lbl"))
     for (_ <- 1 to rounds) {
-      labels = truncate(edges
+      labels = truncate(s, edges
         .join(labels.select(col("node").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
@@ -225,9 +208,6 @@ object GraphOps {
     * triangle (v, w legs). Ids must stay below 10⁹ (the orientation key
     * packs deg·10⁹ + id into one long). */
   private[graft] def orientedTriangles(s: SparkSession, canon: DataFrame): DataFrame = {
-    def truncate(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -235,7 +215,7 @@ object GraphOps {
       (col("deg") * lit(1000000000L) + col("node")).as("okey"))
     // oriented edges (src ≺ dst), dkey = dst's orientation key;
     // referenced three times (two wedge sides + closure) → checkpoint
-    val o = truncate(canon
+    val o = truncate(s, canon
       .join(okey.select(col("node").as("a"), col("okey").as("ka")), "a")
       .join(okey.select(col("node").as("b"), col("okey").as("kb")), "b")
       .select(when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
@@ -246,6 +226,31 @@ object GraphOps {
       .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
       .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
   }
+
+  /** Cut lineage: a reliable checkpoint when the session has a
+    * checkpoint dir (the CI/driver path), else an eager localCheckpoint.
+    * One policy for every iterative kernel in this module. */
+  private def truncate(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** The canonical part co-purchase edge relation (parts sharing an
+    * order, a < b), shared by q157 (triangles) and q175 (label
+    * propagation); [[coPurchaseCte]] is its oracle-side twin. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.alias("x")
+      .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+  }
+
+  private val coPurchaseCte: String =
+    """op AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS (
+         SELECT DISTINCT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)"""
 
   /** The symmetrized customer↔supplier trade graph: an edge per distinct
     * trading pair from orders⋈lineitem, node encoding 2·custkey /
@@ -271,9 +276,9 @@ object GraphOps {
     * < 1 unit). */
   private[graft] def pagerank(s: SparkSession, edges: DataFrame): DataFrame = {
     // Persisted: deg is node-sized, but its lineage is the full edge
-    // derivation (for q152 that's an orders⋈lineitem join + distinct) —
-    // without the cache the spine join below would re-derive the edge
-    // relation from the base tables once per iteration.
+    // derivation (for q152 that's an orders⋈lineitem join + distinct);
+    // the cache serves its three consumers below — the adj build, the
+    // n count, and the initial rank — off one computation.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .persist()
@@ -290,9 +295,6 @@ object GraphOps {
     // not data (q29-count precedent; cheap metadata-scale action).
     val n = deg.count()
     val base = (100L - Damp) * Mass / (100L * n)
-    def truncate(df: DataFrame): DataFrame =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     var pr = deg.select(col("node"), lit(Mass / n).as("pr"))
     for (i <- 1 to Iters) {
       val msgs = adj.join(pr.select(col("node").as("src"), col("pr")), "src")
@@ -309,7 +311,7 @@ object GraphOps {
       // be dropped with no recompute): keeps the analyzed tree
       // constant-size over any iteration count while paying as few
       // mid-loop materializations as possible
-      pr = if (i % 8 == 0 || i == Iters) truncate(nxt) else nxt
+      pr = if (i % 8 == 0 || i == Iters) truncate(s, nxt) else nxt
     }
     adj.unpersist()
     deg.unpersist()
@@ -355,10 +357,7 @@ object GraphOps {
          FROM p$Iters ORDER BY kind, key"""),
 
     "q157_triangle_doulion" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-           FROM lineitem),
-         e0 AS (SELECT DISTINCT a.p AS a, b.p AS b
-           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      s"""WITH $coPurchaseCte,
          samp AS (SELECT a, b FROM e0
            WHERE substr(md5(concat_ws(':', a, b)), 1, 1)
              IN ('0', '1', '2', '3')),
@@ -442,11 +441,7 @@ object GraphOps {
                  (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk
                FROM c$k) WHERE rk = 1)"""
       }.mkString(",\n")
-      s"""WITH op AS (
-           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         e0 AS (
-           SELECT DISTINCT x.p AS a, y.p AS b
-           FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+      s"""WITH $coPurchaseCte,
          edges AS (SELECT a AS src, b AS dst FROM e0
                    UNION ALL SELECT b, a FROM e0),
          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),

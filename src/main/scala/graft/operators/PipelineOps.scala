@@ -532,10 +532,6 @@ object PipelineOps {
       val dir = graft.Tables.scratchDir(s,
         "q171_mv_" + graft.Tables.datasetTag(d))
       val ev = events(s, d)
-      def rollup(df: DataFrame): DataFrame =
-        df.groupBy(col("user_id"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            max(round(col("value"), 2)).as("max_value"))
       // one-time: materialize the standing view over the base history
       rollup(ev.filter(col("event_id") % 10 < 8))
         .write.mode("overwrite").parquet(dir)
@@ -565,10 +561,16 @@ object PipelineOps {
           .agg(count(lit(1)).as("actual_rows"))
         ls.crossJoin(broadcast(rs)).crossJoin(broadcast(actual))
           .select(lit(name).as("join_key"), col("n_l"), col("n_r"),
+            // n_l * n_r fits a Long up to ~3e9-row sides — ample for any
+            // single-table fixture; a fact table beyond that would
+            // switch this to decimal arithmetic
             expr("(n_l * n_r) div greatest(ndv_l, ndv_r)").as("est_rows"),
             col("actual_rows"),
-            expr("abs((n_l * n_r) div greatest(ndv_l, ndv_r) - actual_rows)" +
-              " * 1000000 div actual_rows").as("err_ppm"))
+            // -1 sentinel on an empty join: Spark's non-ANSI div would
+            // yield NULL where DuckDB's // raises — pin one behavior
+            expr("CASE WHEN actual_rows = 0 THEN -1 ELSE " +
+              "abs((n_l * n_r) div greatest(ndv_l, ndv_r) - actual_rows)" +
+              " * 1000000 div actual_rows END").as("err_ppm"))
       }
       audit("c_custkey", customer(s, d), "c_custkey",
           orders(s, d), "o_custkey")
@@ -598,10 +600,6 @@ object PipelineOps {
       val mvDir = graft.Tables.scratchDir(s,
         "q173_mv_" + graft.Tables.datasetTag(d))
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def rollup(df: DataFrame): DataFrame =
-        df.groupBy(col("user_id"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            max(round(col("value"), 2)).as("max_value"))
       // seed the standing view from the base history, generation -1
       rollup(events(s, d).filter(col("event_id") % 10 < 8))
         .withColumn("gen", lit(-1L))
@@ -623,7 +621,9 @@ object PipelineOps {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val mv = s.read.parquet(mvDir)
       // partition-column inference narrows gen to int — read type-agnostic
-      val latest = mv.agg(max(col("gen"))).first().getAs[Number](0).longValue()
+      val maxGen = mv.agg(max(col("gen"))).first().getAs[Number](0)
+      require(maxGen != null, s"MV store $mvDir is empty — seed write failed")
+      val latest = maxGen.longValue()
       mv.filter(col("gen") === latest)
         .select(col("user_id"), col("event_type"), col("n_events"),
           col("max_value"))
@@ -639,13 +639,27 @@ object PipelineOps {
   private[graft] def refreshGeneration(s: SparkSession, mvDir: String,
       batchRollup: DataFrame, id: Long): Unit = {
     val prior = s.read.parquet(mvDir).filter(col("gen") < id)
-    // partition-column inference narrows gen to int — read type-agnostic
-    val latest = prior.agg(max(col("gen"))).first().getAs[Number](0).longValue()
+    // partition-column inference narrows gen to int — read type-agnostic;
+    // a null max means no generation below `id` exists (seed missing or
+    // store wiped) — fail with the actual contract violation, not an NPE
+    val maxGen = prior.agg(max(col("gen"))).first().getAs[Number](0)
+    require(maxGen != null,
+      s"MV store $mvDir has no generation below $id — seed gen -1 missing")
+    val latest = maxGen.longValue()
     mergeRollups(prior.filter(col("gen") === latest).drop("gen"), batchRollup)
       .withColumn("gen", lit(id))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("gen").parquet(mvDir)
   }
+
+  /** The ONE per-(user, event_type) partial rollup both q171 (batch IVM)
+    * and q173 (streaming MV) maintain — a single definition because
+    * q173's contract is exact equality with q171's batch twin; drift
+    * between two copies would break it with no compile-time signal. */
+  private def rollup(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(round(col("value"), 2)).as("max_value"))
 
   /** The q171 aggregate-state merge: full-outer on the group key so
     * base-only groups (no delta rows) and delta-only groups (first seen
@@ -978,8 +992,9 @@ object PipelineOps {
         s"""SELECT '$name' AS join_key, n_l, n_r,
              (n_l * n_r) // greatest(ndv_l, ndv_r) AS est_rows,
              actual_rows,
-             abs((n_l * n_r) // greatest(ndv_l, ndv_r) - actual_rows)
-               * 1000000 // actual_rows AS err_ppm
+             CASE WHEN actual_rows = 0 THEN -1 ELSE
+               abs((n_l * n_r) // greatest(ndv_l, ndv_r) - actual_rows)
+                 * 1000000 // actual_rows END AS err_ppm
            FROM
              (SELECT count(*) AS n_l, count(DISTINCT $lk) AS ndv_l FROM $lt),
              (SELECT count(*) AS n_r, count(DISTINCT $rk) AS ndv_r FROM $rt),
