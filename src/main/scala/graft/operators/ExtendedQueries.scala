@@ -442,6 +442,40 @@ object ExtendedQueries {
         .groupBy(substring(col("day_ts"), 1, 10).as("day"), col("tier"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("day"), col("tier"))
+    }),
+
+    // LAST-TOUCH ATTRIBUTION — the conversion-analytics staple: each
+    // purchase attributes to the user's most recent click within a 24 h
+    // lookback. NOT a self-join: the most-recent-click-before-me is a
+    // conditional running MAX over the per-user event-time window (ts is
+    // monotone within the frame, so max(click ts) IS the latest one),
+    // which rides the SAME single user_id exchange every per-user
+    // operator here uses; everything after the window is purchase-sized.
+    // Delays are floor(microsecond diff / 1e6) — integer seconds both
+    // engines compute identically (date_diff counts boundary crossings
+    // and would disagree on sub-second offsets).
+    "q176_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val buys = events(s, d)
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", unix_micros(col("ts"))))
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+            .as("day"),
+          (col("last_click_us").isNotNull &&
+            unix_micros(col("ts")) - col("last_click_us") <= 86400000000L)
+            .cast("long").as("attributed"),
+          expr("(unix_micros(ts) - last_click_us) div 1000000")
+            .as("delay_s"))
+      buys.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_buys"),
+          sum(col("attributed")).as("n_attributed"),
+          sum(when(col("attributed") === 1, col("delay_s")))
+            .as("total_delay_s"))
+        .orderBy(col("day"))
     })
   )
 
@@ -666,6 +700,27 @@ object ExtendedQueries {
            ON valid_from <= day_ts
           AND (valid_to IS NULL OR day_ts < valid_to)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q176_attribution" ->
+      """WITH marked AS (
+           SELECT ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+           FROM events),
+         buys AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(last_click_us IS NOT NULL AND
+               epoch_us(ts) - last_click_us <= 86400000000 AS BIGINT)
+               AS attributed,
+             (epoch_us(ts) - last_click_us) // 1000000 AS delay_s
+           FROM marked WHERE event_type = 'purchase')
+         SELECT day, count(*) AS n_buys,
+           CAST(sum(attributed) AS BIGINT) AS n_attributed,
+           CAST(sum(CASE WHEN attributed = 1 THEN delay_s END) AS BIGINT)
+             AS total_delay_s
+         FROM buys GROUP BY day ORDER BY day""",
     "q165_event_paths" ->
       """WITH tri AS (
            SELECT event_type AS e1,

@@ -177,4 +177,24 @@ class RelationalSpec extends TestSpark {
     val days = perDay.toSeq.sortBy(_._1).map(_._2)
     assert(days.zip(days.tail).forall { case (a, b) => a <= b })
   }
+
+  test("q176 attribution: buys recount, rates bounded, delays inside lookback") {
+    val rows = run("q176_attribution").collect()
+    assert(rows.map(_.getAs[Long]("n_buys")).sum ==
+      Tables.events(spark, sf0001)
+        .filter(col("event_type") === "purchase").count(),
+      "every purchase lands in exactly one day row")
+    rows.foreach { r =>
+      val (buys, attr) = (r.getAs[Long]("n_buys"), r.getAs[Long]("n_attributed"))
+      assert(attr >= 0 && attr <= buys)
+      // each attributed purchase's delay is in [0, 86400] s by the
+      // lookback definition, so the day total is bounded by attr * 86400
+      val delay = Option(r.getAs[java.lang.Long]("total_delay_s"))
+        .map(_.longValue).getOrElse(0L)
+      assert(delay >= 0 && delay <= attr * 86400L,
+        s"day ${r.getAs[String]("day")}: delay $delay outside [0, ${attr * 86400L}]")
+    }
+    assert(rows.exists(_.getAs[Long]("n_attributed") > 0),
+      "fixture must attribute at least one purchase")
+  }
 }
