@@ -161,6 +161,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BIGRAM-LM PERPLEXITY SCORING — the CCNet/C4-style quality filter
+    // q101's unigram scorer cannot be: a doc full of common words in
+    // nonsense ORDER scores fine under unigrams but poorly under the
+    // conditional model. Laplace-smoothed bigram LM trained on the
+    // corpus itself: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V); per doc the
+    // mean ln P over its bigram stream (higher = more fluent under the
+    // corpus model). Scale shape: the bigram stream is one map-side
+    // transform pass (q168's shape); the model is two count rollups
+    // (bigram-keyed and vocab-sized) joined back hash-on-bigram and
+    // broadcast-on-unigram; V and nothing else crosses as a scalar. The
+    // ln sum follows the q62/q101 discipline — round(avg, 6), ulps
+    // orders below the 6th decimal.
+    "q177_bigram_perplexity" -> ((s, d) => {
+      val withTs = documents(s, d)
+        .select(col("doc_id"), tokens.as("ts")).filter(size(col("ts")) >= 2)
+      val bi = tracked(withTs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2")))
+      val uni = tracked(documents(s, d).select(explode(tokens).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+      val v = uni.agg(count(lit(1)).cast("double").as("v"))
+      val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      bi.join(big, Seq("w1", "w2"))
+        .join(broadcast(uni), "w1")
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c2") + 1.0) / (col("c1") + col("v")))), 6)
+            .as("mean_log_prob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch — the DETERMINISTIC
     // sketch counterpart of HLL (approx_count_distinct is
     // implementation-defined and can't be oracle-replayed; KMV with a
@@ -1219,6 +1252,24 @@ object TextQueries {
          LEFT JOIN bstats bs ON b.doc_id = bs.doc_id
          LEFT JOIN tstats ts ON b.doc_id = ts.doc_id
          ORDER BY b.doc_id""",
+
+    "q177_bigram_perplexity" ->
+      ("""WITH tl AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         bi AS (SELECT doc_id,
+             unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+             unnest(list_slice(ts, 2, len(ts))) AS w2
+           FROM tl WHERE len(ts) >= 2),
+         uni AS (SELECT w1, count(*) AS c1 FROM
+             (SELECT unnest(ts) AS w1 FROM tl) GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c2 + 1.0) / (c1 + v.v))), 6) AS mean_log_prob
+         FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id"""),
 
     // The six training steps unrolled: per step a pair-count CTE, a
     // 1-row argmax CTE (same count-desc + stripped-pair tiebreak), and

@@ -428,6 +428,37 @@ class CorpusCleaningSpec extends TestSpark {
       "streamed upsert sink differs from the batch latest-per-key answer")
   }
 
+  test("q177 bigram perplexity matches a driver-side model rebuild") {
+    val rows = graft.functions.TextQueries
+      .queries("q177_bigram_perplexity")(spark, sf0001).collect()
+    // rebuild the smoothed bigram model independently on the driver
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("[^\\p{L}]+").filter(_.nonEmpty).toSeq)
+    val uni = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val big = texts.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val vocabSize = uni.size.toDouble
+    def score(ts: Seq[String]): (Long, Double) = {
+      val lps = ts.zip(ts.drop(1)).map { p =>
+        math.log((big(p) + 1.0) / (uni(p._1) + vocabSize))
+      }
+      (lps.size.toLong,
+        BigDecimal(lps.sum / lps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val byId = texts.toMap
+    rows.foreach { r =>
+      val (n, s) = score(byId(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(math.abs(r.getAs[Double]("mean_log_prob") - s) <= 1e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("mean_log_prob")} vs $s")
+    }
+    // the model must actually condition: scores vary across docs
+    assert(rows.map(_.getAs[Double]("mean_log_prob")).distinct.length > 1)
+  }
+
   test("q170 BPE learning equals a sequential reference trainer") {
     val got = graft.functions.TextQueries.queries("q170_bpe_learn")(
       spark, sf0001).collect()
