@@ -82,7 +82,8 @@ object Bench {
     "q164_scd2_dimension", "q165_event_paths", "q166_table_stats",
     "q167_zorder_audit", "q168_phrase_search", "q169_bfs_reach",
     "q170_bpe_learn", "q171_incremental_rollup", "q174_pit_snapshot",
-    "q175_label_propagation", "q176_attribution", "q177_bigram_perplexity")
+    "q175_label_propagation", "q176_attribution", "q177_bigram_perplexity",
+    "q178_zipf_audit", "q179_mixture_weights")
   // q172 stays out: its cost is four star joins already tracked via q04;
   // q173 (streaming MV) stays out per the q130/q149 streaming-admission
   // precedent — its batch twin q171 carries the family's timing.

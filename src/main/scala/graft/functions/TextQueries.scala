@@ -161,6 +161,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ZIPF-LAW AUDIT — the corpus-statistics sanity check a data
+    // datasheet quotes: regress ln(frequency) on ln(rank) over the
+    // vocabulary and report the slope (natural text sits near -1; a
+    // synthetic or boilerplate-heavy corpus departs visibly). The rank
+    // window runs over the VOCABULARY rollup, not the corpus (q161's
+    // discipline); the regression aggregates are one partial-aggregated
+    // pass over that bounded relation. regr_* sums are O(vocab) doubles
+    // — round(6) absorbs accumulation-order ulps (q62 discipline).
+    "q178_zipf_audit" -> ((s, d) => {
+      val freq = documents(s, d).select(explode(tokens).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val ranked = freq.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok"))))
+      ranked.agg(
+          sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          round(expr("regr_slope(ln(n), ln(rk))"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(ln(n), ln(rk))"), 6).as("zipf_intercept"),
+          round(expr("regr_r2(ln(n), ln(rk))"), 6).as("zipf_r2"))
+    }),
+
+    // TEMPERATURE-SCALED MIXTURE WEIGHTS — the multilingual/multi-source
+    // alpha-sampling recipe table (weight ∝ n^0.5 at T=2): upsamples the
+    // tail sources a proportional mix starves without letting any one
+    // source dominate. sqrt is IEEE-correctly-rounded so both engines
+    // compute identical weights; the share normalization rounds at 6.
+    // One source-keyed rollup; everything after is source-count-sized.
+    "q179_mixture_weights" -> ((s, d) => {
+      val counts = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).cast("double").as("n_total"),
+        sum(sqrt(col("n_docs"))).as("w_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(sqrt(col("n_docs")), 6).as("weight"),
+          round(sqrt(col("n_docs")) / col("w_total"), 6).as("target_share"),
+          round((sqrt(col("n_docs")) / col("w_total")) /
+            (col("n_docs") / col("n_total")), 6).as("boost"))
+        .orderBy(col("source"))
+    }),
+
     // BIGRAM-LM PERPLEXITY SCORING — the CCNet/C4-style quality filter
     // q101's unigram scorer cannot be: a doc full of common words in
     // nonsense ORDER scores fine under unigrams but poorly under the
@@ -1252,6 +1294,35 @@ object TextQueries {
          LEFT JOIN bstats bs ON b.doc_id = bs.doc_id
          LEFT JOIN tstats ts ON b.doc_id = ts.doc_id
          ORDER BY b.doc_id""",
+
+    "q178_zipf_audit" ->
+      ("""WITH freq AS (
+           SELECT tok, count(*) AS n FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(text, '[^\p{L}]+'), x -> x <> '')) AS tok
+             FROM documents)
+           GROUP BY tok),
+         ranked AS (
+           SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+           FROM freq)
+         SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           round(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rk)), 6) AS zipf_r2
+         FROM ranked"""),
+
+    "q179_mixture_weights" ->
+      ("""WITH counts AS (
+           SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+             sum(sqrt(n_docs)) AS w_total FROM counts)
+         SELECT source, n_docs,
+           round(sqrt(n_docs), 6) AS weight,
+           round(sqrt(n_docs) / w_total, 6) AS target_share,
+           round((sqrt(n_docs) / w_total) / (n_docs / n_total), 6) AS boost
+         FROM counts CROSS JOIN tot ORDER BY source"""),
 
     "q177_bigram_perplexity" ->
       ("""WITH tl AS (SELECT doc_id,

@@ -428,6 +428,44 @@ class CorpusCleaningSpec extends TestSpark {
       "streamed upsert sink differs from the batch latest-per-key answer")
   }
 
+  test("q178 Zipf audit matches a driver-side least-squares fit") {
+    val r = graft.functions.TextQueries.queries("q178_zipf_audit")(
+      spark, sf0001).collect()(0)
+    val toks = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+").filter(_.nonEmpty))
+    assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+    val freq = toks.groupBy(identity).view.mapValues(_.size).toSeq
+      .map { case (t, n) => (t, n) }
+      .sortBy { case (t, n) => (-n, t) }
+    assert(r.getAs[Long]("vocab_size") == freq.length.toLong)
+    val pts = freq.zipWithIndex.map { case ((_, n), i) =>
+      (math.log(i + 1.0), math.log(n.toDouble)) }
+    val (mx, my) = (pts.map(_._1).sum / pts.size, pts.map(_._2).sum / pts.size)
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-5,
+      s"slope ${r.getAs[Double]("zipf_slope")} vs driver fit $slope")
+    val r2 = r.getAs[Double]("zipf_r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("q179 mixture weights: shares sum to 1, boost shrinks with size") {
+    val rows = graft.functions.TextQueries.queries("q179_mixture_weights")(
+      spark, sf0001).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") -
+        math.sqrt(r.getAs[Long]("n_docs").toDouble)) < 1e-5)
+    }
+    // alpha < 1 upsamples the tail: boost must be antitone in source size
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs"))
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Double]("boost")))
+    bySize.zip(bySize.tail).foreach { case ((n1, b1), (n2, b2)) =>
+      if (n1 < n2) assert(b1 >= b2,
+        s"boost must not grow with size: n=$n1 b=$b1 vs n=$n2 b=$b2")
+    }
+  }
+
   test("q177 bigram perplexity matches a driver-side model rebuild") {
     val rows = graft.functions.TextQueries
       .queries("q177_bigram_perplexity")(spark, sf0001).collect()
