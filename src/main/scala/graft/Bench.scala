@@ -59,6 +59,16 @@ object Bench {
   // tracked via q152 on a far smaller graph, and q163 (admission gate)
   // because its cost is its q127 leg, already tracked (the q142/q143
   // store-maintenance precedent).
+  // The third continuation adds the warehouse/analytics families —
+  // ANALYZE column stats (q166, the honest exact-NDV Expand cost), the
+  // Z-order layout audit (q167, two total-order ranks), phrase search
+  // (q168), BFS reachability (q169), BPE merge learning (q170),
+  // incremental rollup maintenance (q171), the PIT snapshot (q174),
+  // label propagation (q175), attribution (q176), bigram perplexity
+  // (q177), the Zipf audit (q178), and mixture weights (q179).
+  // Staying out: q172 (its cost is four star joins already tracked via
+  // q04) and q173 (streaming MV — its batch twin q171 carries the
+  // family's timing, per the streaming-admission precedent).
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
@@ -84,9 +94,6 @@ object Bench {
     "q170_bpe_learn", "q171_incremental_rollup", "q174_pit_snapshot",
     "q175_label_propagation", "q176_attribution", "q177_bigram_perplexity",
     "q178_zipf_audit", "q179_mixture_weights")
-  // q172 stays out: its cost is four star joins already tracked via q04;
-  // q173 (streaming MV) stays out per the q130/q149 streaming-admission
-  // precedent — its batch twin q171 carries the family's timing.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
