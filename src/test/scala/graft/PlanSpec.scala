@@ -334,6 +334,39 @@ class PlanSpec extends TestSpark {
     assert(plan.contains("*(1) HashAggregate"), plan.take(3000))
   }
 
+  test("q176 attribution: two keyed exchanges, no self-join") {
+    val plan = SparkEntry.queries("q176_attribution")(spark, sf0001)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the running-max window partitions on user_id and the rollup keys
+    // on day — exactly two hash exchanges; a self-join formulation
+    // would add a third (plus a second events scan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"the events source must be scanned once, got $scans")
+  }
+
+  test("q177 perplexity: unigram model broadcasts, text never shuffles") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q177_bigram_perplexity")(spark, sf0001)
+      val plan = df.queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bcasts.nonEmpty, "the vocabulary-sized unigram model and V " +
+        "must reach the scorer as broadcasts")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"text reaches an exchange: ${e.output.map(_.name).mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q171 incremental rollup: raw history is read once, delta-filtered") {
     val df = graft.operators.PipelineOps
       .queries("q171_incremental_rollup")(spark, sf0001)
