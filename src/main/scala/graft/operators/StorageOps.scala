@@ -181,10 +181,13 @@ object StorageOps {
     // window, the same shape a range-partitioned writer uses to number
     // rows at 100 TB.
     "q167_zorder_audit" -> ((s, d) => {
+      // persisted: both layouts (and the count) consume the same slim
+      // 4-column relation — one parquet scan instead of three
       val base = lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_partkey") % 65536L).as("p"),
         (col("l_suppkey") % 65536L).as("sk"))
+        .persist()
       val withZ = base.withColumn("z", mortonCode(col("p"), col("sk"), 16))
       val n = base.agg(count(lit(1)).as("__n"))
       // distributed total-order rank: coarse-group offsets + partitioned
@@ -209,7 +212,7 @@ object StorageOps {
       val pf = fileOf(base, col("p"),
         Seq(col("sk"), col("l_orderkey"), col("l_linenumber")))
         .withColumn("layout", lit("partsort"))
-      zf.unionByName(pf)
+      val out = zf.unionByName(pf)
         .groupBy(col("layout"), col("file_id"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("p")).as("p_min"), max(col("p")).as("p_max"),
@@ -219,6 +222,9 @@ object StorageOps {
           (col("p_min") <= 95 && col("p_max") >= 64).cast("int").as("hit_p"),
           (col("sk_min") <= 5 && col("sk_max") >= 2).cast("int").as("hit_sk"))
         .orderBy(col("layout"), col("file_id"))
+        // eager so the base cache can be dropped immediately
+        .localCheckpoint()
+      try out finally base.unpersist()
     })
   )
 
