@@ -212,7 +212,7 @@ object StorageOps {
       val pf = fileOf(base, col("p"),
         Seq(col("sk"), col("l_orderkey"), col("l_linenumber")))
         .withColumn("layout", lit("partsort"))
-      val out = zf.unionByName(pf)
+      val outAudit = zf.unionByName(pf)
         .groupBy(col("layout"), col("file_id"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("p")).as("p_min"), max(col("p")).as("p_max"),
@@ -224,7 +224,29 @@ object StorageOps {
         .orderBy(col("layout"), col("file_id"))
         // eager so the base cache can be dropped immediately
         .localCheckpoint()
-      try out finally base.unpersist()
+      try outAudit finally base.unpersist()
+    }),
+
+    // SMALL-FILES COMPACTION PLAN — the OPTIMIZE planner's shape: which
+    // per-(source, lang) document groups merge into which ~64 KB output
+    // file? Sorted-fill bin packing — groups pack in lang order within
+    // each source, and a group's file is its PRECEDING cumulative bytes
+    // div the target (the q60 token-packing rule pointed at file
+    // layout). The plan runs entirely over the group-count-sized size
+    // rollup: one aggregation over the corpus, then windows over ~100
+    // rows — at 100 TB this is exactly the metadata-only query a table
+    // service runs before rewriting a single byte.
+    "q180_compaction_plan" -> ((s, d) => {
+      val target = 65536L
+      val sizes = documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy(col("source")).orderBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sizes
+        .withColumn("prev_bytes", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .select(col("source"), col("lang"), col("n_docs"), col("bytes"),
+          expr(s"prev_bytes div $target").as("out_file"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -295,6 +317,17 @@ object StorageOps {
            CAST(min(p) <= 95 AND max(p) >= 64 AS INT) AS hit_p,
            CAST(min(sk) <= 5 AND max(sk) >= 2 AS INT) AS hit_sk
          FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
-    }
+    },
+
+    "q180_compaction_plan" ->
+      """WITH sizes AS (
+           SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2)
+         SELECT source, lang, n_docs, bytes,
+           CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) // 65536 AS out_file
+         FROM sizes ORDER BY source, lang"""
   )
 }

@@ -126,4 +126,31 @@ class StorageOpsSpec extends TestSpark {
       }
     }
   }
+
+  test("q180 compaction plan matches a driver-side sorted-fill replay") {
+    val rows = StorageOps.queries("q180_compaction_plan")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, groups) =>
+      val inOrder = groups.sortBy(_.getAs[String]("lang"))
+      var cum = 0L
+      inOrder.foreach { g =>
+        assert(g.getAs[Long]("out_file") == cum / 65536L,
+          s"${g.getAs[String]("source")}/${g.getAs[String]("lang")}: " +
+            s"file ${g.getAs[Long]("out_file")} vs replay ${cum / 65536L}")
+        cum += g.getAs[Long]("bytes")
+      }
+      // sorted fill: file ids never decrease within a source
+      val fs = inOrder.map(_.getAs[Long]("out_file"))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a <= b })
+    }
+    // bytes recount against the corpus for one group
+    val r0 = rows.minBy(r =>
+      (r.getAs[String]("source"), r.getAs[String]("lang")))
+    val direct = Tables.documents(spark, sf0001)
+      .filter(col("source") === r0.getAs[String]("source") &&
+        col("lang") === r0.getAs[String]("lang"))
+      .agg(sum(col("n_chars"))).first().getLong(0)
+    assert(r0.getAs[Long]("bytes") == direct)
+  }
 }
