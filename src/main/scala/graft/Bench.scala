@@ -93,7 +93,8 @@ object Bench {
     "q167_zorder_audit", "q168_phrase_search", "q169_bfs_reach",
     "q170_bpe_learn", "q171_incremental_rollup", "q174_pit_snapshot",
     "q175_label_propagation", "q176_attribution", "q177_bigram_perplexity",
-    "q178_zipf_audit", "q179_mixture_weights", "q180_compaction_plan")
+    "q178_zipf_audit", "q179_mixture_weights", "q180_compaction_plan",
+    "q181_rfm_features", "q182_item_recs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -175,6 +175,27 @@ object GraphOps {
         .select(col("node").as("p_partkey"), col("lbl").as("community"),
           col("community_size"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // ITEM-ITEM CO-PURCHASE RECOMMENDATIONS — collaborative filtering's
+    // memory-based core: for every part, the top-5 parts most often
+    // bought in the same order, ranked by shared-order count with a
+    // deterministic (count desc, part asc) tiebreak. The affinity
+    // matrix is the weighted co-purchase rollup (shared with q157/q175's
+    // graph derivations through [[orderParts]]); the per-part top-5 is
+    // a window over that bounded pair relation — never over lineitem.
+    "q182_item_recs" -> ((s, d) => {
+      val co = coPurchaseWeighted(s, d)
+      val sym = co.select(col("a").as("p_partkey"), col("b").as("rec"),
+          col("w"))
+        .unionByName(co.select(col("b").as("p_partkey"), col("a").as("rec"),
+          col("w")))
+      val wTop = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("w").desc, col("rec"))
+      sym.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("p_partkey"), col("rk"), col("rec"), col("w"))
+        .orderBy(col("p_partkey"), col("rk"))
     })
   )
 
@@ -237,12 +258,27 @@ object GraphOps {
   /** The canonical part co-purchase edge relation (parts sharing an
     * order, a < b), shared by q157 (triangles) and q175 (label
     * propagation); [[coPurchaseCte]] is its oracle-side twin. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val op = lineitem(s, d)
+  /** Distinct (order, part) incidences — the base both co-purchase
+    * derivations share. */
+  private def orderParts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val op = orderParts(s, d)
     op.alias("x")
       .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+  }
+
+  /** The weighted variant: (a, b, w) with w = number of orders the pair
+    * shares — q182's affinity signal. */
+  private def coPurchaseWeighted(s: SparkSession, d: String): DataFrame = {
+    val op = orderParts(s, d)
+    op.alias("x")
+      .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w"))
   }
 
   private val coPurchaseCte: String =
@@ -451,6 +487,22 @@ object GraphOps {
          SELECT l.node AS p_partkey, l.lbl AS community, s.community_size
          FROM l4 l JOIN sizes s USING (lbl)
          ORDER BY p_partkey"""
-    }
+    },
+
+    "q182_item_recs" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         co AS (
+           SELECT x.p AS a, y.p AS b, count(*) AS w
+           FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+           GROUP BY 1, 2),
+         sym AS (
+           SELECT a AS p_partkey, b AS rec, w FROM co
+           UNION ALL SELECT b, a, w FROM co)
+         SELECT p_partkey, rk, rec, w FROM (
+           SELECT p_partkey, rec, w, row_number() OVER
+             (PARTITION BY p_partkey ORDER BY w DESC, rec) AS rk
+           FROM sym)
+         WHERE rk <= 5 ORDER BY p_partkey, rk"""
   )
 }

@@ -241,6 +241,42 @@ object RelationalQueries {
             transform(col("embedding"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (acc, x) => acc + x)), "l2_norm"))
         .orderBy(col("vec_id"))
+    }),
+
+    // RFM BEHAVIORAL FEATURES — the per-user feature table an ML churn/
+    // segmentation model trains on: recency (seconds since the user's
+    // last event, against the corpus clock), frequency (events + active
+    // days), monetary (summed purchase value, rounded per row before
+    // the sum per the q150 discipline), and the modal event type with a
+    // deterministic (count desc, type asc) tiebreak. ONE user_id
+    // exchange serves the type counts, the mode window, and the feature
+    // rollup (the q164 subset rule); the corpus clock is a 1-row
+    // broadcast.
+    "q181_rfm_features" -> ((s, d) => {
+      val ev = events(s, d)
+      val clock = ev.agg(max(unix_micros(col("ts"))).as("now_us"))
+      val typed = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wMode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      val mode = typed.withColumn("rk", row_number().over(wMode))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"),
+          col("n").as("top_type_n"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(date_trunc("day", col("ts"))).as("n_active_days"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value"), 2)).otherwise(0.0)).as("monetary"))
+        .join(mode, "user_id")
+        .crossJoin(broadcast(clock))
+        .select(col("user_id"), col("n_events"), col("n_active_days"),
+          expr("(now_us - last_us) div 1000000").as("recency_s"),
+          round(col("monetary"), 2).as("monetary"),
+          col("top_type"), col("top_type_n"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -368,6 +404,29 @@ object RelationalQueries {
          round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
          round(sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+
+    "q181_rfm_features" ->
+      """WITH clock AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+         typed AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         mode AS (
+           SELECT user_id, event_type AS top_type, n AS top_type_n FROM (
+             SELECT user_id, event_type, n, row_number() OVER
+               (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+             FROM typed) WHERE rk = 1),
+         feats AS (
+           SELECT user_id, count(*) AS n_events,
+             count(DISTINCT date_trunc('day', ts)) AS n_active_days,
+             max(epoch_us(ts)) AS last_us,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN round(value, 2) ELSE 0.0 END) AS monetary
+           FROM events GROUP BY user_id)
+         SELECT f.user_id, f.n_events, f.n_active_days,
+           (c.now_us - f.last_us) // 1000000 AS recency_s,
+           round(f.monetary, 2) AS monetary, m.top_type, m.top_type_n
+         FROM feats f JOIN mode m USING (user_id) CROSS JOIN clock c
+         ORDER BY f.user_id"""
   )
 }

@@ -139,4 +139,30 @@ class GraphOpsSpec extends TestSpark {
     assert(Set(1L, 2L, 3L).forall(n => lbl(n) <= 3L))
     assert(Set(10L, 11L, 12L).forall(n => lbl(n) >= 10L))
   }
+
+  test("q182 recs: top-5 shape, weights non-increasing, affinity recounts") {
+    val rows = GraphOps.queries("q182_item_recs")(spark, sf0001).collect()
+    rows.groupBy(_.getAs[Long]("p_partkey")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq ==
+        (1 to sorted.length).toSeq, "ranks must be dense from 1")
+      assert(sorted.length <= 5)
+      val ws = sorted.map(_.getAs[Long]("w"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+      assert(!sorted.exists(r =>
+        r.getAs[Long]("rec") == r.getAs[Long]("p_partkey")),
+        "an item must not recommend itself")
+    }
+    // recount one affinity against the raw order-part incidences
+    val r0 = rows.head
+    val (pa, pb) = (r0.getAs[Long]("p_partkey"), r0.getAs[Long]("rec"))
+    val op = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val shared = op.filter(col("l_partkey") === pa)
+      .select(col("l_orderkey"))
+      .intersect(op.filter(col("l_partkey") === pb).select(col("l_orderkey")))
+      .count()
+    assert(r0.getAs[Long]("w") == shared,
+      s"pair ($pa,$pb): w=${r0.getAs[Long]("w")} vs recount $shared")
+  }
 }

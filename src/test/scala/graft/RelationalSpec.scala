@@ -197,4 +197,27 @@ class RelationalSpec extends TestSpark {
     assert(rows.exists(_.getAs[Long]("n_attributed") > 0),
       "fixture must attribute at least one purchase")
   }
+
+  test("q181 RFM features recompute for a sample user; mode ties break asc") {
+    val rows = run("q181_rfm_features").collect()
+    val ev = Tables.events(spark, sf0001)
+    assert(rows.length == ev.select("user_id").distinct().count())
+    val u = rows.head.getAs[Long]("user_id")
+    val mine = ev.filter(col("user_id") === u).collect()
+    val r = rows.find(_.getAs[Long]("user_id") == u).get
+    assert(r.getAs[Long]("n_events") == mine.length.toLong)
+    // recency against the CORPUS clock, not the user's own
+    val nowUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val lastUs = mine.map { x =>
+      val t = x.getAs[java.sql.Timestamp]("ts")
+      // seconds from getTime, sub-second micros from getNanos
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    }.max
+    assert(r.getAs[Long]("recency_s") == (nowUs - lastUs) / 1000000L)
+    // modal type with the (count desc, type asc) tiebreak
+    val counts = mine.groupBy(_.getAs[String]("event_type")).view
+      .mapValues(_.length).toSeq.sortBy { case (t, n) => (-n, t) }
+    assert(r.getAs[String]("top_type") == counts.head._1)
+    assert(r.getAs[Long]("top_type_n") == counts.head._2.toLong)
+  }
 }
