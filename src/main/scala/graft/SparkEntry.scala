@@ -24,9 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * — generational exactly-once refresh per micro-batch, q174 the
   * point-in-time snapshot probing q164's dimension at day boundaries,
   * q167 the Z-order layout audit — Morton-clustered equi-depth files vs
-  * a 1-D sort with second-dimension pruning made visible, q169 k-hop
-  * BFS reachability via delta-frontier iteration, q175
-  * label-propagation communities — the neighbor-label MODE kernel),
+  * a 1-D sort with second-dimension pruning made visible, q180 the
+  * small-files compaction plan — sorted-fill bin packing over the
+  * group-sized rollup, q169 k-hop BFS reachability via delta-frontier
+  * iteration, q175 label-propagation communities — the neighbor-label
+  * MODE kernel, q182 item-item co-purchase recommendations — top-5 by
+  * shared-order count over the bounded pair relation, q176 last-touch
+  * attribution via a conditional running MAX — no self-join, q181 RFM
+  * behavioral features on one user_id exchange, q178 the Zipf-law
+  * audit, q179 temperature-scaled mixture weights),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
@@ -36,7 +42,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * training loop replayed bit-exactly through literal string replace,
   * q118 BPE-budget sequence packing, q114 rolling-hash
   * fingerprinting, q168 exact phrase search — verbatim 2-/3-gram
-  * occurrence counts, map-side with only probe hits shuffling),
+  * occurrence counts, map-side with only probe hits shuffling, q177
+  * bigram-LM perplexity scoring — the CCNet/C4 quality filter),
   * dedup and clustering (q26-q29, q67-q68, q72,
   * q74, q76-q77, q88, q99 stop-shingle LSH, q116/q117/q119 CDC
   * chunk-level dedup: per-doc sharing, duplicate pairs, and the
