@@ -187,15 +187,25 @@ object CustomAgg {
     // bit-exactly. Groups ≤ K are exact by construction.
     "q153_quantile_sketch" -> ((s, d) => {
       val qs = udaf(QuantileSketch)
-      // row key = all four of (orderkey, linenumber, partkey, suppkey):
-      // the synthetic fixture repeats (orderkey, linenumber) pairs, and a
-      // DUPLICATE hash key is dropped by the sketch's set semantics —
-      // the sample stays deterministic only if row keys are unique
+      // row key = (orderkey, linenumber, partkey, suppkey, quantity,
+      // extendedprice): a DUPLICATE hash key is dropped by the sketch's
+      // set semantics while the oracle's row_number keeps both rows, so
+      // the sample stays deterministic only if row keys are unique. The
+      // 4-key prefix alone actually repeats once at sf0.001 (found by
+      // the q160 contract the moment it landed), hence quantity + price
+      // in the key — those doubles render shortest-roundtrip identically
+      // in both engines (integral quantities, 2-decimal money, < 1e7 so
+      // no JVM scientific notation). The assumption is ENFORCED, not
+      // just documented: q160's 'lineitem/rowkey_unique' contract counts
+      // duplicates of exactly this md5 key on both engines, so a fixture
+      // change that repeats the full tuple turns up as a nonzero
+      // violation there
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           qs(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey"))),
+            col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"))),
             col("l_extendedprice")).as("qs"))
         .select(col("l_returnflag"), col("n_rows"),
           col("qs.sample_n").as("sample_n"), col("qs.p25").as("p25"),
@@ -236,7 +246,7 @@ object CustomAgg {
       """WITH h AS (
            SELECT l_returnflag AS grp, l_extendedprice AS val,
              md5(concat_ws(':', l_orderkey, l_linenumber,
-               l_partkey, l_suppkey)) AS hh
+               l_partkey, l_suppkey, l_quantity, l_extendedprice)) AS hh
            FROM lineitem),
          samp AS (
            SELECT grp, val, hh FROM (

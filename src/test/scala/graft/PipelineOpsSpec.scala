@@ -239,7 +239,7 @@ class PipelineOpsSpec extends TestSpark {
       .collect()
     val byKey = rows.map(r =>
       (r.getAs[String]("tbl"), r.getAs[String]("chk")) -> r).toMap
-    assert(byKey.size == 10, s"expected the 10-check matrix, got ${byKey.size}")
+    assert(byKey.size == 11, s"expected the 11-check matrix, got ${byKey.size}")
     assert(rows.forall(r =>
       (r.getAs[Int]("ok") == 1) == (r.getAs[Long]("n_violations") == 0L)),
       "ok must be exactly n_violations == 0")
@@ -251,6 +251,10 @@ class PipelineOpsSpec extends TestSpark {
     // uniqueness checks on the fixture's actual primary keys hold
     assert(byKey(("documents", "doc_id_unique")).getAs[Long]("n_violations") == 0L)
     assert(byKey(("events", "event_id_unique")).getAs[Long]("n_violations") == 0L)
+    // the q153 sketch's row-key uniqueness contract: the 6-column md5
+    // key must be duplicate-free at this SF (the 4-column prefix was NOT
+    // — one repeated tuple at sf0.001, which is why the key widened)
+    assert(byKey(("lineitem", "rowkey_unique")).getAs[Long]("n_violations") == 0L)
   }
 
   test("q162 drift PSI: smoothed shares are a distribution, terms non-negative") {
