@@ -32,7 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shared-order count over the bounded pair relation, q176 last-touch
   * attribution via a conditional running MAX — no self-join, q181 RFM
   * behavioral features on one user_id exchange, q178 the Zipf-law
-  * audit, q179 temperature-scaled mixture weights),
+  * audit, q179 temperature-scaled mixture weights, q183 sketched table
+  * statistics — the ANALYZE profile with KMV NDV and the exact path
+  * kept in-query as its error-bound audit, q184 canonical-URL dedup —
+  * the C4/CCNet crawl pre-step with a real canonicalizer over synthetic
+  * URL variants, q185 per-domain quotas through the TopKPerGroup heap),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -28,6 +28,55 @@ object CorpusCleaning {
   private val emailRe = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.com"
   private val phoneRe = "555-[0-9]{4}"
 
+  /** Deterministic crawl-shaped URL per document (the fixture carries no
+    * URL column, so q184/q185 synthesize one): logical page =
+    * doc_id div 80, variant spelling = (doc_id div 20) % 4 — under the
+    * fixture's source striping (source = doc_id % 20) each page sees
+    * four docs of the SAME source in four URL forms: https+www+trailing
+    * slash, http with utm/ref tracking params, uppercase host with
+    * /index.html, and a genuine ?b=2&a=1 parameter page that
+    * canonicalization must NOT merge into the other three. */
+  private[graft] def syntheticUrl: org.apache.spark.sql.Column = {
+    val page = expr("doc_id div 80").cast("string")
+    val v = expr("(doc_id div 20) % 4")
+    when(v === 0, concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/d"), page, lit("/")))
+      .when(v === 1, concat(lit("http://"), col("source"),
+        lit(".example.com/docs/d"), page, lit("?utm_source=feed&ref=rss")))
+      .when(v === 2, concat(lit("HTTPS://"),
+        upper(concat(col("source"), lit(".example.com"))),
+        lit("/docs/d"), page, lit("/index.html")))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".example.com/docs/d"), page, lit("?b=2&a=1")))
+  }
+
+  /** Registered domain of a URL: lowercased host, leading `www.`
+    * stripped — the q185 quota key. */
+  private[graft] def urlDomain(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    lower(regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://([^/?]+)", 1), "^www\\.", ""))
+
+  /** Canonical URL — the C4/CCNet normalization chain, all map-side:
+    * lowercase host minus `www.`, path minus default documents
+    * (`/index.html`) and the trailing slash, query minus tracking params
+    * (`utm_*`, `ref`, `fbclid`, `gclid`) with the survivors sorted so
+    * parameter ORDER never splits a page. Scheme is dropped entirely
+    * (http ≡ https for identity purposes). Every regex is
+    * alternation-unambiguous so Java regex and DuckDB's RE2 match
+    * byte-identically. */
+  private[graft] def canonicalUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?]+([^?]*)", 1),
+      "(/index\\.html|/)$", "")
+    val q = array_join(array_sort(filter(
+      split(regexp_extract(url, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)="))), "&")
+    concat(urlDomain(url), path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** THE per-doc cleaning verdict — q79's C4/Gopher-style rule chain
     * (exact-dup canonical, length floor, stopword-ratio quality floor,
     * language-ID agreement), factored out so the rollup (q79) and the
@@ -241,6 +290,58 @@ object CorpusCleaning {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // CANONICAL-URL DEDUP KEEP-LIST — the C4/CCNet pre-step (Raffel et
+    // al. 2020 §2.1; Wenzek et al. 2020 §3: URL-level dedup precedes
+    // content dedup because it is free): the same logical page arrives
+    // under scheme/case/www/tracking-param/trailing-slash variants, and
+    // canonicalization collapses them BEFORE any text is touched. The
+    // fixture has no URL column, so [[syntheticUrl]] derives a
+    // deterministic crawl-shaped URL per doc (four variant forms per
+    // logical page — https+www+slash, http+utm/ref params,
+    // uppercase-host+index.html, and a genuine ?b=2&a=1 param page that
+    // canonicalization must NOT merge); [[canonicalUrl]] is the real
+    // operator: lowercase host, strip www., drop default documents and
+    // the trailing slash, remove tracking params (utm_*/ref/fbclid/
+    // gclid), sort what remains. Everything is map-side string work in
+    // codegen; the ONLY shuffle is the canonical-keyed rollup — linear,
+    // hash-keyed, no pairwise path, the same shape as q26's exact dedup.
+    "q184_url_canonical_dedup" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), col("source"), syntheticUrl.as("url"))
+        .select(col("doc_id"), col("source"),
+          canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_variants"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // PER-DOMAIN QUOTA — the companion governance cap (C4 keeps ≤ a
+    // fixed share per domain so one mega-site cannot dominate the mix;
+    // CCNet buckets by domain for the same reason): at most 30 docs per
+    // registered domain, selected by the deterministic md5(doc_id) coin
+    // (q61's hash-sampling discipline — uniform, replayable, no RNG
+    // state). Same skew-safe plan as q95: the TopKPerGroup heap cuts
+    // every domain to its quota in one streaming pass — a mega-domain
+    // with 10^9 pages never single-task-sorts — and the rank window only
+    // numbers the ≤30 survivors on the heap's own partitioning; the
+    // 20-row domain totals broadcast back in.
+    "q185_domain_quota" -> ((s, d) => {
+      val rel = documents(s, d)
+        .select(col("doc_id"), syntheticUrl.as("url"))
+        .select(col("doc_id"), urlDomain(col("url")).as("domain"),
+          md5(col("doc_id").cast("string")).as("hkey"))
+      val totals = rel.groupBy(col("domain")).agg(count(lit(1)).as("n_total"))
+      val top = graft.plans.TopKPerGroup.topK(rel,
+        Seq("domain"), Seq("hkey" -> true, "doc_id" -> true), k = 30)
+      val w = Window.partitionBy(col("domain")).orderBy(col("hkey"), col("doc_id"))
+      top.withColumn("rk", row_number().over(w))
+        .join(broadcast(totals), "domain")
+        .select(col("domain"), col("rk"), col("doc_id"), col("n_total"))
+        .orderBy(col("domain"), col("rk"))
+    }),
+
     // PMI-scored bigram collocations over the corpus, from ONE corpus
     // pass: every token occurrence emits exactly one (w, successor) pair
     // (successor null for a doc's last token) in a typed map pass (same
@@ -339,7 +440,52 @@ object CorpusCleaning {
                   ELSE 'keep' END AS reason
            FROM stats)"""
 
+  /** The q184/q185 URL synth + canonicalization as DuckDB SQL — kept as
+    * named fragments so both oracles read the one definition (the
+    * cdcBoundaryPositions no-drift precedent). */
+  private val UrlSynthSql = """
+    CASE (doc_id // 20) % 4
+      WHEN 0 THEN 'https://www.' || source || '.example.com/docs/d'
+        || (doc_id // 80) || '/'
+      WHEN 1 THEN 'http://' || source || '.example.com/docs/d'
+        || (doc_id // 80) || '?utm_source=feed&ref=rss'
+      WHEN 2 THEN 'HTTPS://' || upper(source || '.example.com')
+        || '/docs/d' || (doc_id // 80) || '/index.html'
+      ELSE 'https://' || source || '.example.com/docs/d'
+        || (doc_id // 80) || '?b=2&a=1'
+    END"""
+  private val UrlDomainSql = """
+    lower(regexp_replace(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1),
+      '^www\.', ''))"""
+  private val UrlQuerySql = """array_to_string(list_sort(list_filter(
+    string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+    '&')"""
+  private val UrlCanonSql = s"""
+    $UrlDomainSql
+    || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+         '(/index\\.html|/)$$', '')
+    || CASE WHEN $UrlQuerySql <> '' THEN '?' || $UrlQuerySql ELSE '' END"""
+
   val oracles: Map[String, String] = Map(
+    "q184_url_canonical_dedup" ->
+      s"""WITH u AS (SELECT doc_id, source, $UrlSynthSql AS url
+             FROM documents),
+         c AS (SELECT doc_id, source, $UrlCanonSql AS canonical_url FROM u)
+         SELECT canonical_url, min(doc_id) AS keeper,
+           count(*) AS n_variants, count(DISTINCT source) AS n_sources
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
+    "q185_domain_quota" ->
+      s"""WITH u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+         c AS (SELECT doc_id, $UrlDomainSql AS domain FROM u),
+         t AS (SELECT domain, count(*) AS n_total FROM c GROUP BY domain),
+         r AS (SELECT domain, doc_id,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+           FROM c)
+         SELECT r.domain, r.rk, r.doc_id, t.n_total
+         FROM r JOIN t USING (domain) WHERE rk <= 30
+         ORDER BY domain, rk""",
     "q78_pii_redact" ->
       """WITH pii AS (
            SELECT doc_id,

@@ -535,4 +535,62 @@ class CorpusCleaningSpec extends TestSpark {
     val cnts = got.map(_._5)
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("url canonicalization: variants collapse, the real-param page survives, nothing is lost") {
+    import org.apache.spark.sql.Row
+    val rows = CorpusCleaning.queries("q184_url_canonical_dedup")(spark, sf0001)
+      .collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // partition property: every doc lands in exactly one canonical group
+    assert(rows.map(_.getAs[Long]("n_variants")).sum == nDocs,
+      "canonical groups must partition the corpus")
+    // the three spelled variants (www+slash / utm+ref / UPPER+index.html)
+    // collapse; the ?b=2&a=1 page must NOT merge with them, and its
+    // params come out SORTED (a=1&b=2)
+    val multi = rows.filter(_.getAs[Long]("n_variants") > 1)
+    assert(multi.nonEmpty && multi.forall(_.getAs[Long]("n_variants") == 3),
+      "expected exactly the 3-variant collapse groups")
+    assert(rows.exists(_.getAs[String]("canonical_url").endsWith("?a=1&b=2")),
+      "real params must survive, sorted")
+    assert(rows.forall { r =>
+      val u = r.getAs[String]("canonical_url")
+      val host = u.takeWhile(c => c != '/' && c != '?')
+      !u.contains("utm_") && !u.contains("www.") && !u.contains("index.html") &&
+        !u.contains("://") && host == host.toLowerCase
+    }, "canonical forms must be scheme-less, lowercase-host, tracking-free")
+    // direct recount: the keeper is the minimum doc_id of its group
+    val direct = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        CorpusCleaning.syntheticUrl.as("url"))
+      .select(col("doc_id"), CorpusCleaning.canonicalUrl(col("url")).as("c"))
+      .groupBy(col("c")).agg(org.apache.spark.sql.functions.min("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keeper") ==
+        direct(r.getAs[String]("canonical_url")))
+    }
+  }
+
+  test("domain quota: caps respected, ranks dense, totals honest, heap in the plan") {
+    val df = CorpusCleaning.queries("q185_domain_quota")(spark, sf0001)
+    val rows = df.collect()
+    val byDomain = rows.groupBy(_.getAs[String]("domain"))
+    byDomain.foreach { case (dom, rs) =>
+      assert(rs.length <= 30, s"$dom exceeds the quota: ${rs.length}")
+      val rks = rs.map(_.getAs[Int]("rk")).sorted
+      assert(rks.sameElements(1 to rs.length), s"$dom ranks not dense")
+      // a domain under quota keeps everything; one over it keeps exactly 30
+      val total = rs.head.getAs[Long]("n_total")
+      assert(rs.length == math.min(30L, total))
+    }
+    // n_total is the real corpus count per domain
+    assert(byDomain.values.map(_.head.getAs[Long]("n_total")).sum ==
+      Tables.documents(spark, sf0001).count())
+    // the skew-safe shape: the per-domain cut is the heap operator, not a
+    // full per-domain sort
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("TopKPerGroup".r.findAllIn(plan).size >= 2,
+      s"expected partial+final TopKPerGroupExec:\n${plan.take(3000)}")
+  }
 }

@@ -257,6 +257,39 @@ class PipelineOpsSpec extends TestSpark {
     assert(byKey(("lineitem", "rowkey_unique")).getAs[Long]("n_violations") == 0L)
   }
 
+  test("q183 sketched stats: every estimate in bound, exact below K is exact, scan-bound plan") {
+    val df = PipelineOps.queries("q183_table_stats_sketch")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 16, "16 profiled (table, column) rows")
+    // the audit holds everywhere: the KMV estimate is within 25 % of the
+    // exact NDV for every column at this SF
+    assert(rows.forall(_.getAs[Int]("within_bound") == 1),
+      rows.filter(_.getAs[Int]("within_bound") == 0).mkString("; "))
+    rows.foreach { r =>
+      val (kUsed, est, exact) = (r.getAs[Long]("k_used"),
+        r.getAs[Double]("est_ndv"), r.getAs[Long]("exact_ndv"))
+      // a column with fewer than K distinct values is EXACT by
+      // construction (the sketch holds every key)
+      if (kUsed < 256) assert(est == exact.toDouble && kUsed == exact,
+        s"${r.getAs[String]("col_name")}: under-K estimate must be exact")
+      else assert(math.abs(est - exact) <= exact * 0.25)
+    }
+    // cross-check one estimate against the shared single-relation KMV
+    // estimator (q110's kmvEstimate) on the same key stream — one
+    // arithmetic, no drift between the grouped and global paths
+    val evHashes = {
+      import spark.implicits._
+      Tables.events(spark, sf0001)
+        .select(md5(col("event_id").cast("string")).as("h")).as[String]
+    }
+    val global = graft.functions.TextQueries.kmvEstimate(evHashes, 256)
+      .collect()(0).getAs[Double]("est_distinct")
+    val grouped = rows.find(r => r.getAs[String]("tbl") == "events" &&
+      r.getAs[String]("col_name") == "event_id").get.getAs[Double]("est_ndv")
+    assert(global == grouped,
+      s"grouped KMV ($grouped) diverged from kmvEstimate ($global)")
+  }
+
   test("q162 drift PSI: smoothed shares are a distribution, terms non-negative") {
     val rows = PipelineOps.queries("q162_drift_psi")(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("bucket")).sorted.sameElements(0L to 7L),
