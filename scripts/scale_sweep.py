@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Round-11 scale-growth smoke (VERDICT r10 ask #6): run the adaptivity-
+sensitive headline queries at 1x (sf0.1), 3x and 10x corpus size (fixtures
+from make_scale_fixtures.py), record per-query runtimes and the derived
+adaptive constants, and fit the growth exponent per query. Dev-side
+tooling — NOT part of the library runtime; drives the same graft.Bench
+main the round driver runs.
+
+Usage: scale_sweep.py            (expects scratch/scale/x{3,10} to exist)
+"""
+import json, math, os, shutil, subprocess
+
+ROOT = "/root/repo"
+DIRS = [("x1", 1, "/root/testdata/sf0.1"),
+        ("x3", 3, f"{ROOT}/scratch/scale/x3"),
+        ("x10", 10, f"{ROOT}/scratch/scale/x10")]
+# the adaptivity-sensitive subset of the bench headline: MinHash-LSH
+# banding + df caps (q27), hyperplane LSH plane count (q102), BPE encode
+# memo (q115), positional-gram df caps (q120), IVF sqrt(n) centroids +
+# PQ codes (q131), the distributed vocab rank (q178, q189), the novelty
+# curve's gram rollups (q186)
+ONLY = "q27_,q102_,q115_,q120_,q131_,q178_,q186_,q189_"
+
+import duckdb
+con = duckdb.connect()
+
+def constants(d):
+    nd = con.execute(f"SELECT count(*) FROM '{d}/documents.parquet'").fetchone()[0]
+    nv = con.execute(f"SELECT count(*) FROM '{d}/embeddings.parquet'").fetchone()[0]
+    p = 1
+    while p < 24 and (8 << p) < nv:
+        p += 1
+    return {"n_docs": nd, "n_vecs": nv,
+            "df_cap": max(5, nd // 10),                      # Dedup.stopShingleFiltered
+            "ivf_k": max(16, math.ceil(math.sqrt(nv))),      # Similarity.ivfK
+            "lsh_planes": max(4, p)}                         # Similarity.lshNPlanes
+
+results = {}
+for tag, scale, d in DIRS:
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": d, "SPARK_GRAFT_CPUS": "32",
+           "SPARK_GRAFT_BENCH_ONLY": ONLY}
+    print(f"=== {tag} ({d}) ===", flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=ROOT,
+                   env=env, check=True,
+                   stdout=open(f"/tmp/sweep_{tag}.log", "w"),
+                   stderr=subprocess.STDOUT)
+    full = json.load(open(f"{ROOT}/bench_logs/bench_full_last.json"))
+    results[tag] = {"scale": scale, "dir": d, "constants": constants(d),
+                    "queries": full["queries"], "runs": full.get("runs", {}),
+                    "loadavg_before": full.get("loadavg_before"),
+                    "loadavg_after": full.get("loadavg_after")}
+    shutil.copyfile(f"{ROOT}/bench_logs/bench_full_last.json",
+                    f"/tmp/sweep_full_{tag}.json")
+
+# growth exponent per query: t ~ n^alpha fitted on the x1 -> x10 span
+# (and x1 -> x3 as the short-span cross-check)
+expo = {}
+for q in results["x1"]["queries"]:
+    t1 = results["x1"]["queries"][q]
+    t3 = results["x3"]["queries"].get(q, -1)
+    t10 = results["x10"]["queries"].get(q, -1)
+    if t1 > 0 and t10 > 0:
+        expo[q] = {"t_x1": t1, "t_x3": t3, "t_x10": t10,
+                   "alpha_x10": round(math.log(t10 / t1) / math.log(10), 3),
+                   "alpha_x3": round(math.log(t3 / t1) / math.log(3), 3)
+                   if t3 > 0 else None}
+
+out = {"only": ONLY, "scales": results, "exponents": expo}
+path = f"{ROOT}/bench_logs/scale_sweep_r11.json"
+json.dump(out, open(path, "w"), indent=1)
+print(json.dumps(expo, indent=1))
+print(f"wrote {path}")

@@ -99,7 +99,11 @@ object Bench {
     // exact-Expand vs bounded-KMV cost gap is visible in one artifact)
     // and the domain-governance pair
     "q183_table_stats_sketch", "q184_url_canonical_dedup",
-    "q185_domain_quota")
+    "q185_domain_quota",
+    // round 11 continuation: corpus-growth/governance audits (novelty
+    // curve, HRW shard rebalance, leakage-safe split, vocab coverage)
+    "q186_ngram_novelty", "q187_rendezvous_shards",
+    "q188_leakage_safe_split", "q189_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,13 +260,14 @@ object Bench {
       "relational" -> Seq("q01_", "q02_", "q04_", "q07_", "q12_", "q158_",
         "q161_", "q164_", "q165_", "q174_", "q176_", "q181_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
-        "q170_", "q177_", "q178_", "q179_"),
+        "q170_", "q177_", "q178_", "q179_", "q189_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
         "q127_", "q129_", "q133_", "q134_", "q139_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",
         "q155_"),
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
-        "q144_", "q160_", "q162_"),
+        "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
+        "q188_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_"),

@@ -36,7 +36,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * statistics — the ANALYZE profile with KMV NDV and the exact path
   * kept in-query as its error-bound audit, q184 canonical-URL dedup —
   * the C4/CCNet crawl pre-step with a real canonicalizer over synthetic
-  * URL variants, q185 per-domain quotas through the TopKPerGroup heap),
+  * URL variants, q185 per-domain quotas through the TopKPerGroup heap,
+  * q186 the n-gram novelty curve — per-ingestion-batch new/cumulative
+  * gram vocabulary, q187 the rendezvous-hash shard-rebalance audit —
+  * HRW owners at 8 vs 9 shards, only ~1/9 of keys move, q188 the
+  * leakage-safe split — q140's content-hash folds with near-dup
+  * (j ≥ 0.8) train docs quarantined away from eval, q189 the
+  * vocab-coverage/OOV curve over the distributed vocabulary rank),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
@@ -119,6 +125,7 @@ object SparkEntry {
     operators.ExtendedQueries.queries ++
       operators.PipelineOps.queries ++
       operators.CorpusCleaning.queries ++
+      operators.CurationAudits.queries ++
       operators.StorageOps.queries ++
       operators.SignatureStore.queries ++
       operators.AnnIndexStore.queries ++
@@ -149,6 +156,7 @@ object SparkEntry {
     operators.ExtendedQueries.oracles ++
       operators.PipelineOps.oracles ++
       operators.CorpusCleaning.oracles ++
+      operators.CurationAudits.oracles ++
       operators.StorageOps.oracles ++
       operators.SignatureStore.oracles ++
       operators.AnnIndexStore.oracles ++

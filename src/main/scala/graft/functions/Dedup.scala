@@ -814,7 +814,7 @@ object Dedup {
   /** Connected-component labels over the verified near-dup pair graph
     * (jaccard ≥ 0.8): [[connectedComponents]] over q27's verified pairs,
     * cached per (session, dataset). */
-  private def nearDupLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def nearDupLabels(s: SparkSession, d: String): DataFrame =
     cachedComponents(s, d) {
       val sh = sharedShingles(s, d)
       verifyJaccardWith(
@@ -896,7 +896,7 @@ object Dedup {
   /** Shared CTE block: documents → shingles → pairwise intersection
     * counts (reused by the exact-Jaccard oracle and q72's clustering
     * oracle). */
-  private val shingleCtes: String =
+  private[graft] val shingleCtes: String =
       """t AS (
            SELECT doc_id,
              list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks

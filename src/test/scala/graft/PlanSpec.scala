@@ -396,6 +396,35 @@ class PlanSpec extends TestSpark {
     }
   }
 
+  test("q186-q189 governance audits: no unpartitioned window anywhere") {
+    // the round-11 wave inherits q178's discipline: q189 rides the same
+    // two-phase distributed rank; q186/q187/q188 use no windows at all —
+    // so NO WindowExec in any of their plans may have an empty partition
+    // spec (= whole relation on one task at scale).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(allNodes)) ++ p.subqueries.flatMap(allNodes)
+    }
+    Seq("q186_ngram_novelty", "q187_rendezvous_shards",
+      "q188_leakage_safe_split", "q189_vocab_coverage").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      allNodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+        .foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name: unpartitioned window in the plan:\n${w.toString.take(400)}")
+        }
+    }
+  }
+
   test("q182 item recs: per-part top-5 runs through TopKPerGroupExec") {
     // round-10 judge ask #5: the bounded-k cut must be the heap operator
     // (partial pre-cut before the exchange, no per-group sort); the rank
