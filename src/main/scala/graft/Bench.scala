@@ -103,7 +103,10 @@ object Bench {
     // round 11 continuation: corpus-growth/governance audits (novelty
     // curve, HRW shard rebalance, leakage-safe split, vocab coverage)
     "q186_ngram_novelty", "q187_rendezvous_shards",
-    "q188_leakage_safe_split", "q189_vocab_coverage")
+    "q188_leakage_safe_split", "q189_vocab_coverage",
+    // q190 stream-novelty stays out: its batch twin q186 carries the
+    // family's timing (the q173/q171 streaming-MV precedent)
+    "q191_entity_resolution", "q192_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -267,7 +270,7 @@ object Bench {
         "q155_"),
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
-        "q188_"),
+        "q188_", "q191_", "q192_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_"),

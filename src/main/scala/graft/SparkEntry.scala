@@ -42,7 +42,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * HRW owners at 8 vs 9 shards, only ~1/9 of keys move, q188 the
   * leakage-safe split — q140's content-hash folds with near-dup
   * (j ≥ 0.8) train docs quarantined away from eval, q189 the
-  * vocab-coverage/OOV curve over the distributed vocabulary rank),
+  * vocab-coverage/OOV curve over the distributed vocabulary rank, q190
+  * the STREAMING novelty monitor — per-micro-batch new-gram rates
+  * against the persisted gram store, the crawler-loop alarm, q191
+  * entity resolution — edit-distance-1 record linkage by FastSS
+  * deletion-neighborhood blocking, hash-join candidates + levenshtein
+  * verify, never all-pairs, q192 Efraimidis–Spirakis weighted
+  * sampling — per-source quality-weighted top-k with bit-exact
+  * sqrt-chain priorities through the TopKPerGroup heap),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Round-11 wave: corpus-growth and serving-governance audits — the
   * reports a data team reads BEFORE committing a crawl batch to the
@@ -56,6 +57,68 @@ object CurationAudits {
       .cast("long") % 10
     when(h4 < 8, "train").when(h4 === 8, "val").otherwise("test")
   }
+
+  /** Schema of the q190 gram store: 64-bit (16-hex md5) gram keys —
+    * q120/q137's key discipline, so gram TEXT never lands on disk —
+    * partitioned by the batch that first saw them. */
+  private val gramStoreSchema = new StructType()
+    .add("gh", "string").add("batch_id", "long")
+
+  private val noveltySinkSchema = new StructType()
+    .add("n_docs", "long").add("grams_seen", "long")
+    .add("new_grams", "long").add("batch_id", "long")
+
+  /** Distinct 16-hex gram keys of a document batch — one map-side
+    * shingle pass (shared tokenizer/trigram contract via
+    * [[graft.functions.Dedup.shinglesOfDocs]]), keys deduped. */
+  private def batchGramKeys(s: SparkSession, batch: DataFrame): DataFrame =
+    graft.functions.Dedup.shinglesOfDocs(s, batch)
+      .select(explode(col("shingles")).as("sgl"))
+      .select(substring(md5(col("sgl")), 1, 16).as("gh"))
+      .distinct()
+
+  /** One micro-batch of the streaming novelty monitor (q190), factored
+    * so CurationAuditsSpec can drive the SAME body over a checkpointed
+    * two-file stream: count the batch's distinct grams, anti-join
+    * against every EARLIER batch's store partitions (batch_id < id —
+    * partition-pruned, and replay-safe: a replayed batch never sees its
+    * own previous output), land the one-row summary and the fresh gram
+    * keys in batch partitions under dynamic overwrite (the q82
+    * exactly-once contract: a replayed batch replaces exactly its own
+    * partitions). Per-batch cost: one gram pass over the batch + a
+    * hash-keyed join against the store — linear, nothing doc-pairwise;
+    * the three scalar counts are 1-row aggregates over the persisted
+    * batch relations. */
+  private[graft] def noveltyBatch(s: SparkSession, batch: DataFrame,
+      id: Long, storeDir: String, sinkDir: String): Unit = {
+    import s.implicits._
+    val store = s.read.schema(gramStoreSchema).parquet(storeDir)
+      .filter(col("batch_id") < id)
+    val bg = batchGramKeys(s, batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fresh = bg.join(store.select(col("gh")), Seq("gh"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Seq((batch.count(), bg.count(), fresh.count(), id))
+          .toDF("n_docs", "grams_seen", "new_grams", "batch_id")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sinkDir)
+        fresh.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storeDir)
+      } finally { fresh.unpersist(); () }
+    } finally { bg.unpersist(); () }
+  }
+
+  /** Hard-reset a batch-partitioned scratch table to empty (static
+    * overwrite drops ALL partitions — a re-invocation in the same
+    * session must not admit against a previous run's store). */
+  private def resetTable(s: SparkSession, schema: StructType,
+      dir: String): Unit =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id").parquet(dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // N-GRAM NOVELTY CURVE — per ingestion batch (50 equal doc_id
@@ -141,6 +204,127 @@ object CurationAudits {
             coalesce(col("tainted"), lit(false)), "quarantine")
             .otherwise(col("fold")).as("fold"))
         .orderBy(col("doc_id"))
+    }),
+
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT — per-source quality-
+    // weighted subsampling by the Efraimidis–Spirakis A-ES scheme
+    // (priority = u^(1/w), keep the k largest per stratum): the
+    // principled "sample the mixture, favor quality" primitive behind
+    // corpus down-sampling, where mod-coin quotas (q95/q185) cannot
+    // express weights. Everything is deterministic and REPLAYABLE:
+    // u is a 52-bit content-hash fold mapped to [0,1) (exact in a
+    // double), weights are the powers {1,2,4} so u^(1/w) is a sqrt
+    // CHAIN — sqrt is IEEE-correctly-rounded on both engines, so
+    // priorities are bit-identical and the top-k selection cannot
+    // diverge (an exp/ln-based pow would not give that guarantee).
+    // Plan: priorities are map-side; the per-source top-10 runs through
+    // the TopKPerGroupExec heap (partial pre-cut, no per-group sort);
+    // the rank window numbers only the ≤10 survivors.
+    "q192_weighted_sample" -> ((s, d) => {
+      val u = conv(substring(md5(col("text")), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0)
+      val wgt = when(col("n_chars") >= 400, 4L)
+        .when(col("n_chars") >= 250, 2L).otherwise(1L)
+      val keyed = documents(s, d).select(col("doc_id"), col("source"),
+        wgt.as("w"),
+        when(wgt === 4L, sqrt(sqrt(u)))
+          .when(wgt === 2L, sqrt(u)).otherwise(u).as("key"))
+      val top = graft.plans.TopKPerGroup.topK(keyed,
+        Seq("source"), Seq("key" -> false, "doc_id" -> true), k = 10)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))
+      top.withColumn("rk", row_number().over(win).cast("long"))
+        .select(col("source"), col("rk"), col("doc_id"), col("w"),
+          round(col("key"), 6).as("priority"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // ENTITY RESOLUTION via deletion-neighborhood blocking (FastSS,
+    // Bocek et al. 2007) — the record-linkage operator a curation
+    // pipeline runs on misspelled entity references: probes are
+    // deterministic single-character deletions of customer names
+    // (every 7th customer, deletion position keyed by custkey); each
+    // CANONICAL name is indexed under its identity + all single-
+    // deletion variants (16-hex md5 keys, ~len+1 slim rows per entity,
+    // map-side), so an edit-distance-1 probe finds its candidates by
+    // EXACT hash join — never an all-pairs or per-pair edit-distance
+    // scan; levenshtein verifies candidates and the deterministic
+    // (dist, custkey) argmin resolves ambiguity (a digit-run deletion
+    // can legitimately match several entities — n_candidates reports
+    // it). Candidate fan-out per probe is bounded by the name's
+    // deletion neighborhood, independent of corpus size.
+    "q191_entity_resolution" -> ((s, d) => {
+      val names = customer(s, d).select(col("c_custkey"), col("c_name"))
+      val probes = names.filter(col("c_custkey") % 7 === 0)
+        .withColumn("pos",
+          (col("c_custkey") % length(col("c_name"))).cast("int"))
+        .select((col("c_custkey") + 10000000L).as("probe_id"),
+          expr("concat(substr(c_name, 1, pos), substr(c_name, pos + 2))")
+            .as("probe_name"))
+      val canon = names
+        .select(col("c_custkey"), col("c_name"),
+          explode(expr("""array_union(array(c_name),
+            transform(sequence(1, length(c_name)),
+              i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))))"""))
+            .as("v"))
+        .select(col("c_custkey"), col("c_name"),
+          substring(md5(col("v")), 1, 16).as("vh"))
+        .distinct()
+      val cands = probes
+        .withColumn("ph", substring(md5(col("probe_name")), 1, 16))
+        .join(canon, col("ph") === col("vh"))
+        .withColumn("dist",
+          levenshtein(col("probe_name"), col("c_name")).cast("long"))
+        .filter(col("dist") <= 1)
+      cands.groupBy(col("probe_id"))
+        .agg(min(struct(col("dist"), col("c_custkey"))).as("best"),
+          countDistinct(col("c_custkey")).as("n_candidates"))
+        .select(col("probe_id"), col("best.c_custkey").as("match_custkey"),
+          col("best.dist").as("dist"), col("n_candidates"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // STREAMING NOVELTY MONITOR — q186's curve as an ingestion-time
+    // signal (the sixth streaming-admission path after q130/q138/q139/
+    // q149/q173): documents ARRIVE as a stream; each micro-batch counts
+    // its distinct trigram keys against the persisted gram store (all
+    // earlier batches), lands a one-row novelty summary exactly-once,
+    // and appends its fresh grams so the NEXT batch sees them — a
+    // crawler stuck in a loop shows up as novelty_rate collapsing while
+    // doc volume holds. Sequential multi-batch semantics (batch N+1's
+    // novelty measured against N's store; restart admits nothing twice)
+    // are pinned by CurationAuditsSpec on a checkpointed two-file
+    // stream; bounded single-file replay = one batch, which the oracle
+    // replays directly. At 100 TB the exact gram store would swap for a
+    // KMV/Bloom sketch (q110's operator) — the exact store is what
+    // makes the oracle bit-exact, and its join is hash-keyed on 64-bit
+    // keys, linear, partition-pruned to earlier batches.
+    "q190_stream_novelty" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val storeDir = graft.Tables.scratchDir(s, "q190_store_" + tag)
+      val sinkDir = graft.Tables.scratchDir(s, "q190_sink_" + tag)
+      resetTable(s, gramStoreSchema, storeDir)
+      resetTable(s, noveltySinkSchema, sinkDir)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            noveltyBatch(s, batch, id, storeDir, sinkDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.schema(noveltySinkSchema).parquet(sinkDir)
+        .select(col("batch_id"), col("n_docs"), col("grams_seen"),
+          col("new_grams"),
+          when(col("grams_seen") === 0, lit(0.0))
+            .otherwise(round(col("new_grams") /
+              col("grams_seen").cast("double"), 6)).as("novelty_rate"))
+        .orderBy(col("batch_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +421,91 @@ object CurationAudits {
              (SELECT cluster_id FROM tainted) THEN 'quarantine'
              ELSE f.fold END AS fold
          FROM folds f LEFT JOIN labels l USING (doc_id)
-         ORDER BY f.doc_id""")
+         ORDER BY f.doc_id""",
+
+    // the 52-bit hex fold (q140's technique widened to 13 chars), the
+    // same sqrt-chain priorities, row_number replay of the heap top-10
+    "q192_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(md5(text), 1, 13), '')]),
+               (a, x) -> a * 16 + x) / 4503599627370496.0 AS u,
+             CASE WHEN n_chars >= 400 THEN 4::BIGINT
+               WHEN n_chars >= 250 THEN 2::BIGINT
+               ELSE 1::BIGINT END AS w
+           FROM documents),
+         k AS (
+           SELECT doc_id, source, w,
+             CASE WHEN w = 4 THEN sqrt(sqrt(u))
+               WHEN w = 2 THEN sqrt(u) ELSE u END AS key
+           FROM h),
+         r AS (
+           SELECT source, doc_id, w, key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY key DESC, doc_id) AS rk
+           FROM k)
+         SELECT source, rk, doc_id, w, round(key, 6) AS priority
+         FROM r WHERE rk <= 10 ORDER BY source, rk""",
+
+    // the deletion-neighborhood index replayed with an i = 0..len
+    // unnest (i = 0 is the identity variant), the same 16-hex keys,
+    // levenshtein verify, and the (dist, custkey) argmin as a window
+    "q191_entity_resolution" ->
+      """WITH names AS (SELECT c_custkey, c_name FROM customer),
+         probes AS (
+           SELECT c_custkey + 10000000 AS probe_id,
+             substr(c_name, 1, (c_custkey % length(c_name))::INT)
+               || substr(c_name, (c_custkey % length(c_name))::INT + 2)
+               AS probe_name
+           FROM names WHERE c_custkey % 7 = 0),
+         vars AS (
+           SELECT c_custkey, c_name,
+             unnest(range(0, length(c_name) + 1)) AS i
+           FROM names),
+         canon AS (
+           SELECT DISTINCT c_custkey, c_name,
+             substr(md5(CASE WHEN i = 0 THEN c_name
+               ELSE substr(c_name, 1, i::INT - 1) || substr(c_name, i::INT + 1)
+               END), 1, 16) AS vh
+           FROM vars),
+         cands AS (
+           SELECT pr.probe_id, c.c_custkey,
+             levenshtein(pr.probe_name, c.c_name) AS dist
+           FROM probes pr
+           JOIN canon c ON substr(md5(pr.probe_name), 1, 16) = c.vh
+           WHERE levenshtein(pr.probe_name, c.c_name) <= 1),
+         agg AS (
+           SELECT probe_id, count(DISTINCT c_custkey) AS n_candidates
+           FROM cands GROUP BY probe_id),
+         best AS (
+           SELECT probe_id, c_custkey AS match_custkey, CAST(dist AS BIGINT) AS dist
+           FROM (
+             SELECT probe_id, c_custkey, dist, row_number()
+               OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rk
+             FROM cands) WHERE rk = 1)
+         SELECT b.probe_id, b.match_custkey, b.dist, a.n_candidates
+         FROM best b JOIN agg a USING (probe_id)
+         ORDER BY b.probe_id""",
+
+    // bounded single-file replay = ONE micro-batch (id 0) against an
+    // empty store: every distinct 16-hex gram key is fresh
+    "q190_stream_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, s FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+             FROM t WHERE len(toks) >= 3)),
+         g AS (SELECT DISTINCT substr(md5(s), 1, 16) AS gh FROM sh)
+         SELECT 0::BIGINT AS batch_id,
+           (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM g) AS grams_seen,
+           (SELECT count(*) FROM g) AS new_grams,
+           CASE WHEN (SELECT count(*) FROM g) = 0 THEN 0.0
+             ELSE 1.0 END AS novelty_rate""")
 }

@@ -86,6 +86,131 @@ class CurationAuditsSpec extends TestSpark {
       raw(doc) == "train" || f == raw(doc) })
   }
 
+  test("q192 weighted sample: per-source top-10, weights actually bias selection") {
+    val df = CurationAudits.queries("q192_weighted_sample")(spark, sf0001)
+    val r = df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
+      "q192's per-source cut must run through the heap operator")
+    val bySource = r.groupBy(_.getString(0))
+    val corpusPerSource = Tables.documents(spark, sf0001)
+      .groupBy(col("source")).count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(bySource.keySet == corpusPerSource.keySet,
+      "every source must be sampled")
+    bySource.foreach { case (src, rows) =>
+      val k = math.min(10L, corpusPerSource(src))
+      assert(rows.length == k, s"$src: ${rows.length} rows, expected $k")
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to k),
+        s"$src: ranks not contiguous")
+      assert(rows.map(_.getLong(2)).distinct.length == rows.length,
+        s"$src: duplicate doc sampled")
+      // priorities are non-increasing in rank
+      val pr = rows.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(pr.zip(pr.tail).forall { case (a, b) => a >= b },
+        s"$src: priorities not sorted")
+    }
+    // A-ES selects proportionally to weight: the sampled docs' mean
+    // weight must exceed the corpus mean (deterministic on the fixture)
+    val sampledMeanW = r.map(_.getLong(3)).sum.toDouble / r.length
+    val corpusMeanW = Tables.documents(spark, sf0001)
+      .select(avg(when(col("n_chars") >= 400, 4L)
+        .when(col("n_chars") >= 250, 2L).otherwise(1L)))
+      .collect()(0).getDouble(0)
+    assert(sampledMeanW > corpusMeanW,
+      s"weighting did not bias the sample: $sampledMeanW <= $corpusMeanW")
+  }
+
+  test("q191 entity resolution: every corrupted probe resolves at distance 1") {
+    val r = CurationAudits.queries("q191_entity_resolution")(spark, sf0001)
+      .collect()
+    val nProbes = Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") % 7 === 0).count()
+    assert(r.length == nProbes,
+      s"every probe must resolve: ${r.length} of $nProbes")
+    r.foreach { row =>
+      val (probe, matched, dist) =
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      val source = probe - 10000000L
+      assert(dist == 1L, s"probe $probe resolved at distance $dist")
+      // the true source is always a candidate, so the (dist, custkey)
+      // argmin can only return the source or a smaller-keyed ambiguity
+      assert(matched <= source, s"probe $probe matched $matched > source")
+      if (row.getLong(3) == 1L)
+        assert(matched == source,
+          s"unambiguous probe $probe must resolve to its source, got $matched")
+    }
+    // ambiguity exists in the fixture (digit-run deletions) — the
+    // n_candidates column does real work
+    assert(r.exists(_.getLong(3) > 1L), "expected some ambiguous probes")
+  }
+
+  test("q190 streaming novelty: sequential batches, exactly-once under restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    // 6-token letter-only texts -> 4 distinct trigrams each; overlap is
+    // controlled per-file so expected new/seen counts are hand-checkable
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val a = Seq("alpha", "bravo", "china", "delta", "echoo", "foxtr")
+    val b = Seq("golfy", "hotel", "india", "julie", "kiloo", "limaa")
+    val root = java.nio.file.Files.createTempDirectory("q190spec").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val (storeDir, sinkDir, cp) = (s"$root/store", s"$root/sink", s"$root/cp")
+    import spark.implicits._
+    def addFile(name: String, rows: (Long, String)*): Unit = {
+      val staged = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+      ()
+    }
+    // empty seed tables, then the q190 body over a checkpointed stream
+    val schema = Seq(doc(0L, a)).toDF("doc_id", "text").schema
+    Seq.empty[(String, Long)].toDF("gh", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(storeDir)
+    Seq.empty[(Long, Long, Long, Long)]
+      .toDF("n_docs", "grams_seen", "new_grams", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(sinkDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          CurationAudits.noveltyBatch(spark, batch, id, storeDir, sinkDir)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sink(): Map[Long, (Long, Long, Long)] =
+      spark.read.parquet(sinkDir)
+        .select(col("batch_id").cast("long"), col("n_docs"),
+          col("grams_seen"), col("new_grams")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // batch 0: two docs — doc 1 all-new (4 grams), doc 2 duplicates it
+    addFile("a", doc(1L, a), doc(2L, a))
+    runOnce()
+    assert(sink() == Map(0L -> ((2L, 4L, 4L))), s"batch 0 wrong: ${sink()}")
+    // batch 1: doc 3 repeats corpus a (0 new), doc 4 is disjoint b
+    addFile("b", doc(3L, a), doc(4L, b))
+    runOnce()
+    assert(sink() == Map(0L -> ((2L, 4L, 4L)), 1L -> ((2L, 8L, 4L))),
+      s"batch 1 wrong: ${sink()}")
+    // restart with no new input: nothing recounted, nothing duplicated
+    runOnce()
+    assert(sink() == Map(0L -> ((2L, 4L, 4L)), 1L -> ((2L, 8L, 4L))))
+    // the store holds each gram exactly once, in its first-seen batch
+    val store = spark.read.parquet(storeDir)
+      .select(col("gh"), col("batch_id").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(store.length == 8, s"store must hold 8 distinct grams: ${store.length}")
+    assert(store.map(_._1).distinct.length == 8, "duplicate gram keys in the store")
+    assert(store.count(_._2 == 0L) == 4 && store.count(_._2 == 1L) == 4)
+  }
+
   test("q189 vocab coverage: monotone to full coverage, exact bucket arithmetic") {
     val rows = graft.functions.TextQueries.queries("q189_vocab_coverage")(
       spark, sf0001).collect().sortBy(_.getLong(0))
