@@ -106,7 +106,12 @@ object Bench {
     "q188_leakage_safe_split", "q189_vocab_coverage",
     // q190 stream-novelty stays out: its batch twin q186 carries the
     // family's timing (the q173/q171 streaming-MV precedent)
-    "q191_entity_resolution", "q192_weighted_sample")
+    "q191_entity_resolution", "q192_weighted_sample",
+    // analytics/sketch wave: the conversion funnel, the equi-depth
+    // ANALYZE histogram (beside q166/q183), KMV set-operation
+    // composition, and the count-min frequency sketch
+    "q193_funnel", "q194_equidepth_hist", "q195_kmv_set_ops",
+    "q196_cms_freq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -261,7 +266,7 @@ object Bench {
     // sketch/stats, storage/warehouse, graph, streaming-batch-shapes.
     val families = Seq(
       "relational" -> Seq("q01_", "q02_", "q04_", "q07_", "q12_", "q158_",
-        "q161_", "q164_", "q165_", "q174_", "q176_", "q181_"),
+        "q161_", "q164_", "q165_", "q174_", "q176_", "q181_", "q193_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
         "q170_", "q177_", "q178_", "q179_", "q189_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
@@ -271,7 +276,8 @@ object Bench {
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_"),
-      "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_"),
+      "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
+        "q195_", "q196_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_"),
       "stream" -> Seq("q33_", "q107_"))

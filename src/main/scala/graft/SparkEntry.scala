@@ -49,7 +49,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deletion-neighborhood blocking, hash-join candidates + levenshtein
   * verify, never all-pairs, q192 Efraimidis–Spirakis weighted
   * sampling — per-source quality-weighted top-k with bit-exact
-  * sqrt-chain priorities through the TopKPerGroup heap),
+  * sqrt-chain priorities through the TopKPerGroup heap, q193 the
+  * conversion funnel — chained per-user min-timestamp steps on one
+  * user_id exchange, q194 the equi-depth ANALYZE histogram — two-phase
+  * coarse-offset cumsum over the value rollup, no unpartitioned
+  * window, q195 KMV set-operation estimates — per-pair union/
+  * intersection/Jaccard composed from bottom-256 sketches alone,
+  * q196 count-min sketch frequency estimation — 4×4096 bounded
+  * counters via partial-aggregated (row, bucket) cells),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -3,7 +3,7 @@ package graft.functions
 import graft.Tables._
 import graft.apps.RefApps
 import graft.core.MapReduceJob
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: word count and
@@ -386,6 +386,145 @@ object TextQueries {
                 .cast("double") / lit(1.152921504606846976e18)), 4))
             .as("est_pairs"))
         .orderBy(col("lang"))
+    }),
+
+    // KMV SET-OPERATION ESTIMATES (Beyer et al. 2007) — the sketch
+    // algebra that makes per-slice KMV sketches COMPOSABLE: for every
+    // pair among five sources, estimate |A∪B| and |A∩B| of their
+    // distinct trigram-shingle sets from the two bottom-256 sketches
+    // alone. Union: bottom-K of the merged sketches, (K-1)/u_K as
+    // q110. Intersection: ρ = |{h in the union's bottom-K present in
+    // BOTH per-source sketches}|, est∩ = (ρ/K)·est∪ — the Jaccard
+    // estimator ρ/K rides for free. This is the "which crawl slices
+    // overlap, without rescanning either" primitive: everything after
+    // the per-source sketches is K-bounded (pairs × ≤2K rows),
+    // CORPUS-SIZE-INDEPENDENT — only the sketch construction (one
+    // shingle pass + the q112 bounded per-partition pre-cut + heap
+    // finish) ever sees data. The EXACT pair profile is retained as the
+    // audit leg (q183's contract — at production scale you drop it and
+    // keep the sketch composition); the oracle replays both paths
+    // bit-exactly (same md5 ordering, same hex-fold estimator, same
+    // (ρ/k)·est arithmetic order).
+    "q195_kmv_set_ops" -> ((s, d) => {
+      import s.implicits._
+      val K = 256
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val keys = documents(s, d)
+        .filter(col("source").isin(srcs: _*))
+        .select(col("source"), col("text")).as[(String, String)]
+        .flatMap { case (src, text) =>
+          graft.functions.Dedup.shingleSet(text).map(sgl => (src, sgl)) }
+        .toDF("source", "sgl")
+        .select(col("source"), md5(col("sgl")).as("h"))
+        .distinct()
+      val keysP = tracked(keys)
+      val sk = graft.plans.TopKPerGroup.topK(
+        kmvPartitionMins(keysP, K).distinct()
+          .withColumnRenamed("lang", "source"),
+        Seq("source"), Seq("h" -> true), K)
+      val ss = sk.select(col("source")).distinct()
+      val prs = ss.select(col("source").as("src_a"))
+        .crossJoin(ss.select(col("source").as("src_b")))
+        .filter(col("src_a") < col("src_b"))
+      def flags(rel: DataFrame): DataFrame = rel
+        .join(broadcast(prs),
+          col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy(col("src_a"), col("src_b"), col("h"))
+        .agg(max(when(col("source") === col("src_a"), 1).otherwise(0))
+            .as("in_a"),
+          max(when(col("source") === col("src_b"), 1).otherwise(0))
+            .as("in_b"))
+      val cut = graft.plans.TopKPerGroup.topK(flags(sk),
+        Seq("src_a", "src_b"), Seq("h" -> true), K)
+      val est = cut.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"),
+          sum(col("in_a") * col("in_b")).cast("long").as("rho"))
+      val exact = flags(keysP).groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(col("in_a") * col("in_b")).cast("long").as("exact_inter"))
+      val u = conv(substring(col("kth"), 1, 15), 16, 10).cast("long")
+        .cast("double") / lit(1.152921504606846976e18)
+      val estURaw = lit((K - 1).toDouble) / u
+      val estUCase = when(col("k_used") < K, col("k_used").cast("double"))
+        .otherwise(estURaw)
+      est.join(exact, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("k_used"),
+          when(col("k_used") < K, col("k_used").cast("double"))
+            .otherwise(round(estURaw, 4)).as("est_union"),
+          round(col("rho") / col("k_used").cast("double") * estUCase, 4)
+            .as("est_inter"),
+          col("exact_union"), col("exact_inter"),
+          round(col("rho") / col("k_used").cast("double"), 4)
+            .as("est_jaccard"),
+          round(col("exact_inter") / col("exact_union").cast("double"), 4)
+            .as("exact_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    // 2005) — the bounded-state point-frequency twin of q106's
+    // Misra-Gries top-k: trigram occurrence counts estimated from a
+    // 4×4096 counter array (128 KB, any corpus size). The Spark-native
+    // construction IS the sketch's merge algebra: each occurrence maps
+    // to its 4 (row, bucket) cells in one codegen'd pass (md5 hex-fold
+    // mod 4096 — q110's key discipline), and the ≤16 384-group
+    // partial aggregation is exactly "per-partition sketches, merged by
+    // elementwise add" — nothing vocabulary-sized ever reaches this
+    // exchange, which is the entire point of a CMS at 100 TB. Probes
+    // are the exact top-10 and bottom-10 grams (deterministic
+    // (n, gram) ties); est = min over the 4 rows of the probe's cells.
+    // The exact vocabulary rollup is the AUDIT leg (q183's contract):
+    // each probe row carries est vs exact, the always-nonnegative
+    // overcount (CMS never undercounts — the spec pins it), and a
+    // within-2N/w flag (≈ the e/w Markov bound). The oracle rebuilds
+    // the counters from the vocabulary rollup — per-occurrence updates
+    // and count-weighted updates are the same arithmetic.
+    "q196_cms_freq" -> ((s, d) => {
+      import s.implicits._
+      val W = 4096L
+      val D = 4
+      def occ = documents(s, d).select(col("text")).as[String]
+        .flatMap { text =>
+          val t = graft.functions.TokenizeUdtf.SplitRe.split(text)
+            .filter(_.nonEmpty)
+          if (t.length < 3) Iterator.empty
+          else (0 until t.length - 2).iterator
+            .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+        }.toDF("sgl")
+      def bucket(r: Int, c: Column): Column =
+        conv(substring(md5(concat(lit(s"$r:"), c)), 1, 15), 16, 10)
+          .cast("long") % W
+      // the sketch: one map pass, bounded-group partial agg (scale path)
+      val counters = occ
+        .select(posexplode(array((0 until D).map(r =>
+          bucket(r, col("sgl"))): _*)).as(Seq("r", "b")))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      // the audit: exact vocabulary rollup (second text pass — dropped
+      // at production scale, kept here to ground the estimates)
+      val vocab = tracked(
+        occ.groupBy(col("sgl")).agg(count(lit(1)).as("n")))
+      val tot = vocab.agg(sum(col("n")).as("big_n"))
+      def probesOf(kind: String, ord: Seq[Column]): DataFrame =
+        vocab.orderBy(ord: _*).limit(10)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+            .cast("long"))
+          .withColumn("kind", lit(kind))
+      val probes = probesOf("head", Seq(col("n").desc, col("sgl")))
+        .unionByName(probesOf("tail", Seq(col("n").asc, col("sgl"))))
+      val cells = probes.select(col("kind"), col("rk"), col("sgl"),
+        col("n"), posexplode(array((0 until D).map(r =>
+          bucket(r, col("sgl"))): _*)).as(Seq("r", "b")))
+      cells.join(broadcast(counters), Seq("r", "b"))
+        .groupBy(col("kind"), col("rk"), col("sgl"), col("n"))
+        .agg(min(col("c")).as("est_n"))
+        .crossJoin(tot)
+        .select(col("kind"), col("rk"), col("sgl").as("gram"),
+          col("n").as("exact_n"), col("est_n"),
+          (col("est_n") - col("n")).as("overcount"),
+          (col("est_n") - col("n") <= expr(s"(2 * big_n) div $W"))
+            .cast("int").as("within_bound"))
+        .orderBy(col("kind"), col("rk"))
     }),
 
     // Tokenizer-fertility profiling: per-doc token counts under a GPT-2-
@@ -1286,6 +1425,121 @@ object TextQueries {
              (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
            END AS est_pairs
          FROM agg ORDER BY lang""",
+
+    // q195 replay: per-source bottom-256 sketches via row_number, the
+    // pair union's bottom-256 with both-membership flags, the identical
+    // hex-fold estimator and (ρ/k)·est∪ arithmetic order, and the exact
+    // pair profile from the full distinct-key relation
+    "q195_kmv_set_ops" ->
+      raw"""WITH t AS (
+           SELECT source,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS toks
+           FROM documents
+           WHERE source IN ('src0','src1','src2','src3','src4')),
+         keys AS (SELECT DISTINCT source, md5(s) AS h FROM (
+           SELECT source, unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+           FROM t WHERE len(toks) >= 3)),
+         sk AS (
+           SELECT source, h FROM (
+             SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+             FROM keys) WHERE rk <= 256),
+         prs AS (
+           SELECT a.source AS src_a, b.source AS src_b
+           FROM (SELECT DISTINCT source FROM sk) a
+           JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+         pu AS (
+           SELECT p.src_a, p.src_b, s.h,
+             max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+           FROM prs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+           GROUP BY p.src_a, p.src_b, s.h),
+         cut AS (
+           SELECT * FROM (
+             SELECT pu.*, row_number() OVER (PARTITION BY src_a, src_b
+               ORDER BY h) AS rk FROM pu) WHERE rk <= 256),
+         est AS (
+           SELECT src_a, src_b, count(*) AS k_used, max(h) AS kth,
+             CAST(sum(in_a * in_b) AS BIGINT) AS rho
+           FROM cut GROUP BY src_a, src_b),
+         exact AS (
+           SELECT a.src_a, a.src_b, count(*) AS exact_union,
+             CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS exact_inter
+           FROM (
+             SELECT p.src_a, p.src_b, k.h,
+               max(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+               max(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS ib
+             FROM prs p JOIN keys k ON k.source IN (p.src_a, p.src_b)
+             GROUP BY p.src_a, p.src_b, k.h) a
+           GROUP BY a.src_a, a.src_b)
+         SELECT e.src_a, e.src_b, e.k_used,
+           CASE WHEN e.k_used < 256 THEN CAST(e.k_used AS DOUBLE)
+             ELSE round(255.0 / (list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(e.kth, 1, 15), '')]),
+               (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
+             END AS est_union,
+           round(e.rho / CAST(e.k_used AS DOUBLE) *
+             CASE WHEN e.k_used < 256 THEN e.k_used
+               ELSE 255.0 / (list_reduce(list_prepend(0::BIGINT,
+                 [strpos('0123456789abcdef', c)::BIGINT - 1
+                  for c in string_split(substr(e.kth, 1, 15), '')]),
+                 (h, x) -> h * 16 + x) / 1152921504606846976.0)
+               END, 4) AS est_inter,
+           x.exact_union, x.exact_inter,
+           round(e.rho / CAST(e.k_used AS DOUBLE), 4) AS est_jaccard,
+           round(x.exact_inter / CAST(x.exact_union AS DOUBLE), 4)
+             AS exact_jaccard
+         FROM est e JOIN exact x USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
+
+    // q196 replay: counters rebuilt from the vocabulary rollup (count-
+    // weighted ≡ per-occurrence updates), the same md5 hex-fold mod-4096
+    // buckets, min over the 4 rows, the same probe ranks
+    "q196_cms_freq" ->
+      raw"""WITH t AS (
+           SELECT list_filter(string_split_regex(text, '[^\p{L}]+'),
+             x -> x <> '') AS toks FROM documents),
+         occ AS (SELECT unnest(list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+           FROM t WHERE len(toks) >= 3),
+         vocab AS (SELECT s, count(*) AS n FROM occ GROUP BY s),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM vocab),
+         rows4 AS (SELECT unnest(range(4)) AS r),
+         counters AS (
+           SELECT r, (list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(
+                  md5(r::VARCHAR || ':' || s), 1, 15), '')]),
+               (h, x) -> h * 16 + x)) % 4096 AS b,
+             CAST(sum(n) AS BIGINT) AS c
+           FROM vocab CROSS JOIN rows4 GROUP BY 1, 2),
+         probes AS (
+           SELECT * FROM (SELECT 'head' AS kind,
+             row_number() OVER (ORDER BY n DESC, s) AS rk, s, n
+             FROM vocab) WHERE rk <= 10
+           UNION ALL
+           SELECT * FROM (SELECT 'tail',
+             row_number() OVER (ORDER BY n, s) AS rk, s, n
+             FROM vocab) WHERE rk <= 10),
+         est AS (
+           SELECT p.kind, p.rk, p.s, p.n AS exact_n, min(c.c) AS est_n
+           FROM probes p CROSS JOIN rows4 r
+           JOIN counters c ON c.r = r.r AND c.b =
+             (list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c2)::BIGINT - 1
+                for c2 in string_split(substr(
+                  md5(r.r::VARCHAR || ':' || p.s), 1, 15), '')]),
+               (h, x) -> h * 16 + x)) % 4096
+           GROUP BY 1, 2, 3, 4)
+         SELECT kind, rk, s AS gram, exact_n, est_n,
+           est_n - exact_n AS overcount,
+           (est_n - exact_n <= (SELECT (2 * big_n) // 4096 FROM tot))::INT
+             AS within_bound
+         FROM est ORDER BY kind, rk""",
     // CDC replay: q114's polynomial per window, cuts at h%64=0 (p>1),
     // bounds = 1 + cuts + [n+1], chunk j = chars[bs[j] .. bs[j+1]-1] —
     // then the same hash-keyed sharing aggregate. Integer arithmetic +

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -476,6 +476,64 @@ object ExtendedQueries {
           sum(when(col("attributed") === 1, col("delay_s")))
             .as("total_delay_s"))
         .orderBy(col("day"))
+    }),
+
+    // CONVERSION FUNNEL — the product-analytics staple the event family
+    // still lacked: users progressing view → click → purchase, each step
+    // the FIRST qualifying event at-or-after the previous step's
+    // timestamp and within a 6-hour step window. Defined DECLARATIVELY
+    // as three chained per-user min-timestamps (t1 = first view; t2 =
+    // first click in [t1, t1+W]; t3 = first purchase in [t2, t2+W])
+    // rather than running-window flags: the min-ts form has no
+    // order-tie semantics to diverge on (a click in the same microsecond
+    // as t1 qualifies on both engines via >=), and every join is
+    // user-keyed — three partial-aggregated rollups riding the same hash
+    // exchange, each join's right side user-cardinality, nothing
+    // event-pair-sized anywhere. Output is the 3-row funnel: users
+    // reached, step-over-step conversion, and total transition delay in
+    // integer seconds (floor of the microsecond diff — the q176
+    // arithmetic both engines compute identically).
+    "q193_funnel" -> ((s, d) => {
+      val W = 21600000000L // 6 h in microseconds
+      val ev = events(s, d)
+      def us(c: Column) = unix_micros(c)
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(us(col("ts")) >= us(col("t1")) &&
+          us(col("ts")) - us(col("t1")) <= W)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(us(col("ts")) >= us(col("t2")) &&
+          us(col("ts")) - us(col("t2")) <= W)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val s1 = t1.agg(count(lit(1)).as("n1"))
+      val s2 = t2.join(t1, "user_id")
+        .agg(count(lit(1)).as("n2"),
+          sum(expr("(unix_micros(t2) - unix_micros(t1)) div 1000000"))
+            .as("d2"))
+      val s3 = t3.join(t2, "user_id")
+        .agg(count(lit(1)).as("n3"),
+          sum(expr("(unix_micros(t3) - unix_micros(t2)) div 1000000"))
+            .as("d3"))
+      val r1 = s1.select(lit(1L).as("step"), lit("view").as("step_name"),
+        col("n1").as("n_users"), lit(null).cast("double").as("conv_rate"),
+        lit(null).cast("long").as("total_delay_s"))
+      val r2 = s2.crossJoin(s1).select(lit(2L).as("step"),
+        lit("click").as("step_name"), col("n2").as("n_users"),
+        when(col("n1") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n2") / col("n1").cast("double"), 4))
+          .as("conv_rate"),
+        col("d2").cast("long").as("total_delay_s"))
+      val r3 = s3.crossJoin(s2).select(lit(3L).as("step"),
+        lit("purchase").as("step_name"), col("n3").as("n_users"),
+        when(col("n2") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n3") / col("n2").cast("double"), 4))
+          .as("conv_rate"),
+        col("d3").cast("long").as("total_delay_s"))
+      r1.unionByName(r2).unionByName(r3).orderBy(col("step"))
     })
   )
 
@@ -735,6 +793,47 @@ object ExtendedQueries {
            SELECT path, n,
              row_number() OVER (ORDER BY n DESC, path) AS rk
            FROM paths)
-         WHERE rk <= 10 ORDER BY rk"""
+         WHERE rk <= 10 ORDER BY rk""",
+    // the same three chained min-ts definitions; >= plus an epoch_us
+    // difference bound, so microsecond ties behave identically
+    "q193_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= t1.t1
+             AND epoch_us(e.ts) - epoch_us(t1.t1) <= 21600000000
+           GROUP BY e.user_id),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+             AND epoch_us(e.ts) - epoch_us(t2.t2) <= 21600000000
+           GROUP BY e.user_id),
+         s1 AS (SELECT count(*) AS n FROM t1),
+         s2 AS (SELECT count(*) AS n,
+             CAST(sum((epoch_us(t2.t2) - epoch_us(t1.t1)) // 1000000)
+               AS BIGINT) AS delay
+           FROM t2 JOIN t1 USING (user_id)),
+         s3 AS (SELECT count(*) AS n,
+             CAST(sum((epoch_us(t3.t3) - epoch_us(t2.t2)) // 1000000)
+               AS BIGINT) AS delay
+           FROM t3 JOIN t2 USING (user_id))
+         SELECT 1::BIGINT AS step, 'view' AS step_name, n AS n_users,
+           CAST(NULL AS DOUBLE) AS conv_rate,
+           CAST(NULL AS BIGINT) AS total_delay_s FROM s1
+         UNION ALL
+         SELECT 2, 'click', s2.n,
+           CASE WHEN s1.n = 0 THEN NULL
+             ELSE round(s2.n / CAST(s1.n AS DOUBLE), 4) END,
+           s2.delay FROM s2, s1
+         UNION ALL
+         SELECT 3, 'purchase', s3.n,
+           CASE WHEN s2.n = 0 THEN NULL
+             ELSE round(s3.n / CAST(s2.n AS DOUBLE), 4) END,
+           s3.delay FROM s3, s2
+         ORDER BY step"""
   )
 }

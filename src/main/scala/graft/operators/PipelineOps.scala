@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Third wave of pipeline operators a production lakehouse engine needs:
@@ -600,6 +600,58 @@ object PipelineOps {
         .orderBy(col("tbl"), col("col_name"))
     }),
 
+    // EQUI-DEPTH HISTOGRAM — the third leg of the ANALYZE family
+    // (q166 counts, q183 sketched NDV, this one VALUE DISTRIBUTION):
+    // 16 equal-row buckets per profiled column, each with its value
+    // bounds, row count, and distinct-value count — what a cost-based
+    // optimizer's selectivity estimation actually consumes (q97's
+    // equi-WIDTH histogram mis-sizes skewed columns; equal-depth is the
+    // production form). The scalable construction never ranks rows:
+    // the column collapses to its VALUE ROLLUP (v, cnt) first, and the
+    // cumulative-rows-before-v cumsum runs the q178/q167 two-phase
+    // pattern — a data-independent coarse key (floor(v / width), group
+    // count bounded by the value RANGE, not the corpus), per-coarse
+    // totals cumulated through a bounded triangular join, and a
+    // coarse-PARTITIONED window for the within-group running sum — so
+    // no unpartitioned WindowExec anywhere and nothing row-cardinality
+    // ever sorts globally. bucket = (rows_before * 16) div total is
+    // pure BIGINT arithmetic, identical on both engines. A value heavier
+    // than the target depth spills its whole count into one bucket
+    // (buckets can exceed depth but values never split — the classic
+    // compressed-histogram contract), which the low-NDV l_quantity leg
+    // exhibits next to the ~perfectly-balanced high-NDV l_extendedprice.
+    "q194_equidepth_hist" -> ((s, d) => {
+      val B = 16
+      def profile(colName: String, v: Column, width: Double): DataFrame = {
+        val rollup = lineitem(s, d).groupBy(v.as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("coarse", floor(col("v") / width).cast("long"))
+        val coarseTot = rollup.groupBy(col("coarse"))
+          .agg(sum(col("cnt")).as("ct"))
+        val offsets = coarseTot.as("a")
+          .join(coarseTot.as("b"), col("b.coarse") < col("a.coarse"), "left")
+          .groupBy(col("a.coarse").as("coarse"))
+          .agg(coalesce(sum(col("b.ct")), lit(0L)).as("off"))
+        val tot = rollup.agg(sum(col("cnt")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("coarse")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        rollup
+          .withColumn("wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .join(offsets, "coarse").crossJoin(tot)
+          .select(lit(colName).as("col_name"),
+            expr(s"((off + wb) * $B) div n").as("bucket"),
+            col("v"), col("cnt"))
+          .groupBy(col("col_name"), col("bucket"))
+          .agg(round(min(col("v")), 2).as("lo"),
+            round(max(col("v")), 2).as("hi"),
+            sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"))
+      }
+      profile("extendedprice", col("l_extendedprice"), 4096.0)
+        .unionByName(profile("quantity", col("l_quantity"), 8.0))
+        .orderBy(col("col_name"), col("bucket"))
+    }),
+
     // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
     // a daily pipeline runs: a standing per-(user, event_type) rollup
     // exists as a table; a new delta batch arrives; the refreshed view
@@ -1140,6 +1192,32 @@ object PipelineOps {
       """SELECT user_id, event_type, count(*) AS n_events,
            max(round(value, 2)) AS max_value
          FROM events
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q194 replay: the same value rollup + cumulative-rows-before
+    // (single window fine at oracle SF) + the identical BIGINT bucket
+    // arithmetic
+    "q194_equidepth_hist" -> {
+      def leg(name: String, c: String) =
+        s"""h_$name AS (
+           SELECT $c AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+         tot_$name AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h_$name),
+         cum_$name AS (
+           SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb
+           FROM h_$name),
+         b_$name AS (
+           SELECT '$name' AS col_name, (cb * 16) // n AS bucket, v, cnt
+           FROM cum_$name CROSS JOIN tot_$name)"""
+      s"""WITH ${leg("extendedprice", "l_extendedprice")},
+         ${leg("quantity", "l_quantity")}
+         SELECT col_name, CAST(bucket AS BIGINT) AS bucket,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_distinct
+         FROM (SELECT * FROM b_extendedprice
+               UNION ALL SELECT * FROM b_quantity)
+         GROUP BY col_name, bucket ORDER BY col_name, bucket"""
+    }
   )
 }

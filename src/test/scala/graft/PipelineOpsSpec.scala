@@ -392,4 +392,119 @@ class PipelineOpsSpec extends TestSpark {
     assert(rows.forall(_.getAs[Long]("err_ppm") < 50000),
       "estimate error exceeded 5% on uniform data")
   }
+
+  test("q194 equi-depth histogram: exact recompute, disjoint sorted buckets") {
+    val rows = PipelineOps.queries("q194_equidepth_hist")(spark, sf0001)
+      .collect()
+    val li = Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    Seq("extendedprice" -> "l_extendedprice",
+        "quantity" -> "l_quantity").foreach { case (name, c) =>
+      val bs = rows.filter(_.getAs[String]("col_name") == name)
+        .sortBy(_.getAs[Long]("bucket"))
+      // partition of the table: counts and NDV both sum exactly
+      assert(bs.map(_.getAs[Long]("n_rows")).sum == n)
+      assert(bs.map(_.getAs[Long]("n_distinct")).sum ==
+        li.select(c).distinct().count())
+      // value ranges are sorted and disjoint (values never split)
+      bs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") < b.getAs[Double]("lo"),
+            s"$name: bucket ranges overlap")
+        case _ =>
+      }
+      bs.foreach(r =>
+        assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+      // definitional replay from the value rollup: bucket of every value
+      // is (rows-strictly-before * 16) div n
+      val vals = li.groupBy(col(c).as("v")).count()
+        .orderBy(col("v")).collect()
+        .map(r => (r.getAs[Double]("v"), r.getAs[Long]("count")))
+      var before = 0L
+      val expected = scala.collection.mutable.Map
+        .empty[Long, (Double, Double, Long, Long)]
+      vals.foreach { case (v, cnt) =>
+        val b = before * 16 / n
+        val (lo, hi, nr, nd) =
+          expected.getOrElse(b, (Double.MaxValue, Double.MinValue, 0L, 0L))
+        expected(b) = (math.min(lo, v), math.max(hi, v), nr + cnt, nd + 1)
+        before += cnt
+      }
+      assert(bs.length == expected.size)
+      bs.foreach { r =>
+        val (lo, hi, nr, nd) = expected(r.getAs[Long]("bucket"))
+        assert(r.getAs[Long]("n_rows") == nr && r.getAs[Long]("n_distinct") == nd)
+        assert(math.abs(r.getAs[Double]("lo") - lo) < 0.005 &&
+          math.abs(r.getAs[Double]("hi") - hi) < 0.005)
+      }
+    }
+  }
+
+  test("q195 KMV set ops: sketch estimates track the exact pair profile") {
+    val rows = graft.functions.TextQueries.queries("q195_kmv_set_ops")(
+      spark, sf0001).collect()
+    assert(rows.length == 10, "C(5,2) source pairs")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      val (estU, estI) =
+        (r.getAs[Double]("est_union"), r.getAs[Double]("est_inter"))
+      val (exU, exI) =
+        (r.getAs[Long]("exact_union"), r.getAs[Long]("exact_inter"))
+      assert(estI <= estU + 1e-9, "intersection cannot exceed union")
+      assert(exI <= exU)
+      // the (K-1)/u_K union estimate sits within 4σ ≈ 25% at K = 256
+      assert(math.abs(estU - exU) <= exU * 0.25,
+        s"union estimate off: $estU vs $exU")
+      // ρ/K is the Jaccard estimate; est∩ = ρ/K · est∪ ties the outputs
+      // together (both sides independently rounded at 4 dp)
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(estI - j * estU) < 0.5,
+        s"est_inter $estI inconsistent with jaccard $j * union $estU")
+    }
+    // the sketch composition is corpus-blind after construction: the
+    // per-pair cut runs through the heap operator
+    val df = graft.functions.TextQueries.queries("q195_kmv_set_ops")(
+      spark, sf0001)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
+      "pair cuts must run through the TopKPerGroup heap")
+  }
+
+  test("q196 CMS: never undercounts, head/tail ranks exact, bound holds") {
+    val rows = graft.functions.TextQueries.queries("q196_cms_freq")(
+      spark, sf0001).collect()
+    assert(rows.length == 20)
+    // the CMS hard guarantee: est >= exact, always
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS undercounted ${r.getAs[String]("gram")}")
+      assert(r.getAs[Long]("est_n") ==
+        r.getAs[Long]("exact_n") + r.getAs[Long]("overcount"))
+    }
+    // probe selection is the exact vocabulary rollup: recount head #1
+    // from a plain Scala shingle multiset
+    val texts = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val tk = graft.functions.TokenizeUdtf.SplitRe.split(t)
+        .filter(_.nonEmpty)
+      (0 until math.max(0, tk.length - 2)).foreach { i =>
+        val g = tk(i) + " " + tk(i + 1) + " " + tk(i + 2)
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+      }
+    }
+    val head = rows.filter(_.getAs[String]("kind") == "head")
+      .sortBy(_.getAs[Long]("rk"))
+    assert(head.map(_.getAs[Long]("rk")).toSeq == (1L to 10L))
+    val expectedHead = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(10)
+    assert(head.map(r => (r.getAs[String]("gram"),
+      r.getAs[Long]("exact_n"))).toSeq == expectedHead)
+    // tail probes are genuine singletons on this fixture
+    val tail = rows.filter(_.getAs[String]("kind") == "tail")
+    assert(tail.forall(_.getAs[Long]("exact_n") == counts.values.min))
+    // the 2N/w bound holds across the whole probe set on the fixture
+    assert(rows.count(_.getAs[Int]("within_bound") == 1) >= 18,
+      "CMS error bound violated on more than 2 of 20 probes")
+  }
 }

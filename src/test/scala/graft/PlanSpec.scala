@@ -396,13 +396,16 @@ class PlanSpec extends TestSpark {
     }
   }
 
-  test("q186-q192 governance audits: no unpartitioned window anywhere") {
+  test("q186-q195 governance/stats wave: no unpartitioned window anywhere") {
     // the round-11 wave inherits q178's discipline: q189 rides the same
     // two-phase distributed rank; q186/q187/q188 use no windows at all;
     // q191's argmin is an aggregate, q192's rank window partitions by
-    // source over heap survivors — so NO WindowExec in any of their
-    // plans may have an empty partition spec (= whole relation on one
-    // task at scale).
+    // source over heap survivors, q194's cumsum partitions by its coarse
+    // value-range key (the two-phase histogram construction), q195 is
+    // sketch-composition only — so NO WindowExec in any of their plans
+    // may have an empty partition spec (= whole relation on one task at
+    // scale). q196 stays out: its probe-rank window runs over a 10-row
+    // limit (the q165 bounded-relation precedent).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
@@ -416,7 +419,8 @@ class PlanSpec extends TestSpark {
     }
     Seq("q186_ngram_novelty", "q187_rendezvous_shards",
       "q188_leakage_safe_split", "q189_vocab_coverage",
-      "q191_entity_resolution", "q192_weighted_sample").foreach { name =>
+      "q191_entity_resolution", "q192_weighted_sample",
+      "q194_equidepth_hist", "q195_kmv_set_ops").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       df.collect()
       allNodes(df.queryExecution.executedPlan)

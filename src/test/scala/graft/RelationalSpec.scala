@@ -220,4 +220,47 @@ class RelationalSpec extends TestSpark {
     assert(r.getAs[String]("top_type") == counts.head._1)
     assert(r.getAs[Long]("top_type_n") == counts.head._2.toLong)
   }
+
+  test("q193 funnel: per-user recompute of the chained step definitions") {
+    val rows = run("q193_funnel").collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "funnel must be monotone")
+    // replay the declarative definition per user from raw events
+    val W = 21600000000L
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    def firstIn(rs: Array[org.apache.spark.sql.Row], tpe: String,
+        lo: Long): Option[Long] = {
+      val c = rs.filter(r => r.getAs[String]("event_type") == tpe &&
+        r.getAs[Long]("us") >= lo && r.getAs[Long]("us") <= lo + W)
+        .map(_.getAs[Long]("us"))
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var (n1, n2, n3, d2, d3) = (0L, 0L, 0L, 0L, 0L)
+    ev.values.foreach { rs =>
+      val views = rs.filter(_.getAs[String]("event_type") == "view")
+        .map(_.getAs[Long]("us"))
+      if (views.nonEmpty) {
+        n1 += 1
+        val t1 = views.min
+        firstIn(rs, "click", t1).foreach { t2 =>
+          n2 += 1; d2 += (t2 - t1) / 1000000L
+          firstIn(rs, "purchase", t2).foreach { t3 =>
+            n3 += 1; d3 += (t3 - t2) / 1000000L
+          }
+        }
+      }
+    }
+    assert(ns.toSeq == Seq(n1, n2, n3), s"counts ${ns.toSeq} != ($n1,$n2,$n3)")
+    assert(rows(1).getAs[Long]("total_delay_s") == d2)
+    assert(rows(2).getAs[Long]("total_delay_s") == d3)
+    if (n1 > 0)
+      assert(rows(1).getAs[Double]("conv_rate") ==
+        BigDecimal(n2.toDouble / n1)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
