@@ -111,7 +111,11 @@ object Bench {
     // ANALYZE histogram (beside q166/q183), KMV set-operation
     // composition, and the count-min frequency sketch
     "q193_funnel", "q194_equidepth_hist", "q195_kmv_set_ops",
-    "q196_cms_freq")
+    "q196_cms_freq",
+    // the mergeable day-sketch rollup and the histogram-consumption
+    // audit (range selectivity); q199 stream-heavy-hitters stays out —
+    // its batch twin q106 carries the family's timing (q190 precedent)
+    "q197_sketch_rollup", "q198_range_selectivity", "q200_ewma_volume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -266,7 +270,8 @@ object Bench {
     // sketch/stats, storage/warehouse, graph, streaming-batch-shapes.
     val families = Seq(
       "relational" -> Seq("q01_", "q02_", "q04_", "q07_", "q12_", "q158_",
-        "q161_", "q164_", "q165_", "q174_", "q176_", "q181_", "q193_"),
+        "q161_", "q164_", "q165_", "q174_", "q176_", "q181_", "q193_",
+        "q200_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
         "q170_", "q177_", "q178_", "q179_", "q189_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
@@ -277,7 +282,7 @@ object Bench {
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
-        "q195_", "q196_"),
+        "q195_", "q196_", "q197_", "q198_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_"),
       "stream" -> Seq("q33_", "q107_"))

@@ -56,7 +56,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * window, q195 KMV set-operation estimates — per-pair union/
   * intersection/Jaccard composed from bottom-256 sketches alone,
   * q196 count-min sketch frequency estimation — 4×4096 bounded
-  * counters via partial-aggregated (row, bucket) cells),
+  * counters via partial-aggregated (row, bucket) cells, q197 the
+  * mergeable day-sketch rollup — rolling distinct-user estimates by
+  * sketch MERGE, events scanned once, q198 the range-selectivity
+  * audit — the q194 histogram consumed for cardinality estimation,
+  * interpolated vs actual, q199 STREAMING heavy hitters — the
+  * mergeable Misra-Gries store with the cnt ≤ true ≤ cnt + Σδ bound,
+  * q200 the EWMA volume monitor — exact dyadic α = 1/2 smoothing),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -68,6 +68,61 @@ object CurationAudits {
     .add("n_docs", "long").add("grams_seen", "long")
     .add("new_grams", "long").add("batch_id", "long")
 
+  /** Schema of the q199 heavy-hitter store: ≤ CAP (token, counter) rows
+    * per version plus ONE sentinel row (NULL token) whose counter is the
+    * cumulative Misra-Gries subtraction Σδ — the store's error budget.
+    * Versioned by batch: each micro-batch writes its complete post-state
+    * under its own batch_id partition (replay replaces exactly itself —
+    * the q190 exactly-once discipline for stateful stores). */
+  private val hhStoreSchema = new StructType()
+    .add("tok", "string").add("cnt", "long").add("batch_id", "long")
+
+  /** One micro-batch of the streaming heavy-hitter maintenance (q199):
+    * the MERGEABLE Misra-Gries summary algebra (Agarwal et al. 2012,
+    * "Mergeable summaries") — merge = pointwise counter sum, then
+    * subtract the (CAP+1)-th largest counter value δ from ALL counters
+    * and drop the non-positive ones; ≤ CAP survive by construction, and
+    * EVERY token's true count t satisfies cnt(t) ≤ t ≤ cnt(t) + Σδ
+    * (absent tokens: t ≤ Σδ) — the clean cumulative error bound the
+    * naive evict-bottom scheme does not have. The batch side is its
+    * EXACT delta rollup (delta-sized, the q171 principle); the previous
+    * state is ≤ CAP+1 rows from the latest store version; δ is a 1-row
+    * scalar from a heap-cut limit — nothing here is corpus-sized and no
+    * driver-side state exists. */
+  private[graft] def heavyHittersBatch(s: SparkSession, batch: DataFrame,
+      id: Long, storeDir: String, cap: Int): Unit = {
+    val store = s.read.schema(hhStoreSchema).parquet(storeDir)
+      .filter(col("batch_id") < id)
+    val latest = store.agg(max(col("batch_id")).as("m"))
+    val prev = store.join(latest, col("batch_id") === col("m"))
+    val bc = batch.select(explode(filter(split(col("text"), "[^\\p{L}]+"),
+        x => x =!= "")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("bn"))
+    val prevTok = prev.filter(col("tok").isNotNull)
+      .select(col("tok"), col("cnt").as("pc"))
+    val prevDelta = prev.filter(col("tok").isNull)
+      .agg(coalesce(max(col("cnt")), lit(0L)).as("pdelta"))
+    val merged = prevTok.join(bc, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("pc"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("cnt"))
+    // δ = the (CAP+1)-th largest merged counter (0 when ≤ CAP counters):
+    // a distributed heap cut (TakeOrdered), then a 1-row aggregate
+    val lim = merged.orderBy(col("cnt").desc, col("tok")).limit(cap + 1)
+    val deltaDf = lim.agg(when(count(lit(1)) <= cap, lit(0L))
+      .otherwise(min(col("cnt"))).as("delta"))
+    val kept = merged.crossJoin(deltaDf)
+      .select(col("tok"), (col("cnt") - col("delta")).as("cnt"))
+      .filter(col("cnt") > 0)
+    val sentinel = deltaDf.crossJoin(prevDelta)
+      .select(lit(null).cast("string").as("tok"),
+        (col("delta") + col("pdelta")).as("cnt"))
+    kept.unionByName(sentinel)
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+  }
+
   /** Distinct 16-hex gram keys of a document batch — one map-side
     * shingle pass (shared tokenizer/trigram contract via
     * [[graft.functions.Dedup.shinglesOfDocs]]), keys deduped. */
@@ -282,6 +337,51 @@ object CurationAudits {
         .select(col("probe_id"), col("best.c_custkey").as("match_custkey"),
           col("best.dist").as("dist"), col("n_candidates"))
         .orderBy(col("probe_id"))
+    }),
+
+    // STREAMING HEAVY HITTERS — q106's top-k maintained INCREMENTALLY
+    // over a document stream with bounded state (the seventh streaming-
+    // admission path): each micro-batch's exact token rollup merges into
+    // a ≤ 64-counter Misra-Gries store via the mergeable-summary
+    // subtraction ([[heavyHittersBatch]]); the store is versioned per
+    // batch (replay-safe dynamic overwrite) and the final report is the
+    // top-10 with HONEST bounds — cnt_lb ≤ true ≤ cnt_ub = cnt_lb + Σδ,
+    // the cumulative subtraction budget. On the fixture's ≤ 64-token
+    // vocabulary δ stays 0 and the bounds collapse to the exact counts
+    // (which is what makes the oracle bit-exact); the > CAP compaction
+    // path is pinned by CurationAuditsSpec on a wide hand vocabulary.
+    // Bounded single-file replay = one batch, replayed directly.
+    "q199_stream_heavy_hitters" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val storeDir = graft.Tables.scratchDir(s, "q199_store_" + tag)
+      resetTable(s, hhStoreSchema, storeDir)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            heavyHittersBatch(s, batch, id, storeDir, cap = 64)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val store = s.read.schema(hhStoreSchema).parquet(storeDir)
+      val latest = store.agg(max(col("batch_id")).as("m"))
+      val fin = store.join(latest, col("batch_id") === col("m"))
+      val delta = fin.filter(col("tok").isNull)
+        .agg(coalesce(max(col("cnt")), lit(0L)).as("dsum"))
+      val top = fin.filter(col("tok").isNotNull)
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("tok"))).cast("long"))
+        .crossJoin(delta)
+        .select(col("rk"), col("tok"), col("cnt").as("cnt_lb"),
+          (col("cnt") + col("dsum")).as("cnt_ub"))
+        .orderBy(col("rk"))
     }),
 
     // STREAMING NOVELTY MONITOR — q186's curve as an ingestion-time
@@ -507,5 +607,21 @@ object CurationAudits {
            (SELECT count(*) FROM g) AS grams_seen,
            (SELECT count(*) FROM g) AS new_grams,
            CASE WHEN (SELECT count(*) FROM g) = 0 THEN 0.0
-             ELSE 1.0 END AS novelty_rate""")
+             ELSE 1.0 END AS novelty_rate""",
+
+    // bounded single-file replay = ONE micro-batch against an empty
+    // store: the fixture vocabulary fits the 64-counter cap, so δ = 0
+    // and the store holds the exact rollup — top-10 with lb = ub
+    "q199_stream_heavy_hitters" ->
+      raw"""WITH vocab AS (
+           SELECT tok, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) t
+           WHERE tok <> '' GROUP BY tok),
+         r AS (
+           SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rk
+           FROM vocab)
+         SELECT rk, tok, n AS cnt_lb, n AS cnt_ub
+         FROM r WHERE rk <= 10 ORDER BY rk""")
 }

@@ -534,6 +534,39 @@ object ExtendedQueries {
           .as("conv_rate"),
         col("d3").cast("long").as("total_delay_s"))
       r1.unionByName(r2).unionByName(r3).orderBy(col("step"))
+    }),
+
+    // EWMA VOLUME MONITOR — q161's z-score sibling with exponential
+    // decay: daily event counts smoothed by e_d = n_d/2 + e_{d-1}/2
+    // (α = 1/2), plus the "surprise" ratio n_d / e_{d-1} an ops page
+    // alerts on. α = 1/2 is chosen for REPLAYABILITY, not laziness:
+    // unrolled, every term is count × 2^-k — an exact dyadic double —
+    // and the daily counts' mantissas (≲ 2^20) plus 2^-29 weights span
+    // < 53 bits, so the sums are EXACT and immune to accumulation order
+    // on both engines (no round() crutch needed on ewma itself). The
+    // recursion is computed as its closed-form triangular unroll over
+    // the DAILY rollup — date-cardinality rows (the q161 bounded-window
+    // discipline: heavy lifting is the partial-aggregated count; the
+    // rank/lag windows order a ~30-row relation, never the corpus).
+    "q200_ewma_volume" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wd = Window.orderBy(col("day"))
+      val idx = daily.withColumn("i", row_number().over(wd).cast("long"))
+      val ew = idx.as("a").join(idx.as("b"), col("b.i") <= col("a.i"))
+        .groupBy(col("a.day").as("day"), col("a.n").as("n"),
+          col("a.i").as("i"))
+        .agg(sum(col("b.n") *
+          when(col("b.i") === 1, pow(lit(0.5), col("a.i") - 1))
+            .otherwise(pow(lit(0.5), col("a.i") - col("b.i") + 1)))
+          .as("ewma"))
+      ew.withColumn("prev", lag(col("ewma"), 1).over(Window.orderBy(col("day"))))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          col("ewma"),
+          when(col("prev").isNull, lit(null).cast("double"))
+            .otherwise(round(col("n") / col("prev"), 4)).as("surprise"))
+        .orderBy(col("day"))
     })
   )
 
@@ -834,6 +867,28 @@ object ExtendedQueries {
            CASE WHEN s2.n = 0 THEN NULL
              ELSE round(s3.n / CAST(s2.n AS DOUBLE), 4) END,
            s3.delay FROM s3, s2
-         ORDER BY step"""
+         ORDER BY step""",
+    // the identical triangular unroll — exact dyadic terms make the sum
+    // order-independent, so no rounding is needed on ewma itself
+    "q200_ewma_volume" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         idx AS (
+           SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
+         ew AS (
+           SELECT a.day, a.n, a.i,
+             sum(b.n * CASE WHEN b.i = 1 THEN power(0.5, a.i - 1)
+               ELSE power(0.5, a.i - b.i + 1) END) AS ewma
+           FROM idx a JOIN idx b ON b.i <= a.i
+           GROUP BY a.day, a.n, a.i),
+         fin AS (
+           SELECT e.day, e.n, e.ewma,
+             lag(e.ewma) OVER (ORDER BY e.day) AS prev
+           FROM ew e)
+         SELECT strftime(day, '%Y-%m-%d') AS day, n, ewma,
+           CASE WHEN prev IS NULL THEN NULL
+             ELSE round(n / prev, 4) END AS surprise
+         FROM fin ORDER BY day"""
   )
 }

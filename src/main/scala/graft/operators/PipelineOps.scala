@@ -620,36 +620,106 @@ object PipelineOps {
     // (buckets can exceed depth but values never split — the classic
     // compressed-histogram contract), which the low-NDV l_quantity leg
     // exhibits next to the ~perfectly-balanced high-NDV l_extendedprice.
-    "q194_equidepth_hist" -> ((s, d) => {
-      val B = 16
-      def profile(colName: String, v: Column, width: Double): DataFrame = {
-        val rollup = lineitem(s, d).groupBy(v.as("v"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("coarse", floor(col("v") / width).cast("long"))
-        val coarseTot = rollup.groupBy(col("coarse"))
-          .agg(sum(col("cnt")).as("ct"))
-        val offsets = coarseTot.as("a")
-          .join(coarseTot.as("b"), col("b.coarse") < col("a.coarse"), "left")
-          .groupBy(col("a.coarse").as("coarse"))
-          .agg(coalesce(sum(col("b.ct")), lit(0L)).as("off"))
-        val tot = rollup.agg(sum(col("cnt")).as("n"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("coarse")).orderBy(col("v"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        rollup
-          .withColumn("wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
-          .join(offsets, "coarse").crossJoin(tot)
-          .select(lit(colName).as("col_name"),
-            expr(s"((off + wb) * $B) div n").as("bucket"),
-            col("v"), col("cnt"))
-          .groupBy(col("col_name"), col("bucket"))
-          .agg(round(min(col("v")), 2).as("lo"),
-            round(max(col("v")), 2).as("hi"),
-            sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"))
-      }
-      profile("extendedprice", col("l_extendedprice"), 4096.0)
-        .unionByName(profile("quantity", col("l_quantity"), 8.0))
-        .orderBy(col("col_name"), col("bucket"))
+    "q194_equidepth_hist" -> ((s, d) =>
+      equidepthLeg(s, d, "extendedprice", col("l_extendedprice"), 4096.0)
+        .unionByName(equidepthLeg(s, d, "quantity", col("l_quantity"), 8.0))
+        .orderBy(col("col_name"), col("bucket"))),
+
+    // MERGEABLE SKETCH ROLLUP — the pre-aggregation pattern that makes
+    // distinct counts cheap over ARBITRARY time windows (the Druid /
+    // theta-sketch materialization play): the events stream reduces ONCE
+    // to a per-day KMV sketch table (day × ≤256 hash rows), and every
+    // 7-day rolling distinct-user estimate afterwards is computed by
+    // MERGING day sketches — bottom-256 of the window's union, (K-1)/u_K
+    // — without ever rescanning events. That merge-don't-rescan algebra
+    // is the entire point: at 100 TB the raw-event pass happens once,
+    // the rolling series costs days × 7 × K rows (KB), and ANY other
+    // window (month, quarter, campaign span) composes from the same
+    // stored sketches. The day spine is bounded and broadcast; the
+    // window union cuts through the TopKPerGroup heap. The exact rolling
+    // countDistinct is retained as the audit leg (q183's contract — the
+    // one event-sized path here, dropped at production scale), with the
+    // q43-style within-25% (≈4σ at K=256) flag carried per row.
+    "q197_sketch_rollup" -> ((s, d) => {
+      val K = 256
+      val du = events(s, d)
+        .select(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .distinct()
+      val keys = du.select(col("day"),
+        md5(col("user_id").cast("string")).as("h")).distinct()
+      val sk = graft.plans.TopKPerGroup.topK(
+        graft.functions.TextQueries.kmvPartitionMins(keys, K).distinct()
+          .withColumnRenamed("lang", "day"),
+        Seq("day"), Seq("h" -> true), K)
+      val spine = sk.select(col("day").as("d")).distinct()
+      val win = sk.join(broadcast(spine),
+        col("day") >= date_format(date_sub(to_date(col("d")), 6),
+          "yyyy-MM-dd") && col("day") <= col("d"))
+      val nDays = win.groupBy(col("d"))
+        .agg(countDistinct(col("day")).as("n_days"))
+      val cut = graft.plans.TopKPerGroup.topK(
+        win.select(col("d"), col("h")).distinct(),
+        Seq("d"), Seq("h" -> true), K)
+      val est = cut.groupBy(col("d"))
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+      val exact = du.join(broadcast(spine),
+          col("day") >= date_format(date_sub(to_date(col("d")), 6),
+            "yyyy-MM-dd") && col("day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val u = conv(substring(col("kth"), 1, 15), 16, 10).cast("long")
+        .cast("double") / lit(1.152921504606846976e18)
+      val estU = when(col("k_used") < K, col("k_used").cast("double"))
+        .otherwise(round(lit((K - 1).toDouble) / u, 4))
+      est.join(nDays, "d").join(exact, "d")
+        .select(col("d").as("day"), col("n_days"), col("k_used"),
+          estU.as("est_users"), col("exact_users"),
+          (estU >= col("exact_users") * 0.75 &&
+            estU <= col("exact_users") * 1.25).cast("int").as("within_bound"))
+        .orderBy(col("day"))
+    }),
+
+    // RANGE-SELECTIVITY AUDIT — what the q194 histogram exists FOR: the
+    // q172 join-cardinality audit's sibling for range predicates. For
+    // six l_extendedprice <= t thresholds, estimated row counts come
+    // from the 16-bucket equi-depth histogram alone (full buckets below
+    // t, the straddling bucket linearly interpolated — the textbook
+    // selectivity formula, 16 × 6 rows of arithmetic), actuals from ONE
+    // conditional-aggregation scan melted q166-style. The histogram leg
+    // is [[equidepthLeg]] itself, so the audit scores the exact artifact
+    // q194 ships. err_ppm = floor(|est − actual| · 1e6 / actual) — the
+    // q172 reporting convention.
+    "q198_range_selectivity" -> ((s, d) => {
+      val th = Seq(15000.0, 30000.0, 45000.0, 60000.0, 75000.0, 90000.0)
+      val hist = equidepthLeg(s, d, "extendedprice",
+        col("l_extendedprice"), 4096.0)
+      val thDf = { import s.implicits._; th.toDF("t") }
+      val est = thDf.crossJoin(hist)
+        .groupBy(col("t"))
+        .agg(round(sum(
+          when(col("hi") <= col("t"), col("n_rows").cast("double"))
+            .when(col("lo") <= col("t"),
+              col("n_rows") * (col("t") - col("lo")) /
+                (col("hi") - col("lo")))
+            .otherwise(lit(0.0))), 2).as("est_rows"))
+      val one = lineitem(s, d).agg(
+        sum(when(col("l_extendedprice") <= th.head, 1L).otherwise(0L))
+          .as("a_0"),
+        th.tail.zipWithIndex.map { case (t, i) =>
+          sum(when(col("l_extendedprice") <= t, 1L).otherwise(0L))
+            .as(s"a_${i + 1}")
+        }: _*)
+      val act = one.select(explode(array(th.zipWithIndex.map {
+        case (t, i) => struct(lit(t).as("t"), col(s"a_$i").as("actual_rows"))
+      }: _*)).as("kv")).select(col("kv.t"), col("kv.actual_rows"))
+      est.join(act, "t")
+        .select(col("t").as("threshold"), col("est_rows"),
+          col("actual_rows"),
+          when(col("actual_rows") === 0, lit(-1L))
+            .otherwise(floor(abs(col("est_rows") - col("actual_rows")) *
+              1000000 / col("actual_rows")).cast("long")).as("err_ppm"))
+        .orderBy(col("threshold"))
     }),
 
     // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
@@ -793,6 +863,41 @@ object PipelineOps {
     * and q173 (streaming MV) maintain — a single definition because
     * q173's contract is exact equality with q171's batch twin; drift
     * between two copies would break it with no compile-time signal. */
+  /** One equi-depth histogram leg (16 equal-row buckets over a lineitem
+    * column) — the q194 construction, factored so q198's selectivity
+    * audit consumes the IDENTICAL histogram it reports on. The cumsum
+    * never ranks rows: value rollup first, then the q178/q167 two-phase
+    * pattern (data-independent coarse range key floor(v/width), bounded
+    * triangular offsets, coarse-PARTITIONED within-group window);
+    * bucket = (rows_before * 16) div n in pure BIGINT. */
+  private[graft] def equidepthLeg(s: SparkSession, d: String,
+      colName: String, v: Column, width: Double): DataFrame = {
+    val B = 16
+    val rollup = lineitem(s, d).groupBy(v.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", floor(col("v") / width).cast("long"))
+    val coarseTot = rollup.groupBy(col("coarse"))
+      .agg(sum(col("cnt")).as("ct"))
+    val offsets = coarseTot.as("a")
+      .join(coarseTot.as("b"), col("b.coarse") < col("a.coarse"), "left")
+      .groupBy(col("a.coarse").as("coarse"))
+      .agg(coalesce(sum(col("b.ct")), lit(0L)).as("off"))
+    val tot = rollup.agg(sum(col("cnt")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("coarse")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    rollup
+      .withColumn("wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(offsets, "coarse").crossJoin(tot)
+      .select(lit(colName).as("col_name"),
+        expr(s"((off + wb) * $B) div n").as("bucket"),
+        col("v"), col("cnt"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(round(min(col("v")), 2).as("lo"),
+        round(max(col("v")), 2).as("hi"),
+        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"))
+  }
+
   private def rollup(df: DataFrame): DataFrame =
     df.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1218,6 +1323,87 @@ object PipelineOps {
          FROM (SELECT * FROM b_extendedprice
                UNION ALL SELECT * FROM b_quantity)
          GROUP BY col_name, bucket ORDER BY col_name, bucket"""
-    }
+    },
+
+    // q197 replay: per-day bottom-256 via row_number, 7-day window
+    // union + bottom-256, the q110 hex-fold estimator, exact rolling
+    // countDistinct as the audit column
+    "q197_sketch_rollup" ->
+      """WITH du AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         keys AS (
+           SELECT DISTINCT day, md5(user_id::VARCHAR) AS h FROM du),
+         sk AS (
+           SELECT day, h FROM (
+             SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+             FROM keys) WHERE rk <= 256),
+         spine AS (SELECT DISTINCT day FROM keys),
+         win AS (
+           SELECT sp.day AS d, s.day AS sday, s.h
+           FROM spine sp JOIN sk s
+             ON s.day >= sp.day - 6 AND s.day <= sp.day),
+         uw AS (SELECT d, count(DISTINCT sday) AS n_days FROM win GROUP BY d),
+         uh AS (SELECT DISTINCT d, h FROM win),
+         cut AS (
+           SELECT d, h FROM (
+             SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+             FROM uh) WHERE rk <= 256),
+         est AS (SELECT d, count(*) AS k_used, max(h) AS kth
+           FROM cut GROUP BY d),
+         exact AS (
+           SELECT sp.day AS d, count(DISTINCT e.user_id) AS exact_users
+           FROM spine sp JOIN du e
+             ON e.day >= sp.day - 6 AND e.day <= sp.day
+           GROUP BY sp.day),
+         fin AS (
+           SELECT e.d, u.n_days, e.k_used,
+             CASE WHEN e.k_used < 256 THEN CAST(e.k_used AS DOUBLE)
+               ELSE round(255.0 / (list_reduce(list_prepend(0::BIGINT,
+                 [strpos('0123456789abcdef', c)::BIGINT - 1
+                  for c in string_split(substr(e.kth, 1, 15), '')]),
+                 (h, x) -> h * 16 + x) / 1152921504606846976.0), 4)
+               END AS est_users,
+             x.exact_users
+           FROM est e JOIN uw u ON u.d = e.d JOIN exact x ON x.d = e.d)
+         SELECT strftime(d, '%Y-%m-%d') AS day, n_days, k_used, est_users,
+           exact_users,
+           (est_users >= exact_users * 0.75
+            AND est_users <= exact_users * 1.25)::INT AS within_bound
+         FROM fin ORDER BY day""",
+
+    // q198 replay: the identical equi-depth extendedprice leg (shared
+    // construction), the textbook interpolation, one conditional scan
+    "q198_range_selectivity" ->
+      """WITH h AS (
+           SELECT l_extendedprice AS v, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         cum AS (
+           SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb
+           FROM h),
+         hist AS (
+           SELECT (cb * 16) // n AS bucket, round(min(v), 2) AS lo,
+             round(max(v), 2) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+           FROM cum CROSS JOIN tot GROUP BY 1),
+         th AS (SELECT CAST(unnest([15000.0, 30000.0, 45000.0, 60000.0,
+           75000.0, 90000.0]) AS DOUBLE) AS t),
+         est AS (
+           SELECT t, round(sum(
+             CASE WHEN hi <= t THEN CAST(n_rows AS DOUBLE)
+                  WHEN lo <= t THEN n_rows * (t - lo) / (hi - lo)
+                  ELSE 0.0 END), 2) AS est_rows
+           FROM th CROSS JOIN hist GROUP BY t),
+         act AS (
+           SELECT t, CAST(count(CASE WHEN l_extendedprice <= t THEN 1 END)
+             AS BIGINT) AS actual_rows
+           FROM th CROSS JOIN lineitem GROUP BY t)
+         SELECT e.t AS threshold, e.est_rows, a.actual_rows,
+           CASE WHEN a.actual_rows = 0 THEN -1
+             ELSE CAST(floor(abs(e.est_rows - a.actual_rows) * 1000000
+               / a.actual_rows) AS BIGINT) END AS err_ppm
+         FROM est e JOIN act a USING (t) ORDER BY threshold"""
   )
 }

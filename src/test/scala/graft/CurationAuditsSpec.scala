@@ -144,6 +144,74 @@ class CurationAuditsSpec extends TestSpark {
     assert(r.exists(_.getLong(3) > 1L), "expected some ambiguous probes")
   }
 
+  test("q199 streaming heavy hitters: MG compaction, bounds, exactly-once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("q199spec").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val (storeDir, cp) = (s"$root/store", s"$root/cp")
+    def addFile(name: String, texts: String*): Unit = {
+      val staged = s"$root/stage_$name"
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+      ()
+    }
+    Seq.empty[(String, Long, Long)].toDF("tok", "cnt", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(storeDir)
+    def runOnce(): Unit = {
+      val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+      val q = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          CurationAudits.heavyHittersBatch(spark, batch, id, storeDir,
+            cap = 64)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def state(): (Map[String, Long], Long, Long) = {
+      val all = spark.read.parquet(storeDir)
+        .select(col("tok"), col("cnt"), col("batch_id").cast("long"))
+        .collect()
+      val latest = all.map(_.getLong(2)).max
+      val fin = all.filter(_.getLong(2) == latest)
+      (fin.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1))
+        .toMap,
+        fin.filter(_.isNullAt(0)).map(_.getLong(1)).max, latest)
+    }
+    // batch 0: 'hot' ×5 plus 70 letter-pair singletons → 71 counters,
+    // δ = the 65th largest = 1 → every singleton compacts away, hot → 4
+    val singles = (0 until 70).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}").toSeq
+    addFile("a", ("hot " * 5) + singles.mkString(" "))
+    runOnce()
+    val (s0, d0, _) = state()
+    assert(s0 == Map("hot" -> 4L), s"post-compaction store wrong: $s0")
+    assert(d0 == 1L, s"delta budget wrong: $d0")
+    // every true count obeys lb ≤ true ≤ lb + Σδ (absent: true ≤ Σδ)
+    assert(5L >= s0("hot") && 5L <= s0("hot") + d0)
+    singles.foreach(t => assert(1L <= d0, s"absent $t exceeds budget"))
+    // batch 1: small vocabulary — merge without compaction, budget keeps
+    addFile("b", "hot hot warm warm cold")
+    runOnce()
+    val (s1, d1, v1) = state()
+    assert(s1 == Map("hot" -> 6L, "warm" -> 2L, "cold" -> 1L), s"$s1")
+    assert(d1 == 1L)
+    assert(7L >= s1("hot") && 7L <= s1("hot") + d1, "hot bound")
+    // restart with no new input: the store version does not advance
+    runOnce()
+    val (s2, d2, v2) = state()
+    assert(s2 == s1 && d2 == d1 && v2 == v1, "restart mutated the store")
+  }
+
   test("q190 streaming novelty: sequential batches, exactly-once under restart") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger

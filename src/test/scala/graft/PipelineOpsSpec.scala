@@ -507,4 +507,55 @@ class PipelineOpsSpec extends TestSpark {
     assert(rows.count(_.getAs[Int]("within_bound") == 1) >= 18,
       "CMS error bound violated on more than 2 of 20 probes")
   }
+
+  test("q197 sketch rollup: merge ≡ rescan where exact, windows bounded") {
+    val rows = PipelineOps.queries("q197_sketch_rollup")(spark, sf0001)
+      .collect().sortBy(_.getAs[String]("day"))
+    val ev = Tables.events(spark, sf0001)
+      .select(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"),
+        col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == ev.map(_._1).distinct.length, "one row per day")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_days") == math.min(i + 1, 7),
+        s"day $i window width")
+      // exact leg recount straight from the event relation
+      val d = r.getAs[String]("day")
+      val lo = java.time.LocalDate.parse(d).minusDays(6).toString
+      val expect = ev.filter { case (day, _) => day >= lo && day <= d }
+        .map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("exact_users") == expect, s"exact leg at $d")
+      // under K the merged sketch IS the exact set: est must equal exact
+      if (r.getAs[Long]("k_used") < 256)
+        assert(r.getAs[Double]("est_users") == expect.toDouble,
+          s"sub-K sketch must be exact at $d")
+      assert(r.getAs[Int]("within_bound") == 1)
+    }
+    val df = PipelineOps.queries("q197_sketch_rollup")(spark, sf0001)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
+      "day/window cuts must run through the heap operator")
+  }
+
+  test("q198 range selectivity: actuals recount, histogram estimate tight") {
+    val rows = PipelineOps.queries("q198_range_selectivity")(spark, sf0001)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length == 6)
+    val li = Tables.lineitem(spark, sf0001)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("threshold")
+      assert(r.getAs[Long]("actual_rows") ==
+        li.filter(col("l_extendedprice") <= t).count(), s"actual at $t")
+      // uniform fixture: the 16-bucket interpolation sits within 5%
+      assert(r.getAs[Long]("err_ppm") >= 0 &&
+        r.getAs[Long]("err_ppm") < 50000, s"estimate off at $t")
+    }
+    // both series are monotone in the threshold
+    Seq(rows.map(_.getAs[Double]("est_rows")),
+        rows.map(_.getAs[Long]("actual_rows").toDouble)).foreach { s =>
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, "non-monotone in threshold")
+        case _ =>
+      }
+    }
+  }
 }

@@ -396,7 +396,7 @@ class PlanSpec extends TestSpark {
     }
   }
 
-  test("q186-q195 governance/stats wave: no unpartitioned window anywhere") {
+  test("q186-q198 governance/stats wave: no unpartitioned window anywhere") {
     // the round-11 wave inherits q178's discipline: q189 rides the same
     // two-phase distributed rank; q186/q187/q188 use no windows at all;
     // q191's argmin is an aggregate, q192's rank window partitions by
@@ -420,7 +420,8 @@ class PlanSpec extends TestSpark {
     Seq("q186_ngram_novelty", "q187_rendezvous_shards",
       "q188_leakage_safe_split", "q189_vocab_coverage",
       "q191_entity_resolution", "q192_weighted_sample",
-      "q194_equidepth_hist", "q195_kmv_set_ops").foreach { name =>
+      "q194_equidepth_hist", "q195_kmv_set_ops", "q197_sketch_rollup",
+      "q198_range_selectivity").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       df.collect()
       allNodes(df.queryExecution.executedPlan)

@@ -263,4 +263,26 @@ class RelationalSpec extends TestSpark {
         BigDecimal(n2.toDouble / n1)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q200 EWMA: the recursion holds EXACTLY (dyadic arithmetic)") {
+    val rows = run("q200_ewma_volume").collect().sortBy(_.getAs[String]("day"))
+    assert(rows.length == Tables.events(spark, sf0001)
+      .select(col("ts").cast("date")).distinct().count())
+    val ns = rows.map(_.getAs[Long]("n"))
+    val es = rows.map(_.getAs[Double]("ewma"))
+    // e_1 = n_1 and e_d = n_d/2 + e_{d-1}/2, bit-exactly — α = 1/2 makes
+    // every term dyadic, so == is the right comparison, not a tolerance
+    assert(es(0) == ns(0).toDouble)
+    (1 until es.length).foreach { i =>
+      assert(es(i) == ns(i) / 2.0 + es(i - 1) / 2.0,
+        s"recursion broken at day $i")
+    }
+    // surprise = n_d / e_{d-1} rounded HALF_UP at 4 dp; first day null
+    assert(rows(0).isNullAt(rows(0).fieldIndex("surprise")))
+    (1 until rows.length).foreach { i =>
+      assert(rows(i).getAs[Double]("surprise") ==
+        BigDecimal(ns(i) / es(i - 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
