@@ -115,7 +115,9 @@ object Bench {
     // the mergeable day-sketch rollup and the histogram-consumption
     // audit (range selectivity); q199 stream-heavy-hitters stays out —
     // its batch twin q106 carries the family's timing (q190 precedent)
-    "q197_sketch_rollup", "q198_range_selectivity", "q200_ewma_volume")
+    "q197_sketch_rollup", "q198_range_selectivity", "q200_ewma_volume",
+    // interval-overlap sweep and Apriori-1 rule scoring
+    "q201_peak_concurrency", "q202_assoc_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -271,7 +273,7 @@ object Bench {
     val families = Seq(
       "relational" -> Seq("q01_", "q02_", "q04_", "q07_", "q12_", "q158_",
         "q161_", "q164_", "q165_", "q174_", "q176_", "q181_", "q193_",
-        "q200_"),
+        "q200_", "q201_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
         "q170_", "q177_", "q178_", "q179_", "q189_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
@@ -284,7 +286,7 @@ object Bench {
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
-      "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_"),
+      "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_", "q202_"),
       "stream" -> Seq("q33_", "q107_"))
     val famJson = families.map { case (f, prefixes) =>
       val s = subtotal(picked.filter(n => prefixes.exists(n.startsWith)))

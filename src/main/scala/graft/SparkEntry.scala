@@ -62,7 +62,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * audit — the q194 histogram consumed for cardinality estimation,
   * interpolated vs actual, q199 STREAMING heavy hitters — the
   * mergeable Misra-Gries store with the cnt ≤ true ≤ cnt + Σδ bound,
-  * q200 the EWMA volume monitor — exact dyadic α = 1/2 smoothing),
+  * q200 the EWMA volume monitor — exact dyadic α = 1/2 smoothing,
+  * q201 peak session concurrency — the ±1 boundary sweep distributed
+  * by the day-keyed two-phase carry pattern, q202 association rules —
+  * Apriori-1 support/confidence/lift over the shared co-purchase
+  * rollup),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -567,6 +567,50 @@ object ExtendedQueries {
           when(col("prev").isNull, lit(null).cast("double"))
             .otherwise(round(col("n") / col("prev"), 4)).as("surprise"))
         .orderBy(col("day"))
+    }),
+
+    // PEAK CONCURRENCY — the interval-overlap aggregation a capacity
+    // planner reads: the maximum number of simultaneously-open sessions
+    // per day. Sessions are q107's derivation verbatim (≥ 30-min gap
+    // splits, the same (ts, event_id) ordering); each session emits a
+    // +1/-1 boundary pair and concurrency is the running sum over
+    // boundaries ordered (t, delta DESC) — a session starting at the
+    // exact instant another ends counts as overlapping, which the
+    // tiebreak pins identically on both engines. The running sum is NOT
+    // a global window: the q194/q178 two-phase pattern keyed by day —
+    // per-day boundary totals cumulated through a bounded triangular
+    // join give each day its carry-in concurrency, and the within-day
+    // running sum partitions by day — so the sweep distributes while
+    // sessions crossing midnight still count via the carry.
+    "q201_peak_concurrency" -> ((s, d) => {
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val b = sess.select(col("t0").as("t"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("t1").as("t"), lit(-1L).as("delta")))
+        .withColumn("day", col("t").cast("date"))
+      val dayTot = b.groupBy(col("day")).agg(sum(col("delta")).as("dt"))
+      val offsets = dayTot.as("a")
+        .join(dayTot.as("b"), col("b.day") < col("a.day"), "left")
+        .groupBy(col("a.day").as("day"))
+        .agg(coalesce(sum(col("b.dt")), lit(0L)).as("carry"))
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("run", sum(col("delta")).over(wDay))
+        .join(offsets, "day")
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(max(col("carry") + col("run")).as("peak"))
+        .orderBy(col("day"))
     })
   )
 
@@ -889,6 +933,34 @@ object ExtendedQueries {
          SELECT strftime(day, '%Y-%m-%d') AS day, n, ewma,
            CASE WHEN prev IS NULL THEN NULL
              ELSE round(n / prev, 4) END AS surprise
-         FROM fin ORDER BY day"""
+         FROM fin ORDER BY day""",
+    // q107's session derivation verbatim, then the boundary sweep as a
+    // single window (fine at oracle SF; the engine distributes it) with
+    // the same (t, delta DESC) tiebreak
+    "q201_peak_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM e),
+         sess AS (
+           SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1
+           FROM s GROUP BY 1, 2),
+         b AS (
+           SELECT t0 AS t, 1 AS delta FROM sess
+           UNION ALL SELECT t1, -1 FROM sess),
+         c AS (
+           SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+             ROWS UNBOUNDED PRECEDING) AS conc
+           FROM b)
+         SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+           CAST(max(conc) AS BIGINT) AS peak
+         FROM c GROUP BY 1 ORDER BY 1"""
   )
 }

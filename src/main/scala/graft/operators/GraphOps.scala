@@ -201,6 +201,48 @@ object GraphOps {
         .withColumn("rk", row_number().over(wTop))
         .select(col("p_partkey"), col("rk"), col("rec"), col("w"))
         .orderBy(col("p_partkey"), col("rk"))
+    }),
+
+    // ASSOCIATION RULES — q182's affinity matrix graduated to the
+    // Apriori-1 scoring a merchandiser actually reads: for every
+    // co-purchase pair at support ≥ 3 orders, both directed rules with
+    // support (pair share of orders), confidence (P(consequent |
+    // antecedent)) and LIFT (confidence over the consequent's base
+    // rate — the signal that separates "popular with everything" from
+    // genuinely associated). Shares [[orderParts]] /
+    // [[coPurchaseWeighted]] with q157/q175/q182 — one derivation, four
+    // consumers; everything after the pair rollup is pair-bounded, the
+    // top-20 a heap cut (TakeOrdered) over rounded scores with full
+    // (antecedent, consequent) tiebreaks so the ranking is replayable.
+    "q202_assoc_rules" -> ((s, d) => {
+      val op = orderParts(s, d)
+      val nOrders = op.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val item = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
+      val pair = coPurchaseWeighted(s, d).filter(col("w") >= 3)
+      val rules = pair.select(col("a").as("antecedent"),
+          col("b").as("consequent"), col("w"))
+        .unionByName(pair.select(col("b").as("antecedent"),
+          col("a").as("consequent"), col("w")))
+      val scored = rules
+        .join(item.select(col("p").as("antecedent"), col("np").as("na")),
+          "antecedent")
+        .join(item.select(col("p").as("consequent"), col("np").as("nb")),
+          "consequent")
+        .crossJoin(nOrders)
+        .select(col("antecedent"), col("consequent"), col("w").as("pair_n"),
+          round(col("w") / col("n_orders").cast("double"), 6).as("support"),
+          round(col("w") / col("na").cast("double"), 4).as("confidence"),
+          round(col("w") * col("n_orders").cast("double") /
+            (col("na") * col("nb")), 4).as("lift"))
+      val top = scored.orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent")).limit(20)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("lift").desc, col("confidence").desc,
+            col("antecedent"), col("consequent"))).cast("long"))
+        .select(col("rk"), col("antecedent"), col("consequent"),
+          col("pair_n"), col("support"), col("confidence"), col("lift"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -508,6 +550,37 @@ object GraphOps {
            SELECT p_partkey, rec, w, row_number() OVER
              (PARTITION BY p_partkey ORDER BY w DESC, rec) AS rk
            FROM sym)
-         WHERE rk <= 5 ORDER BY p_partkey, rk"""
+         WHERE rk <= 5 ORDER BY p_partkey, rk""",
+    // the same support/confidence/lift arithmetic over the shared
+    // co-purchase rollup, ranked on the ROUNDED scores with full
+    // tiebreaks
+    "q202_assoc_rules" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+         item AS (SELECT p, count(*) AS np FROM op GROUP BY p),
+         pair AS (
+           SELECT x.p AS a, y.p AS b, count(*) AS w
+           FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+           GROUP BY 1, 2),
+         rules AS (
+           SELECT a AS antecedent, b AS consequent, w
+           FROM pair WHERE w >= 3
+           UNION ALL
+           SELECT b, a, w FROM pair WHERE w >= 3),
+         scored AS (
+           SELECT r.antecedent, r.consequent, r.w AS pair_n,
+             round(r.w / CAST(n.n_orders AS DOUBLE), 6) AS support,
+             round(r.w / CAST(ia.np AS DOUBLE), 4) AS confidence,
+             round(r.w * CAST(n.n_orders AS DOUBLE) / (ia.np * ib.np), 4)
+               AS lift
+           FROM rules r
+           JOIN item ia ON ia.p = r.antecedent
+           JOIN item ib ON ib.p = r.consequent
+           CROSS JOIN n)
+         SELECT * FROM (
+           SELECT row_number() OVER (ORDER BY lift DESC, confidence DESC,
+             antecedent, consequent) AS rk, *
+           FROM scored) WHERE rk <= 20 ORDER BY rk"""
   )
 }

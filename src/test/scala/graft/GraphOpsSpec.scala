@@ -165,4 +165,44 @@ class GraphOpsSpec extends TestSpark {
     assert(r0.getAs[Long]("w") == shared,
       s"pair ($pa,$pb): w=${r0.getAs[Long]("w")} vs recount $shared")
   }
+
+  test("q202 association rules: full Apriori-1 recompute of the ranking") {
+    val rows = graft.operators.GraphOps.queries("q202_assoc_rules")(
+      spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 20L))
+    // ground truth from the raw (order, part) incidences
+    val op = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val np = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairW = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairW((ps(i), ps(j))) = pairW.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pairW.toSeq.filter(_._2 >= 3L).flatMap {
+      case ((a, b), w) => Seq((a, b, w), (b, a, w))
+    }.map { case (a, b, w) =>
+      (a, b, w, r6(w.toDouble / nOrders), r4(w.toDouble / np(a)),
+        r4(w * nOrders.toDouble / (np(a) * np(b))))
+    }.sortBy { case (a, b, _, _, c, l) => (-l, -c, a, b) }.take(20)
+    val got = rows.map(r => (r.getAs[Long]("antecedent"),
+      r.getAs[Long]("consequent"), r.getAs[Long]("pair_n"),
+      r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+      r.getAs[Double]("lift"))).toSeq
+    assert(got == expected, s"ranking diverges:\n$got\nvs\n$expected")
+    // lift is symmetric: whenever both directions of a pair chart, they
+    // carry the same lift
+    got.groupBy(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3))
+      .values.filter(_.length == 2).foreach { pr =>
+        assert(pr(0)._6 == pr(1)._6, "lift must be symmetric")
+      }
+  }
 }

@@ -285,4 +285,36 @@ class RelationalSpec extends TestSpark {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("q201 peak concurrency: full boundary-sweep recompute") {
+    val rows = run("q201_peak_concurrency").collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("peak")).toMap
+    // replay: q107 sessions, +1/-1 boundaries, (t, delta desc) sweep
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (t0, t1) = (sorted.head._2, sorted.head._2)
+      sorted.tail.foreach { e =>
+        if (e._2 - t1 >= 1800000000L) { out += ((t0, t1)); t0 = e._2 }
+        t1 = e._2
+      }
+      out += ((t0, t1)); out
+    }.toSeq
+    val bounds = sessions.flatMap { case (a, b) => Seq((a, 1L), (b, -1L)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var conc = 0L
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    bounds.foreach { case (t, d) =>
+      conc += d
+      val day = java.time.Instant.ofEpochSecond(t / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), conc)
+    }
+    assert(rows == peaks.toMap, s"peaks diverge: $rows vs $peaks")
+    assert(rows.values.forall(_ >= 1L))
+  }
 }
