@@ -66,7 +66,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q201 peak session concurrency — the ±1 boundary sweep distributed
   * by the day-keyed two-phase carry pattern, q202 association rules —
   * Apriori-1 support/confidence/lift over the shared co-purchase
-  * rollup),
+  * rollup, q203 snapshot gram drift — Laplace-smoothed log-ratio
+  * movers between crawl halves, q204 index-assisted regex search —
+  * literal-token posting prefilter, regex verifies candidates only),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

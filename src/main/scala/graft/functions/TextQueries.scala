@@ -480,17 +480,9 @@ object TextQueries {
     // the counters from the vocabulary rollup — per-occurrence updates
     // and count-weighted updates are the same arithmetic.
     "q196_cms_freq" -> ((s, d) => {
-      import s.implicits._
       val W = 4096L
       val D = 4
-      def occ = documents(s, d).select(col("text")).as[String]
-        .flatMap { text =>
-          val t = graft.functions.TokenizeUdtf.SplitRe.split(text)
-            .filter(_.nonEmpty)
-          if (t.length < 3) Iterator.empty
-          else (0 until t.length - 2).iterator
-            .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
-        }.toDF("sgl")
+      def occ = shingleOccurrences(s, d).select(col("sgl"))
       def bucket(r: Int, c: Column): Column =
         conv(substring(md5(concat(lit(s"$r:"), c)), 1, 15), 16, 10)
           .cast("long") % W
@@ -525,6 +517,71 @@ object TextQueries {
           (col("est_n") - col("n") <= expr(s"(2 * big_n) div $W"))
             .cast("int").as("within_bound"))
         .orderBy(col("kind"), col("rk"))
+    }),
+
+    // GRAM DRIFT between crawl snapshots — the corpus-monitoring report
+    // that catches template infestation / source rot BETWEEN ingestion
+    // batches, where q162's PSI (metadata histograms) and q186's novelty
+    // (new-gram volume) are blind: per trigram, Laplace-smoothed
+    // log-probability ratio between the two halves of the corpus
+    // (doc_id parity as the deterministic snapshot stand-in), top-15
+    // movers by |llr|. One shingle pass, one (gram, half)-pivoted
+    // vocabulary rollup (gram-keyed, the q19 wordcount shuffle), a 1-row
+    // totals broadcast, and a heap cut over ROUNDED scores with the
+    // gram tiebreak — nothing after the rollup is corpus-sized. ln over
+    // exact integer ratios, round(4) per the q101/q62 ulp discipline.
+    "q203_gram_drift" -> ((s, d) => {
+      val occ = shingleOccurrences(s, d)
+        .select((col("doc_id") % 2).as("half"), col("sgl"))
+      val v = occ.groupBy(col("sgl"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
+      val tot = v.agg(sum(col("n_old")).as("t_old"),
+        sum(col("n_new")).as("t_new"), count(lit(1)).as("vsz"))
+      val sc = v.crossJoin(tot)
+        .select(col("sgl"), col("n_old"), col("n_new"),
+          round(log((col("n_new") + 1) /
+              (col("t_new") + col("vsz")).cast("double")) -
+            log((col("n_old") + 1) /
+              (col("t_old") + col("vsz")).cast("double")), 4).as("llr"))
+      val top = sc.orderBy(abs(col("llr")).desc, col("sgl")).limit(15)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(abs(col("llr")).desc, col("sgl"))).cast("long"))
+        .select(col("rk"), col("sgl").as("gram"), col("n_old"),
+          col("n_new"), col("llr"))
+        .orderBy(col("rk"))
+    }),
+
+    // INDEX-ASSISTED REGEX SEARCH — the pg_trgm play at corpus scale: a
+    // regex selection ('big [a-z]+ scan') never runs against the full
+    // corpus; the pattern's LITERAL tokens prefilter through the token
+    // posting relation (two hash-keyed posting lookups + an
+    // all-literals-present count), and the regex verifies CANDIDATES
+    // only. At 100 TB the postings come from the inverted index the
+    // engine already maintains (q155/q168's relation) and the regex cost
+    // is proportional to the candidate set, not the corpus — which is
+    // the entire difference between an indexed search and a full scan.
+    // Candidate-set ⊇ matches is guaranteed (every match contains the
+    // literals as whole tokens); the oracle replays the brute-force scan
+    // and must agree exactly. The pattern avoids dialect-divergent
+    // constructs ([a-z]+ means the same in Java regex and RE2).
+    "q204_gram_search" -> ((s, d) => {
+      val pat = "big [a-z]+ scan"
+      val lits = Seq("big", "scan")
+      val cands = documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .filter(col("tok").isin(lits: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("nlit"))
+        .filter(col("nlit") === lits.length)
+        .select(col("doc_id"))
+      documents(s, d).join(cands, "doc_id")
+        .filter(col("text").rlike(pat))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("n_matches"))
+        .orderBy(col("doc_id"))
     }),
 
     // Tokenizer-fertility profiling: per-doc token counts under a GPT-2-
@@ -944,6 +1001,23 @@ object TextQueries {
     * the high-cardinality alternative — the same fail-fast style as
     * [[graft.plans.TopKPerGroup.topK]]'s k ≤ 10000 guard (round-7
     * judge ask #4). */
+  /** Trigram-shingle OCCURRENCES (multiset — q196/q203's frequency
+    * domain, unlike [[graft.functions.Dedup.shingleSet]]'s per-doc
+    * distinct sets): one typed map pass, (doc_id, sgl) rows, duplicates
+    * kept. */
+  private[graft] def shingleOccurrences(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = graft.functions.TokenizeUdtf.SplitRe.split(text)
+          .filter(_.nonEmpty)
+        if (t.length < 3) Iterator.empty
+        else (0 until t.length - 2).iterator
+          .map(i => (id, t(i) + " " + t(i + 1) + " " + t(i + 2)))
+      }.toDF("doc_id", "sgl")
+  }
+
   private[graft] def kmvPartitionMins(df: DataFrame, k: Int,
       maxGroups: Int = 1024): DataFrame = {
     import df.sparkSession.implicits._
@@ -1540,6 +1614,41 @@ object TextQueries {
            (est_n - exact_n <= (SELECT (2 * big_n) // 4096 FROM tot))::INT
              AS within_bound
          FROM est ORDER BY kind, rk""",
+
+    // q203 replay: same pivoted gram rollup, same Laplace arithmetic,
+    // ranked on the ROUNDED llr with the gram tiebreak
+    "q203_gram_drift" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '[^\p{L}]+'),
+             x -> x <> '') AS toks FROM documents),
+         occ AS (SELECT doc_id % 2 AS half,
+             unnest(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+           FROM t WHERE len(toks) >= 3),
+         v AS (
+           SELECT s,
+             CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_old,
+             CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_new
+           FROM occ GROUP BY s),
+         tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+           CAST(sum(n_new) AS BIGINT) AS t_new, count(*) AS vsz FROM v),
+         sc AS (
+           SELECT s, n_old, n_new,
+             round(ln((n_new + 1) / CAST(t_new + vsz AS DOUBLE))
+               - ln((n_old + 1) / CAST(t_old + vsz AS DOUBLE)), 4) AS llr
+           FROM v CROSS JOIN tot)
+         SELECT * FROM (
+           SELECT row_number() OVER (ORDER BY abs(llr) DESC, s) AS rk,
+             s AS gram, n_old, n_new, llr
+           FROM sc) WHERE rk <= 15 ORDER BY rk""",
+
+    // q204 replay: the brute-force regex scan the prefilter must agree
+    // with exactly
+    "q204_gram_search" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, 'big [a-z]+ scan')) AS n_matches
+         FROM documents WHERE regexp_matches(text, 'big [a-z]+ scan')
+         ORDER BY doc_id""",
     // CDC replay: q114's polynomial per window, cuts at h%64=0 (p>1),
     // bounds = 1 + cuts + [n+1], chunk j = chars[bs[j] .. bs[j+1]-1] —
     // then the same hash-keyed sharing aggregate. Integer arithmetic +

@@ -593,4 +593,47 @@ class CorpusCleaningSpec extends TestSpark {
     assert("TopKPerGroup".r.findAllIn(plan).size >= 2,
       s"expected partial+final TopKPerGroupExec:\n${plan.take(3000)}")
   }
+
+  test("q203 gram drift: rollup partition, llr sign tracks the rate shift") {
+    val rows = graft.functions.TextQueries.queries("q203_gram_drift")(
+      spark, sf0001).collect().sortBy(_.getAs[Long]("rk"))
+    assert(rows.length == 15)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 15L))
+    // |llr| is non-increasing down the ranking
+    val a = rows.map(r => math.abs(r.getAs[Double]("llr")))
+    assert(a.zip(a.tail).forall { case (x, y) => x >= y })
+    rows.foreach { r =>
+      val (no, nn, llr) = (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+        r.getAs[Double]("llr"))
+      assert(no + nn > 0)
+      // top movers are one-sided on this fixture; for those the sign of
+      // the smoothed ratio must track which half holds the gram
+      if (no == 0L && nn > 0L) assert(llr > 0, s"$r")
+      if (nn == 0L && no > 0L) assert(llr < 0, s"$r")
+    }
+    // a drift mover is by construction NOT in both halves at equal rate:
+    // the top mover must be absent from one half on this fixture
+    assert(rows.head.getAs[Long]("n_old") == 0L ||
+      rows.head.getAs[Long]("n_new") == 0L)
+  }
+
+  test("q204 gram search: prefilter agrees with brute force, candidates bound") {
+    val got = graft.functions.TextQueries.queries("q204_gram_search")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_matches")).toMap
+    // brute force over the raw corpus
+    val brute = Tables.documents(spark, sf0001)
+      .filter(col("text").rlike("big [a-z]+ scan"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("big [a-z]+ scan"),
+          lit(0))).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(got == brute, "indexed search diverges from the full scan")
+    assert(got.nonEmpty)
+    // the literal-token prefilter is a strict subset of the corpus here
+    val nCands = Tables.documents(spark, sf0001)
+      .filter(col("text").rlike("\\bbig\\b")) // cheap sanity proxy
+      .count()
+    assert(nCands < Tables.documents(spark, sf0001).count())
+  }
 }
