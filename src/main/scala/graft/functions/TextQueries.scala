@@ -576,8 +576,21 @@ object TextQueries {
         .agg(countDistinct(col("tok")).as("nlit"))
         .filter(col("nlit") === lits.length)
         .select(col("doc_id"))
-      documents(s, d).join(cands, "doc_id")
-        .filter(col("text").rlike(pat))
+      // PUSHDOWN BARRIER: a bare .filter(rlike) would be pushed below
+      // the join onto the documents scan — evaluating the regex on the
+      // FULL corpus and reducing the prefilter to decoration. The
+      // verify predicate is therefore fused with an opaque
+      // candidate-side marker (pmod(doc_id, 1) = 0 always, but not
+      // foldable) into ONE conditional, so it references both join
+      // sides and Catalyst cannot separate or push it: the regex runs
+      // strictly AFTER the candidate join, on candidates only.
+      // CorpusCleaningSpec locks no-RLIKE-at-the-scan in the plan.
+      // no broadcast hint: candidate volume is selectivity-dependent, so
+      // the join strategy is left to the planner/AQE
+      val marked = cands.withColumn("m", pmod(col("doc_id"), lit(1L)))
+      documents(s, d).join(marked, "doc_id")
+        .filter(when(col("m") === 0, col("text").rlike(pat))
+          .otherwise(lit(false)))
         .select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit(pat), lit(0)))
             .as("n_matches"))

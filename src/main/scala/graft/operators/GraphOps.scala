@@ -215,7 +215,10 @@ object GraphOps {
     // top-20 a heap cut (TakeOrdered) over rounded scores with full
     // (antecedent, consequent) tiebreaks so the ranking is replayable.
     "q202_assoc_rules" -> ((s, d) => {
-      val op = orderParts(s, d)
+      // one (order, part) scan for all four derivations (totals, item
+      // supports, both pair-join sides): CacheManager substitutes the
+      // persisted plan into coPurchaseWeighted's identical subtrees
+      val op = orderParts(s, d).persist()
       val nOrders = op.select(col("o")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val item = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
@@ -237,12 +240,15 @@ object GraphOps {
             (col("na") * col("nb")), 4).as("lift"))
       val top = scored.orderBy(col("lift").desc, col("confidence").desc,
         col("antecedent"), col("consequent")).limit(20)
-      top.withColumn("rk", row_number().over(
+      val out = top.withColumn("rk", row_number().over(
           Window.orderBy(col("lift").desc, col("confidence").desc,
             col("antecedent"), col("consequent"))).cast("long"))
         .select(col("rk"), col("antecedent"), col("consequent"),
           col("pair_n"), col("support"), col("confidence"), col("lift"))
         .orderBy(col("rk"))
+        .localCheckpoint() // eager: 20 rows, materialized before unpersist
+      op.unpersist()
+      out
     })
   )
 

@@ -648,10 +648,14 @@ object PipelineOps {
         .distinct()
       val keys = du.select(col("day"),
         md5(col("user_id").cast("string")).as("h")).distinct()
-      val sk = graft.plans.TopKPerGroup.topK(
-        graft.functions.TextQueries.kmvPartitionMins(keys, K).distinct()
-          .withColumnRenamed("lang", "day"),
-        Seq("day"), Seq("h" -> true), K)
+      // the MATERIALIZED sketch table: persisted so its three consumers
+      // (window union, window-width count, and the merge cut) share one
+      // events pass — the "reduce once, merge forever" contract
+      val sk = graft.PersistTracker.tracked("pipeline",
+        graft.plans.TopKPerGroup.topK(
+          graft.functions.TextQueries.kmvPartitionMins(keys, K).distinct()
+            .withColumnRenamed("lang", "day"),
+          Seq("day"), Seq("h" -> true), K))
       val spine = sk.select(col("day").as("d")).distinct()
       val win = sk.join(broadcast(spine),
         col("day") >= date_format(date_sub(to_date(col("d")), 6),

@@ -630,6 +630,13 @@ class CorpusCleaningSpec extends TestSpark {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
     assert(got == brute, "indexed search diverges from the full scan")
     assert(got.nonEmpty)
+    // the verify must NOT be pushed to the documents scan: the regex
+    // runs after the candidate join (the whole point of the prefilter)
+    val plan = graft.functions.TextQueries.queries("q204_gram_search")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.filter(_.contains("Scan parquet"))
+      .exists(_.contains("RLIKE")),
+      "regex was pushed into the corpus scan — prefilter bypassed")
     // the literal-token prefilter is a strict subset of the corpus here
     val nCands = Tables.documents(spark, sf0001)
       .filter(col("text").rlike("\\bbig\\b")) // cheap sanity proxy

@@ -532,8 +532,14 @@ class PipelineOpsSpec extends TestSpark {
       assert(r.getAs[Int]("within_bound") == 1)
     }
     val df = PipelineOps.queries("q197_sketch_rollup")(spark, sf0001)
-    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup "),
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup "),
       "day/window cuts must run through the heap operator")
+    // the materialized sketch table is built once and shared by its
+    // consumers (window union + width count) — not re-derived per use
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      "day sketches must be persisted and shared, not rebuilt per consumer")
   }
 
   test("q198 range selectivity: actuals recount, histogram estimate tight") {
