@@ -119,7 +119,9 @@ object Bench {
     // interval-overlap sweep and Apriori-1 rule scoring
     "q201_peak_concurrency", "q202_assoc_rules",
     // snapshot gram drift and the index-assisted regex search
-    "q203_gram_drift", "q204_gram_search")
+    "q203_gram_drift", "q204_gram_search",
+    // partition-histogram merge (the distributed-ANALYZE algebra)
+    "q205_hist_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -286,7 +288,7 @@ object Bench {
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
-        "q195_", "q196_", "q197_", "q198_"),
+        "q195_", "q196_", "q197_", "q198_", "q205_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_", "q202_"),
       "stream" -> Seq("q33_", "q107_"))

@@ -68,7 +68,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Apriori-1 support/confidence/lift over the shared co-purchase
   * rollup, q203 snapshot gram drift — Laplace-smoothed log-ratio
   * movers between crawl halves, q204 index-assisted regex search —
-  * literal-token posting prefilter, regex verifies candidates only),
+  * literal-token posting prefilter, regex verifies candidates only,
+  * q205 histogram merge — partition-local equi-depth histograms
+  * combined by piecewise-linear CDF inversion, no raw-row rescan),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

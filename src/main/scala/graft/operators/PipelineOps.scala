@@ -726,6 +726,62 @@ object PipelineOps {
         .orderBy(col("threshold"))
     }),
 
+    // HISTOGRAM MERGE — the distributed-ANALYZE algebra q197 gave NDV,
+    // applied to VALUE DISTRIBUTION: two partition-local equi-depth
+    // histograms (l_orderkey parity slices) combine into one 16-bucket
+    // histogram WITHOUT rescanning raw rows. The merged CDF is the sum
+    // of the slices' piecewise-linear CDFs evaluated at the ≤64 union
+    // breakpoints; the new equal-depth boundaries invert it by segment
+    // interpolation — 15 targets × bounded segments, pure arithmetic.
+    // This is how per-partition statistics roll up to table statistics
+    // on a 1000-executor ANALYZE: each executor ships 16 buckets, the
+    // merge is histogram-sized, and the audit columns (the exact
+    // boundaries from the full-table q194 construction, plus the
+    // absolute error) quantify what the merge loses — ≤0.3% of the
+    // value range on this fixture. All windows here order ≤64-row
+    // bounded relations (the q165 precedent).
+    "q205_hist_merge" -> ((s, d) => {
+      val li = lineitem(s, d)
+      def slice(k: Int): DataFrame = equidepthHistOf(
+        li.filter(col("l_orderkey") % 2 === k),
+        s"slice$k", col("l_extendedprice"), 4096.0)
+      val hist = slice(0).unionByName(slice(1))
+      val bp = hist.select(col("lo").as("x"))
+        .unionByName(hist.select(col("hi").as("x"))).distinct()
+      val fx = bp.crossJoin(hist)
+        .groupBy(col("x"))
+        .agg(round(sum(
+          when(col("hi") <= col("x"), col("n_rows").cast("double"))
+            .when(col("lo") <= col("x"),
+              when(col("hi") === col("lo"), col("n_rows").cast("double"))
+                .otherwise(col("n_rows") * (col("x") - col("lo")) /
+                  (col("hi") - col("lo"))))
+            .otherwise(lit(0.0))), 4).as("f"))
+      val ntot = hist.agg(sum(col("n_rows")).as("nn"))
+      val wSeg = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      val seg = fx.select(col("x").as("x0"), col("f").as("f0"),
+        lead(col("x"), 1).over(wSeg).as("x1"),
+        lead(col("f"), 1).over(wSeg).as("f1"))
+        .filter(col("x1").isNotNull)
+      val tg = { import s.implicits._; (1L to 15L).toDF("k") }
+      val inv = tg.crossJoin(ntot)
+        .join(seg, col("f0") <= col("k") * col("nn") / lit(16.0) &&
+          col("k") * col("nn") / lit(16.0) < col("f1"))
+        .select(col("k"),
+          round(when(col("f1") === col("f0"), col("x0"))
+            .otherwise(col("x0") +
+              (col("k") * col("nn") / lit(16.0) - col("f0")) *
+                (col("x1") - col("x0")) / (col("f1") - col("f0"))), 2)
+            .as("boundary"))
+      val exact = equidepthLeg(s, d, "extendedprice",
+        col("l_extendedprice"), 4096.0)
+        .select(col("bucket"), col("hi").as("exact_hi"))
+      inv.join(exact, col("bucket") === col("k") - 1)
+        .select(col("k"), col("boundary"), col("exact_hi"),
+          round(abs(col("boundary") - col("exact_hi")), 2).as("abs_err"))
+        .orderBy(col("k"))
+    }),
+
     // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
     // a daily pipeline runs: a standing per-(user, event_type) rollup
     // exists as a table; a new delta batch arrives; the refreshed view
@@ -875,9 +931,16 @@ object PipelineOps {
     * triangular offsets, coarse-PARTITIONED within-group window);
     * bucket = (rows_before * 16) div n in pure BIGINT. */
   private[graft] def equidepthLeg(s: SparkSession, d: String,
+      colName: String, v: Column, width: Double): DataFrame =
+    equidepthHistOf(lineitem(s, d), colName, v, width)
+
+  /** The same construction over an arbitrary source relation — q205
+    * builds per-SLICE histograms with it and merges them without
+    * touching raw rows again. */
+  private[graft] def equidepthHistOf(src: DataFrame,
       colName: String, v: Column, width: Double): DataFrame = {
     val B = 16
-    val rollup = lineitem(s, d).groupBy(v.as("v"))
+    val rollup = src.groupBy(v.as("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("coarse", floor(col("v") / width).cast("long"))
     val coarseTot = rollup.groupBy(col("coarse"))
@@ -1408,6 +1471,59 @@ object PipelineOps {
            CASE WHEN a.actual_rows = 0 THEN -1
              ELSE CAST(floor(abs(e.est_rows - a.actual_rows) * 1000000
                / a.actual_rows) AS BIGINT) END AS err_ppm
-         FROM est e JOIN act a USING (t) ORDER BY threshold"""
+         FROM est e JOIN act a USING (t) ORDER BY threshold""",
+
+    // q205 replay: per-slice equi-depth histograms, summed piecewise-
+    // linear CDF at the union breakpoints, segment-interpolated
+    // inversion at k·N/16, exact boundaries from the full-table replay
+    "q205_hist_merge" ->
+      """WITH src AS (
+           SELECT l_orderkey % 2 AS sl, l_extendedprice AS v FROM lineitem),
+         h AS (SELECT sl, v, count(*) AS cnt FROM src GROUP BY 1, 2),
+         tot AS (SELECT sl, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY sl),
+         cum AS (
+           SELECT sl, v, cnt, CAST(coalesce(sum(cnt) OVER (PARTITION BY sl
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb
+           FROM h),
+         hist AS (
+           SELECT sl, (cb * 16) // n AS bucket, round(min(v), 2) AS lo,
+             round(max(v), 2) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+           FROM cum JOIN tot USING (sl) GROUP BY 1, 2),
+         bp AS (SELECT DISTINCT e AS x FROM (
+           SELECT lo AS e FROM hist UNION SELECT hi FROM hist)),
+         fx AS (
+           SELECT b.x, round(sum(
+             CASE WHEN h2.hi <= b.x THEN CAST(h2.n_rows AS DOUBLE)
+                  WHEN h2.lo <= b.x THEN
+                    CASE WHEN h2.hi = h2.lo THEN CAST(h2.n_rows AS DOUBLE)
+                    ELSE h2.n_rows * (b.x - h2.lo) / (h2.hi - h2.lo) END
+                  ELSE 0.0 END), 4) AS f
+           FROM bp b CROSS JOIN hist h2 GROUP BY b.x),
+         ntot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM tot),
+         tg AS (SELECT unnest(range(1, 16))::BIGINT AS k),
+         seg AS (
+           SELECT x AS x0, f AS f0,
+             lead(x) OVER (ORDER BY x) AS x1, lead(f) OVER (ORDER BY x) AS f1
+           FROM fx),
+         inv AS (
+           SELECT t.k,
+             round(CASE WHEN s.f1 = s.f0 THEN s.x0
+               ELSE s.x0 + (t.k * nn / 16.0 - s.f0) * (s.x1 - s.x0)
+                 / (s.f1 - s.f0) END, 2) AS boundary
+           FROM tg t CROSS JOIN ntot
+           JOIN seg s ON s.f0 <= t.k * nn / 16.0 AND t.k * nn / 16.0 < s.f1),
+         ecum AS (
+           SELECT v, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb
+           FROM (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt FROM h GROUP BY v)),
+         ex AS (
+           SELECT (cb * 16) // nn AS bucket, round(max(v), 2) AS exact_hi
+           FROM ecum CROSS JOIN ntot GROUP BY 1)
+         SELECT i.k, i.boundary, e.exact_hi,
+           round(abs(i.boundary - e.exact_hi), 2) AS abs_err
+         FROM inv i JOIN ex e ON e.bucket = i.k - 1
+         ORDER BY i.k"""
   )
 }

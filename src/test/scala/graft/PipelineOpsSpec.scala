@@ -542,6 +542,42 @@ class PipelineOpsSpec extends TestSpark {
       "day sketches must be persisted and shared, not rebuilt per consumer")
   }
 
+  test("q205 histogram merge: inversion lands on the target depths") {
+    val rows = PipelineOps.queries("q205_hist_merge")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == (1L to 15L))
+    val bs = rows.map(_.getAs[Double]("boundary"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a < b },
+      "merged boundaries must be strictly increasing")
+    // rebuild the two slice histograms and check F_merged(boundary_k)
+    // ≈ k·N/16 — the definitional property of the inversion
+    val li = Tables.lineitem(spark, sf0001)
+    val hists = (0 to 1).flatMap { sl =>
+      PipelineOps.equidepthHistOf(
+        li.filter(col("l_orderkey") % 2 === sl),
+        s"slice$sl", col("l_extendedprice"), 4096.0)
+        .collect().map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Long]("n_rows")))
+    }
+    val n = hists.map(_._3).sum
+    def fMerged(x: Double): Double = hists.map { case (lo, hi, nr) =>
+      if (hi <= x) nr.toDouble
+      else if (lo <= x) { if (hi == lo) nr.toDouble
+        else nr * (x - lo) / (hi - lo) }
+      else 0.0
+    }.sum
+    rows.foreach { r =>
+      val (k, b) = (r.getAs[Long]("k"), r.getAs[Double]("boundary"))
+      assert(math.abs(fMerged(b) - k * n / 16.0) < 0.5,
+        s"F(boundary) misses target at k=$k")
+    }
+    // the merge tracks the exact full-table boundaries within 1% of the
+    // value range — what makes partition-wise ANALYZE usable
+    val range = hists.map(_._2).max - hists.map(_._1).min
+    rows.foreach(r => assert(r.getAs[Double]("abs_err") <= range * 0.01,
+      s"merge error exceeds 1% of range at k=${r.getAs[Long]("k")}"))
+  }
+
   test("q198 range selectivity: actuals recount, histogram estimate tight") {
     val rows = PipelineOps.queries("q198_range_selectivity")(spark, sf0001)
       .collect().sortBy(_.getAs[Double]("threshold"))
