@@ -120,8 +120,9 @@ object Bench {
     "q201_peak_concurrency", "q202_assoc_rules",
     // snapshot gram drift and the index-assisted regex search
     "q203_gram_drift", "q204_gram_search",
-    // partition-histogram merge (the distributed-ANALYZE algebra)
-    "q205_hist_merge")
+    // partition-histogram merge (the distributed-ANALYZE algebra) and
+    // the target-distribution mix reweighting
+    "q205_hist_merge", "q206_target_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -279,7 +280,8 @@ object Bench {
         "q161_", "q164_", "q165_", "q174_", "q176_", "q181_", "q193_",
         "q200_", "q201_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
-        "q170_", "q177_", "q178_", "q179_", "q189_", "q203_", "q204_"),
+        "q170_", "q177_", "q178_", "q179_", "q189_", "q203_", "q204_",
+        "q206_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
         "q127_", "q129_", "q133_", "q134_", "q139_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",

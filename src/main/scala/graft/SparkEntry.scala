@@ -70,7 +70,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * movers between crawl halves, q204 index-assisted regex search —
   * literal-token posting prefilter, regex verifies candidates only,
   * q205 histogram merge — partition-local equi-depth histograms
-  * combined by piecewise-linear CDF inversion, no raw-row rescan),
+  * combined by piecewise-linear CDF inversion, no raw-row rescan,
+  * q206 target-distribution mix reweighting — guardrailed multipliers
+  * toward an explicit language target, feasibility gap reported),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

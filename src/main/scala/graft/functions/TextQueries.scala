@@ -298,6 +298,45 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // TARGET-DISTRIBUTION REWEIGHTING — q179's sibling with an EXPLICIT
+    // target instead of a temperature heuristic: given a desired
+    // language mix (uniform here — the "balanced multilingual" goal),
+    // per-language sampling multipliers that move the char-mass mix
+    // toward it under a hard guardrail (clamp to [0.6, 1.25] — at most
+    // 25 % upsample / 40 % downsample per epoch, the gentle-shift
+    // discipline that avoids repeating a tail language into
+    // memorization), renormalized so total sampled mass is conserved.
+    // The expected_share column REPORTS the feasibility gap honestly:
+    // when the guardrail binds (the clipped flag), the mix cannot reach
+    // the target this epoch and the dominant language stays over-target
+    // — the signal to iterate rather than over-clamp. One lang-keyed
+    // rollup; everything after is language-count-sized; division order
+    // and round(6) fixed so both engines agree.
+    "q206_target_mix" -> ((s, d) => {
+      val m = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+      val tot = m.agg(sum(col("mass")).as("big_m"),
+        count(lit(1)).as("n_langs"))
+      val raw = col("big_m").cast("double") / (col("n_langs") * col("mass"))
+      val cw = least(greatest(raw, lit(0.6)), lit(1.25))
+      val w = m.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("mass"), col("big_m"),
+          round(col("mass") / col("big_m").cast("double"), 6)
+            .as("current_share"),
+          round(lit(1.0) / col("n_langs"), 6).as("target_share"),
+          cw.as("cw"), (raw =!= cw).cast("int").as("clipped"))
+      val z = w.agg((max(col("big_m")).cast("double") /
+        sum(col("cw") * col("mass"))).as("zf"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("mass"),
+          col("current_share"), col("target_share"),
+          round(col("cw"), 6).as("clipped_w"), col("clipped"),
+          round(col("cw") * col("zf"), 6).as("multiplier"),
+          round(col("cw") * col("zf") * col("mass") /
+            col("big_m"), 6).as("expected_share"))
+        .orderBy(col("lang"))
+    }),
+
     // BIGRAM-LM PERPLEXITY SCORING — the CCNet/C4-style quality filter
     // q101's unigram scorer cannot be: a doc full of common words in
     // nonsense ORDER scores fine under unigrams but poorly under the
@@ -1627,6 +1666,33 @@ object TextQueries {
            (est_n - exact_n <= (SELECT (2 * big_n) // 4096 FROM tot))::INT
              AS within_bound
          FROM est ORDER BY kind, rk""",
+
+    // q206 replay: same rollup, clamp, renormalization and division
+    // order, rounds at 6
+    "q206_target_mix" ->
+      """WITH m AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS mass
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(mass) AS BIGINT) AS big_m,
+           count(*) AS n_langs FROM m),
+         w AS (
+           SELECT lang, n_docs, mass, big_m,
+             round(mass / CAST(big_m AS DOUBLE), 6) AS current_share,
+             round(1.0 / n_langs, 6) AS target_share,
+             least(greatest(CAST(big_m AS DOUBLE) / (n_langs * mass),
+               0.6), 1.25) AS cw,
+             (CAST(big_m AS DOUBLE) / (n_langs * mass) <>
+              least(greatest(CAST(big_m AS DOUBLE) / (n_langs * mass),
+                0.6), 1.25))::INT AS clipped
+           FROM m CROSS JOIN tot),
+         z AS (SELECT CAST(max(big_m) AS DOUBLE) / sum(cw * mass) AS zf
+           FROM w)
+         SELECT lang, n_docs, mass, current_share, target_share,
+           round(cw, 6) AS clipped_w, clipped,
+           round(cw * zf, 6) AS multiplier,
+           round(cw * zf * mass / big_m, 6) AS expected_share
+         FROM w CROSS JOIN z ORDER BY lang""",
 
     // q203 replay: same pivoted gram rollup, same Laplace arithmetic,
     // ranked on the ROUNDED llr with the gram tiebreak

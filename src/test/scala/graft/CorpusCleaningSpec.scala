@@ -594,6 +594,39 @@ class CorpusCleaningSpec extends TestSpark {
       s"expected partial+final TopKPerGroupExec:\n${plan.take(3000)}")
   }
 
+  test("q206 target mix: mass conserved, guardrail honest, shifts toward target") {
+    val rows = graft.functions.TextQueries.queries("q206_target_mix")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // sampled mass is conserved: Σ multiplier·mass = Σ mass (within the
+    // 6-dp rounding of the multiplier column)
+    val masses = rows.map(_.getAs[Long]("mass"))
+    val scaled = rows.map(r =>
+      r.getAs[Double]("multiplier") * r.getAs[Long]("mass")).sum
+    assert(math.abs(scaled - masses.sum) < masses.sum * 1e-4,
+      "renormalization does not conserve total sampled mass")
+    rows.foreach { r =>
+      val (cur, tgt, exp) = (r.getAs[Double]("current_share"),
+        r.getAs[Double]("target_share"), r.getAs[Double]("expected_share"))
+      // every language moves TOWARD the target, never past it by more
+      // than the renormalization spread
+      assert(math.abs(exp - tgt) <= math.abs(cur - tgt) + 1e-6,
+        s"${r.getAs[String]("lang")}: moved away from target")
+      // the guardrail flag is honest: clipped ⟺ raw ratio outside bounds
+      val raw = 1.0 / (rows.length * cur)
+      val expectClip = raw < 0.6 - 1e-9 || raw > 1.25 + 1e-9
+      assert((r.getAs[Int]("clipped") == 1) == expectClip,
+        s"${r.getAs[String]("lang")}: clip flag wrong")
+      assert(r.getAs[Double]("clipped_w") >= 0.6 - 1e-9 &&
+        r.getAs[Double]("clipped_w") <= 1.25 + 1e-9)
+    }
+    // the guardrail binds somewhere on this fixture (en dominates), so
+    // the feasibility gap is visible: some expected_share ≠ target
+    assert(rows.exists(_.getAs[Int]("clipped") == 1))
+    assert(rows.exists(r => math.abs(r.getAs[Double]("expected_share") -
+      r.getAs[Double]("target_share")) > 0.001))
+  }
+
   test("q203 gram drift: rollup partition, llr sign tracks the rate shift") {
     val rows = graft.functions.TextQueries.queries("q203_gram_drift")(
       spark, sf0001).collect().sortBy(_.getAs[Long]("rk"))
