@@ -122,7 +122,10 @@ object Bench {
     "q203_gram_drift", "q204_gram_search",
     // partition-histogram merge (the distributed-ANALYZE algebra) and
     // the target-distribution mix reweighting
-    "q205_hist_merge", "q206_target_mix")
+    "q205_hist_merge", "q206_target_mix",
+    // round 12: the sketch-only production ANALYZE (benched beside
+    // q166/q183 — the artifact shows exact vs audit vs production cost)
+    "q207_table_stats_prod")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -290,7 +293,7 @@ object Bench {
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
-        "q195_", "q196_", "q197_", "q198_", "q205_"),
+        "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_", "q202_"),
       "stream" -> Seq("q33_", "q107_"))

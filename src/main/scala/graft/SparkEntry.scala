@@ -72,7 +72,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q205 histogram merge — partition-local equi-depth histograms
   * combined by piecewise-linear CDF inversion, no raw-row rescan,
   * q206 target-distribution mix reweighting — guardrailed multipliers
-  * toward an explicit language target, feasibility gap reported),
+  * toward an explicit language target, feasibility gap reported, q207
+  * the sketch-only PRODUCTION ANALYZE — q183's profile from the
+  * bounded KMV path alone, no exact-NDV Expand, the form you run at
+  * 100 TB with q183 as its standing error-bound audit),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

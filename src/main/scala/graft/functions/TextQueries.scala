@@ -601,12 +601,20 @@ object TextQueries {
     // engine already maintains (q155/q168's relation) and the regex cost
     // is proportional to the candidate set, not the corpus — which is
     // the entire difference between an indexed search and a full scan.
-    // Candidate-set ⊇ matches is guaranteed (every match contains the
-    // literals as whole tokens); the oracle replays the brute-force scan
-    // and must agree exactly. The pattern avoids dialect-divergent
-    // constructs ([a-z]+ means the same in Java regex and RE2).
+    // The pattern is ANCHORED at non-letter boundaries on both ends
+    // (consuming groups, not lookaround — RE2 has no lookaround), so its
+    // literals can only ever match as WHOLE tokens under the same
+    // [^\p{L}]+ splitter the posting relation uses: that is what makes
+    // candidate-set ⊇ matches a theorem instead of a fixture accident
+    // (round-11 advisor finding — the unanchored form matched 'xbig dog
+    // scan' as a substring while the token prefilter dropped it).
+    // Boundary chars are CONSUMED, so two occurrences sharing one
+    // separator char count as one match — identically on both engines,
+    // the standard price of lookaround-free anchoring. The oracle
+    // replays the brute-force scan with the same pattern and must agree
+    // exactly; [a-z]+ and \p{L} mean the same in Java regex and RE2.
     "q204_gram_search" -> ((s, d) => {
-      val pat = "big [a-z]+ scan"
+      val pat = "(^|[^\\p{L}])big [a-z]+ scan($|[^\\p{L}])"
       val lits = Seq("big", "scan")
       val cands = documents(s, d)
         .select(col("doc_id"), explode(tokens).as("tok"))
@@ -1725,8 +1733,10 @@ object TextQueries {
     // with exactly
     "q204_gram_search" ->
       """SELECT doc_id,
-           len(regexp_extract_all(text, 'big [a-z]+ scan')) AS n_matches
-         FROM documents WHERE regexp_matches(text, 'big [a-z]+ scan')
+           len(regexp_extract_all(text,
+             '(^|[^\p{L}])big [a-z]+ scan($|[^\p{L}])')) AS n_matches
+         FROM documents
+         WHERE regexp_matches(text, '(^|[^\p{L}])big [a-z]+ scan($|[^\p{L}])')
          ORDER BY doc_id""",
     // CDC replay: q114's polynomial per window, cuts at h%64=0 (p>1),
     // bounds = 1 + cuts + [n+1], chunk j = chars[bs[j] .. bs[j+1]-1] —

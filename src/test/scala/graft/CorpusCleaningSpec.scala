@@ -651,18 +651,36 @@ class CorpusCleaningSpec extends TestSpark {
   }
 
   test("q204 gram search: prefilter agrees with brute force, candidates bound") {
+    val pat = "(^|[^\\p{L}])big [a-z]+ scan($|[^\\p{L}])"
     val got = graft.functions.TextQueries.queries("q204_gram_search")(
       spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_matches")).toMap
     // brute force over the raw corpus
     val brute = Tables.documents(spark, sf0001)
-      .filter(col("text").rlike("big [a-z]+ scan"))
+      .filter(col("text").rlike(pat))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("big [a-z]+ scan"),
-          lit(0))).as("n"))
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
     assert(got == brute, "indexed search diverges from the full scan")
     assert(got.nonEmpty)
+    // the superset theorem the anchoring buys (round-11 advisor): an
+    // embedded literal ('xbig' contains 'big') must NOT match the
+    // anchored pattern — so a doc the token prefilter drops is a doc the
+    // regex could never have matched. Whole-token occurrences still do.
+    locally {
+      import spark.implicits._
+      val probe = Seq(
+        ("xbig dog scan", false), // 'big' embedded in a longer token
+        ("big dog scans here", false), // 'scan' embedded ('scans')
+        ("a big dog scan ran", true), // interior whole-token match
+        ("big red scan", true), // match at string start (^ anchor)
+        ("we ran a big red scan", true)) // match at string end ($ anchor)
+        .toDF("text", "want")
+        .select(col("want"), col("text").rlike(pat).as("hit"))
+        .collect()
+      probe.foreach(r => assert(
+        r.getAs[Boolean]("hit") == r.getAs[Boolean]("want"), s"$r"))
+    }
     // the verify must NOT be pushed to the documents scan: the regex
     // runs after the candidate join (the whole point of the prefilter)
     val plan = graft.functions.TextQueries.queries("q204_gram_search")(

@@ -290,6 +290,34 @@ class PipelineOpsSpec extends TestSpark {
       s"grouped KMV ($grouped) diverged from kmvEstimate ($global)")
   }
 
+  test("q207 production stats: agrees with q183 columns, no Expand-distinct in plan") {
+    val prod = PipelineOps.queries("q207_table_stats_prod")(spark, sf0001)
+    val audit = PipelineOps.queries("q183_table_stats_sketch")(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("tbl"),
+        r.getAs[String]("col_name")) -> r).toMap
+    val rows = prod.collect()
+    assert(rows.length == 16, "16 profiled (table, column) rows")
+    // the production form must emit exactly the audit's shared columns —
+    // the swap q183's bound measurement licences is a projection, not a
+    // different computation
+    rows.foreach { r =>
+      val a = audit((r.getAs[String]("tbl"), r.getAs[String]("col_name")))
+      Seq("n_rows", "n_null", "k_used").foreach(c =>
+        assert(r.getAs[Long](c) == a.getAs[Long](c), s"$c differs: $r"))
+      Seq("min_val", "max_val").foreach(c =>
+        assert(r.getAs[String](c) == a.getAs[String](c), s"$c differs: $r"))
+      assert(r.getAs[Double]("est_ndv") == a.getAs[Double]("est_ndv"),
+        s"est_ndv differs: $r")
+    }
+    // and the whole point: the exact-NDV Expand must be GONE — no
+    // distinct aggregate anywhere in the production plan
+    val plan = prod.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "production stats must not pay the multi-countDistinct Expand")
+    assert(!plan.toLowerCase.contains("distinct("),
+      "production stats must not compute any exact distinct")
+  }
+
   test("q162 drift PSI: smoothed shares are a distribution, terms non-negative") {
     val rows = PipelineOps.queries("q162_drift_psi")(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("bucket")).sorted.sameElements(0L to 7L),
@@ -576,6 +604,33 @@ class PipelineOpsSpec extends TestSpark {
     val range = hists.map(_._2).max - hists.map(_._1).min
     rows.foreach(r => assert(r.getAs[Double]("abs_err") <= range * 0.01,
       s"merge error exceeds 1% of range at k=${r.getAs[Long]("k")}"))
+  }
+
+  test("q205 kernel: skewed column keeps all 15 audit rows (left join)") {
+    // one value holds 50% of rows → the exact equi-depth construction
+    // skips bucket ids (values never split), and an INNER audit join
+    // would silently drop those k rows (round-11 advisor finding)
+    import spark.implicits._
+    // 50 spread values below, one value with a 62.5% share, 250 above —
+    // mid-range so the merged CDF keeps a preceding breakpoint that
+    // linearizes the jump and every inversion target stays coverable
+    val skewed = ((1 to 50).map(_.toDouble) ++
+      (1 to 500).map(_ => 60.0) ++
+      (1 to 250).map(i => 100.0 + i)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val exact = PipelineOps.equidepthHistOf(
+      skewed, "v", col("v"), 64.0).collect()
+    val ids = exact.map(_.getAs[Long]("bucket")).sorted
+    assert((0L until 16L).exists(b => !ids.contains(b)),
+      s"fixture must skip bucket ids to exercise the left join: ${ids.toSeq}")
+    val audit = PipelineOps.histMergeAudit(spark,
+      k => skewed.filter(col("id") % 2 === k), skewed, col("v"), 64.0)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(audit.map(_.getAs[Long]("k")).toSeq == (1L to 15L),
+      "all 15 merged boundaries must survive the audit join on skew")
+    // the skipped ids surface as null audit columns, not missing rows
+    assert(audit.exists(_.isNullAt(audit.head.fieldIndex("exact_hi"))),
+      "skipped exact buckets should yield null exact_hi audit cells")
   }
 
   test("q198 range selectivity: actuals recount, histogram estimate tight") {
