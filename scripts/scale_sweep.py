@@ -21,19 +21,11 @@ DIRS = [("x1", 1, "/root/testdata/sf0.1"),
 # curve's gram rollups (q186)
 ONLY = "q27_,q102_,q115_,q120_,q131_,q178_,q186_,q189_"
 
-import duckdb
-con = duckdb.connect()
-
-def constants(d):
-    nd = con.execute(f"SELECT count(*) FROM '{d}/documents.parquet'").fetchone()[0]
-    nv = con.execute(f"SELECT count(*) FROM '{d}/embeddings.parquet'").fetchone()[0]
-    p = 1
-    while p < 24 and (8 << p) < nv:
-        p += 1
-    return {"n_docs": nd, "n_vecs": nv,
-            "df_cap": max(5, nd // 10),                      # Dedup.stopShingleFiltered
-            "ivf_k": max(16, math.ceil(math.sqrt(nv))),      # Similarity.ivfK
-            "lsh_planes": max(4, p)}                         # Similarity.lshNPlanes
+# Derived adaptive constants (df_cap / ivf_k / lsh_planes) are NOT
+# recomputed here: graft.Bench emits what the engine actually derived
+# as "derived_constants" in bench_full_last.json (round-11 advisor
+# finding — a Python mirror of the Scala rules would silently go stale
+# when the formulas change).
 
 results = {}
 for tag, scale, d in DIRS:
@@ -45,7 +37,8 @@ for tag, scale, d in DIRS:
                    stdout=open(f"/tmp/sweep_{tag}.log", "w"),
                    stderr=subprocess.STDOUT)
     full = json.load(open(f"{ROOT}/bench_logs/bench_full_last.json"))
-    results[tag] = {"scale": scale, "dir": d, "constants": constants(d),
+    results[tag] = {"scale": scale, "dir": d,
+                    "constants": full["derived_constants"],
                     "queries": full["queries"], "runs": full.get("runs", {}),
                     "loadavg_before": full.get("loadavg_before"),
                     "loadavg_after": full.get("loadavg_after")}

@@ -232,6 +232,15 @@ object Dedup {
     * re-group is nondeterministic, which is immaterial: signatures fold
     * min() over the set and verification intersects sets.
     */
+  /** The stop-shingle document-frequency cap as a pure function —
+    * max(5, n/10) — for callers that need the VALUE (Bench emits it
+    * into the bench artifact so scripts/scale_sweep.py reads derived
+    * constants instead of mirroring formulas; round-11 advisor
+    * finding). [[stopShingleFiltered]]'s in-plan
+    * `greatest(lit(5), n_docs div 10)` is this rule's Column twin —
+    * change them together. */
+  def dfCap(nDocs: Long): Long = math.max(5L, nDocs / 10L)
+
   def stopShingleFiltered(sh: DataFrame): DataFrame = {
     val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val nDocs = sh.agg(count(lit(1)).as("n_docs"))

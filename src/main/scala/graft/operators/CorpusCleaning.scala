@@ -402,8 +402,69 @@ object CorpusCleaning {
           sum(when(col("n_toks") < 20, 1L).otherwise(0L)).as("n_short"),
           round(avg(col("n_toks")), 4).as("avg_doc_tokens"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // LEARNED QUALITY CLASSIFIER INFERENCE — the fastText/CCNet stage
+    // the rule chain (q79) approximates by hand: a logistic-regression
+    // quality model, trained OFFLINE against the rule verdict as
+    // teacher (scripts/train_quality.py over the sf0.1 fixture — the
+    // engine never trains) and FROZEN as a weight literal, scores every
+    // doc map-side. This is exactly how a learned gate runs at 100 TB:
+    // weights live in the closure (no broadcast, no join, no shuffle —
+    // the only exchange is the final orderBy), features are six
+    // deterministic per-doc statistics inside whole-stage codegen, and
+    // the decision is one dot product per document. The emitted score
+    // is the LOGIT (rounded, exact IEEE arithmetic both engines replay
+    // bit-identically); sigmoid is monotone, so keep ⇔ logit ≥ 0 and
+    // the gate never evaluates exp — an exp()-based probability could
+    // diverge in the last ulp between Java's and DuckDB's libm and is
+    // deliberately not part of the contract (q192's sqrt-chain
+    // rationale). 96.6% teacher agreement at training time; the spec
+    // pins agreement ≥ 0.9 on held-out sf0.001 plus known-good/bad
+    // probes.
+    "q208_quality_classifier" -> ((s, d) => {
+      val pt = concat(lit(" "), col("text"), lit(" "))
+      val predicted =
+        when(pt.contains(" der ") || pt.contains(" und ")
+          || pt.contains(" das "), "de")
+          .when(pt.contains(" le ") || pt.contains(" la ")
+            || pt.contains(" et "), "fr")
+          .when(pt.contains(" el ") || pt.contains(" los ")
+            || pt.contains(" es "), "es")
+          .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+          .otherwise("en")
+      val base = documents(s, d).select(col("doc_id"), col("source"),
+        col("lang"), col("text"),
+        size(tokens).as("n_tokens"),
+        size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).as("n_letters"),
+        predicted.as("predicted"))
+      val nt1 = greatest(col("n_tokens"), lit(1)).cast("double")
+      val feat = base.select(col("doc_id"), col("source"),
+        round(least(col("n_tokens"), lit(200)) / lit(200.0), 6).as("x1"),
+        round(col("n_stop") / nt1, 6).as("x2"),
+        when(col("predicted") === col("lang"), 1.0).otherwise(0.0).as("x3"),
+        round(lit(1.0) - length(regexp_replace(col("text"), " ", ""))
+          / length(col("text")).cast("double"), 6).as("x4"),
+        round(col("n_letters") / (lit(10.0) * nt1), 6).as("x5"))
+      val z = round(
+        lit(Qw(0)) + lit(Qw(1)) * col("x1") + lit(Qw(2)) * col("x2") +
+          lit(Qw(3)) * col("x3") + lit(Qw(4)) * col("x4") +
+          lit(Qw(5)) * col("x5"), 6)
+      feat.select(col("doc_id"), col("source"), z.as("score"),
+          (z >= 0).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q208's frozen logistic-regression weights — bias, then x1..x5
+    * (length, stopword density, language agreement, space ratio, mean
+    * token length; exact formulas in scripts/train_quality.py, which
+    * regenerates this literal deterministically from the sf0.1
+    * fixture). */
+  private[graft] val Qw: Array[Double] = Array(
+    -10.477025486327573, 15.587616694192102, 7.674218655701867,
+    11.116499005843007, -0.545156708473783, -5.812091316255362)
 
   /** The q79 stats/verdict CTE block, shared verbatim with q136's
     * oracle (PipelineOps) so the sibling oracles cannot drift — the CDC
@@ -621,6 +682,48 @@ object CorpusCleaning {
            CAST(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_short,
            round(avg(n_toks), 4) AS avg_doc_tokens
-         FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q208 replay: the same six features (same 6-dec rounding), the
+    // same frozen weights (shortest-roundtrip doubles parse back
+    // bit-identically), the same left-associated dot product — and no
+    // exp anywhere, so the score arithmetic is exact IEEE on both
+    // engines.
+    "q208_quality_classifier" -> {
+      val w = Qw.map(_.toString)
+      s"""WITH base AS (
+           SELECT doc_id, source, lang, text,
+             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+               x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+               x -> x IN ('the','a','of','and','to','in','is','on')))
+               AS n_stop,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters,
+             ' ' || text || ' ' AS pt
+           FROM documents),
+         feat AS (
+           SELECT doc_id, source,
+             round(least(n_tokens, 200) / 200.0, 6) AS x1,
+             round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS x2,
+             CASE WHEN (CASE
+                 WHEN contains(pt, ' der ') OR contains(pt, ' und ')
+                   OR contains(pt, ' das ') THEN 'de'
+                 WHEN contains(pt, ' le ') OR contains(pt, ' la ')
+                   OR contains(pt, ' et ') THEN 'fr'
+                 WHEN contains(pt, ' el ') OR contains(pt, ' los ')
+                   OR contains(pt, ' es ') THEN 'es'
+                 WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                 ELSE 'en' END) = lang THEN 1.0 ELSE 0.0 END AS x3,
+             round(1.0 - length(replace(text, ' ', ''))
+               / CAST(length(text) AS DOUBLE), 6) AS x4,
+             round(n_letters / (10.0 * greatest(n_tokens, 1)), 6) AS x5
+           FROM base)
+         SELECT doc_id, source,
+           round(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3
+             + ${w(4)} * x4 + ${w(5)} * x5, 6) AS score,
+           CAST(round(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3
+             + ${w(4)} * x4 + ${w(5)} * x5, 6) >= 0 AS INT) AS keep
+         FROM feat ORDER BY doc_id"""
+    }
   )
 }

@@ -650,6 +650,50 @@ class CorpusCleaningSpec extends TestSpark {
       rows.head.getAs[Long]("n_new") == 0L)
   }
 
+  test("q208 quality classifier: gate is the logit sign, teacher agreement holds out, map-side plan") {
+    val df = CorpusCleaning.queries("q208_quality_classifier")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the keep gate IS the logit sign — never a separately-thresholded
+    // (and potentially drifting) probability
+    rows.foreach(r => assert(
+      (r.getAs[Double]("score") >= 0) == (r.getAs[Int]("keep") == 1), s"$r"))
+    // held-out teacher agreement: weights were trained on sf0.1; this
+    // fixture is sf0.001. Teacher = the q79 rule chain minus the dup
+    // stage (dedup is a separate family; this fixture has no dups)
+    val keep = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    val teacher = CorpusCleaning.queries("q79_clean_pipeline") // force init
+    val verdict = graft.operators.CorpusCleaning.cleanVerdict(spark, sf0001)
+      .collect().filter(_.getAs[String]("reason") != "dup")
+    val agree = verdict.count { r =>
+      val want = if (r.getAs[String]("reason") == "keep") 1 else 0
+      keep(r.getAs[Long]("doc_id")) == want
+    }
+    assert(agree.toDouble / verdict.length >= 0.9,
+      s"held-out teacher agreement ${agree.toDouble / verdict.length}")
+    // weight sanity on archetype feature vectors: a long, stopword-
+    // dense, language-consistent doc must clear the gate; a short
+    // stopword-free language-mismatched one must not
+    def z(x: Array[Double]): Double =
+      graft.operators.CorpusCleaning.Qw.tail.zip(x)
+        .map { case (w, v) => w * v }.sum + graft.operators.CorpusCleaning.Qw(0)
+    assert(z(Array(1.0, 0.15, 1.0, 0.15, 0.5)) > 0, "archetype good doc")
+    assert(z(Array(0.05, 0.0, 0.0, 0.15, 0.5)) < 0, "archetype bad doc")
+    // the whole model is map-side: one corpus scan, no join, no
+    // aggregate — the only exchange is the final presentation sort.
+    // Fresh plan (pre-execution): the collect() above finalizes AQE on
+    // df's QueryExecution, whose toString then renders stage wrappers
+    // that double-count "Exchange"
+    val plan = CorpusCleaning.queries("q208_quality_classifier")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "classifier inference must not join")
+    assert(!plan.contains("HashAggregate"),
+      "classifier inference must not aggregate")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      "only the final sort may exchange")
+  }
+
   test("q204 gram search: prefilter agrees with brute force, candidates bound") {
     val pat = "(^|[^\\p{L}])big [a-z]+ scan($|[^\\p{L}])"
     val got = graft.functions.TextQueries.queries("q204_gram_search")(
