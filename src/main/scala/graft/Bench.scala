@@ -125,8 +125,11 @@ object Bench {
     "q205_hist_merge", "q206_target_mix",
     // round 12: the sketch-only production ANALYZE (benched beside
     // q166/q183 — the artifact shows exact vs audit vs production cost)
-    // and the frozen-weights quality-classifier inference
-    "q207_table_stats_prod", "q208_quality_classifier")
+    // the frozen-weights quality-classifier inference, and the
+    // terminal shard-export writer (HRW shards + packed sequences +
+    // partitioned sink + manifest)
+    "q207_table_stats_prod", "q208_quality_classifier",
+    "q209_export_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -320,7 +323,7 @@ object Bench {
         "q188_", "q191_", "q192_", "q208_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
-      "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_"),
+      "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_", "q202_"),
       "stream" -> Seq("q33_", "q107_"))
     val famJson = families.map { case (f, prefixes) =>

@@ -78,7 +78,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 100 TB with q183 as its standing error-bound audit, q208 learned
   * quality-classifier inference — offline-trained logistic weights
   * frozen as a literal, scored as one map-side dot product per doc,
-  * the fastText/CCNet gate with an exp-free exact-logit contract),
+  * the fastText/CCNet gate with an exp-free exact-logit contract,
+  * q209 the training-data shard-export writer — rendezvous-hash
+  * shards, content-hash deterministic order, token-budget packed
+  * sequences, one-exchange partitioned sink with a re-read manifest),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

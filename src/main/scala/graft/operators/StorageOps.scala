@@ -247,8 +247,67 @@ object StorageOps {
         .select(col("source"), col("lang"), col("n_docs"), col("bytes"),
           expr(s"prev_bytes div $target").as("out_file"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // TRAINING-DATA EXPORT SHARD WRITER — the terminal operator a
+    // 100 TB curation pipeline actually runs, composing three proven
+    // pieces into the artifact a trainer consumes: (1) q187's
+    // rendezvous-hash shard assignment (stable under resharding, pure
+    // map-side), (2) a deterministic content-hash order WITHIN each
+    // shard (md5(text) — re-exports of the same corpus byte-match
+    // regardless of upstream row order), and (3) q118's token-budget
+    // greedy packing (per-shard running sum → seq_id), then a Hive-
+    // partitioned parquet write of one directory per shard. The export
+    // plan has exactly ONE exchange — the window's hash partition on
+    // shard (StorageOpsSpec pins it); the write adds none. Parallelism
+    // = shard count by construction: a real export runs thousands of
+    // shards, 8 here so fixture files stay realistic. The returned
+    // MANIFEST re-reads the WRITTEN files (proving the sink, q84's
+    // discipline): per shard — docs, packed sequences, token total,
+    // source mix width, and the fullest sequence. Oracle replays
+    // assignment + packing + rollup end to end.
+    "q209_export_shards" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s,
+        "q209_shards_" + graft.Tables.datasetTag(d))
+      val packed = exportPacked(s, d, nShards = 8, budget = 512L)
+      packed.write.mode("overwrite").partitionBy("shard").parquet(dir)
+      val reread = s.read.parquet(dir)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("source"), col("n_tok"), col("seq_id"))
+      val perSeq = reread.groupBy(col("shard"), col("seq_id"))
+        .agg(sum(col("n_tok")).as("seq_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"), max(col("seq_tok")).as("max_seq_tokens"))
+      reread.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .join(perSeq, "shard")
+        .select(col("shard"), col("n_docs"), col("n_seqs"),
+          col("n_tokens"), col("n_sources"), col("max_seq_tokens"))
+        .orderBy(col("shard"))
     })
   )
+
+  /** q209's per-doc export relation: (shard, doc_id, source, n_tok,
+    * seq_id) — rendezvous-hash shard, content-hash in-shard order,
+    * token-budget greedy packing. Factored so StorageOpsSpec can pin
+    * the one-exchange plan and the write/read roundtrip against the
+    * same derivation the sink writes. */
+  private[graft] def exportPacked(s: SparkSession, d: String,
+      nShards: Int, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+          .as("n_tok"),
+        md5(col("text")).as("h"),
+        CurationAudits.hrwOwner(nShards).cast("long").as("shard"))
+      .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("source"), col("n_tok"),
+        expr(s"prev div $budget").as("seq_id"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q84_partitioned_sink" ->
@@ -328,6 +387,47 @@ object StorageOps {
            CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY lang
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) // 65536 AS out_file
-         FROM sizes ORDER BY source, lang"""
+         FROM sizes ORDER BY source, lang""",
+
+    // q209 replay: the q187 HRW argmax, the same content-hash in-shard
+    // order, the same greedy token cumsum // budget, then the manifest
+    // rollup — end to end, so the written shards are only correct if
+    // every stage is.
+    "q209_export_shards" ->
+      """WITH h AS (
+           SELECT doc_id, r.i AS s,
+             md5(doc_id::VARCHAR || ':' || r.i::VARCHAR) AS hh
+           FROM documents, range(8) r(i)),
+         own AS (
+           SELECT doc_id, s AS shard FROM (
+             SELECT doc_id, s, row_number()
+               OVER (PARTITION BY doc_id ORDER BY hh DESC, s DESC) AS rk
+             FROM h) WHERE rk = 1),
+         docs AS (
+           SELECT d.doc_id, d.source, o.shard,
+             len(list_filter(string_split_regex(d.text, '[^\p{L}]+'),
+               x -> x <> '')) AS n_tok,
+             md5(d.text) AS ch
+           FROM documents d JOIN own o USING (doc_id)),
+         packed AS (
+           SELECT shard, doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+               ORDER BY ch, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) // 512 AS seq_id
+           FROM docs),
+         seqs AS (
+           SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+           FROM packed GROUP BY 1, 2),
+         m1 AS (
+           SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             count(DISTINCT source) AS n_sources
+           FROM packed GROUP BY shard),
+         m2 AS (
+           SELECT shard, count(*) AS n_seqs, max(seq_tok) AS max_seq_tokens
+           FROM seqs GROUP BY shard)
+         SELECT shard, n_docs, n_seqs, n_tokens, n_sources, max_seq_tokens
+         FROM m1 JOIN m2 USING (shard) ORDER BY shard"""
   )
 }

@@ -153,4 +153,48 @@ class StorageOpsSpec extends TestSpark {
       .agg(sum(col("n_chars"))).first().getLong(0)
     assert(r0.getAs[Long]("bytes") == direct)
   }
+
+  test("q209 export shards: roundtrip equality, packing property, one-exchange plan") {
+    // run the sink (writes the shard dirs + returns the manifest)
+    val manifest = StorageOps.queries("q209_export_shards")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("shard"))
+    val nCorpus = Tables.documents(spark, sf0001).count()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == nCorpus,
+      "every doc must land in exactly one shard")
+    assert(manifest.map(_.getAs[Long]("shard")).toSet.subsetOf((0L until 8L).toSet))
+    // write → read roundtrip: the files on disk reproduce the derivation
+    val dir = graft.Tables.scratchDir(spark,
+      "q209_shards_" + graft.Tables.datasetTag(sf0001))
+    val reread = spark.read.parquet(dir)
+      .select(col("shard").cast("long"), col("doc_id"), col("source"),
+        col("n_tok").cast("long"), col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val derived = StorageOps.exportPacked(spark, sf0001, 8, 512L)
+      .select(col("shard"), col("doc_id"), col("source"),
+        col("n_tok").cast("long"), col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(reread == derived, "written shards must equal the derivation")
+    // greedy-packing invariant per shard: replay the cumsum in the
+    // content-hash order and check every seq_id
+    val order = StorageOps.exportPacked(spark, sf0001, 8, 512L)
+      .join(Tables.documents(spark, sf0001).select(col("doc_id"),
+        md5(col("text")).as("h")), "doc_id")
+      .collect().groupBy(_.getAs[Long]("shard"))
+    order.foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(r => (r.getAs[String]("h"), r.getAs[Long]("doc_id")))
+        .foreach { r =>
+          assert(r.getAs[Long]("seq_id") == cum / 512L, s"$r")
+          cum += r.getAs[Int]("n_tok")
+        }
+    }
+    // the export itself must shuffle exactly once (the shard window);
+    // the partitioned write adds no exchange
+    val plan = StorageOps.exportPacked(spark, sf0001, 8, 512L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"export plan must have exactly one exchange:\n$plan")
+  }
 }
