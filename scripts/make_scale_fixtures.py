@@ -64,8 +64,41 @@ for scale in (3, 10):
                 f"label FROM '{SRC}/embeddings.parquet'")
     con.execute(
         f"COPY ({' UNION ALL '.join(vec_parts)}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"]:
+    # Relational tables scale as DISJOINT key-space replicas (round-11
+    # verdict ask #2: the expensive tail — ANALYZE stats, pagerank,
+    # triangles, label prop, BFS, z-order — is driven by lineitem/
+    # orders/events, which the r11 version copied through unchanged, so
+    # the tail's exponents were unmeasurable). Every key column shifts
+    # by k*span and non-key columns copy, so joins stay consistent, NDV
+    # and node counts grow linearly, and graphs grow in NODES at
+    # constant degree (10 disjoint subgraphs) — the "bigger corpus"
+    # model, not a density-blowup test.
+    spans = {t: con.execute(
+        f"SELECT max({c}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        for t, c in [("orders", "o_orderkey"), ("customer", "c_custkey"),
+                     ("supplier", "s_suppkey"), ("part", "p_partkey"),
+                     ("events", "event_id")]}
+    uspan = con.execute(
+        f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
+    shifted = {
+        "orders": lambda k: (f"o_orderkey + {k * spans['orders']} AS o_orderkey, "
+                             f"o_custkey + {k * spans['customer']} AS o_custkey"),
+        "lineitem": lambda k: (f"l_orderkey + {k * spans['orders']} AS l_orderkey, "
+                               f"l_partkey + {k * spans['part']} AS l_partkey, "
+                               f"l_suppkey + {k * spans['supplier']} AS l_suppkey"),
+        "customer": lambda k: f"c_custkey + {k * spans['customer']} AS c_custkey",
+        "supplier": lambda k: f"s_suppkey + {k * spans['supplier']} AS s_suppkey",
+        "part": lambda k: f"p_partkey + {k * spans['part']} AS p_partkey",
+        "events": lambda k: (f"event_id + {k * spans['events']} AS event_id, "
+                             f"user_id + {k * uspan} AS user_id"),
+    }
+    for t, repl in shifted.items():
+        parts = [f"SELECT * FROM '{SRC}/{t}.parquet'"] + [
+            f"SELECT * REPLACE ({repl(k)}) FROM '{SRC}/{t}.parquet'"
+            for k in range(1, scale)]
+        con.execute(f"COPY ({' UNION ALL '.join(parts)}) "
+                    f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    for t in ["region", "nation"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     nd = con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
     nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]

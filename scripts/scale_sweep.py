@@ -6,9 +6,14 @@ adaptive constants, and fit the growth exponent per query. Dev-side
 tooling — NOT part of the library runtime; drives the same graft.Bench
 main the round driver runs.
 
-Usage: scale_sweep.py            (expects scratch/scale/x{3,10} to exist)
+Usage: scale_sweep.py [tag] [only]   (expects scratch/scale/x{3,10})
+  tag:  output suffix, default r11 (writes bench_logs/scale_sweep_<tag>.json)
+  only: comma-separated query-name substrings for SPARK_GRAFT_BENCH_ONLY;
+        default = the r11 adaptivity-sensitive set below. Round 12 runs
+        the EXPENSIVE-TAIL set (verdict r11 ask #2):
+        q166_,q183_,q207_,q152_,q157_,q167_,q169_,q175_
 """
-import json, math, os, shutil, subprocess
+import json, math, os, shutil, subprocess, sys
 
 ROOT = "/root/repo"
 DIRS = [("x1", 1, "/root/testdata/sf0.1"),
@@ -19,7 +24,9 @@ DIRS = [("x1", 1, "/root/testdata/sf0.1"),
 # memo (q115), positional-gram df caps (q120), IVF sqrt(n) centroids +
 # PQ codes (q131), the distributed vocab rank (q178, q189), the novelty
 # curve's gram rollups (q186)
-ONLY = "q27_,q102_,q115_,q120_,q131_,q178_,q186_,q189_"
+TAG = sys.argv[1] if len(sys.argv) > 1 else "r11"
+ONLY = sys.argv[2] if len(sys.argv) > 2 else \
+    "q27_,q102_,q115_,q120_,q131_,q178_,q186_,q189_"
 
 # Derived adaptive constants (df_cap / ivf_k / lsh_planes) are NOT
 # recomputed here: graft.Bench emits what the engine actually derived
@@ -59,7 +66,7 @@ for q in results["x1"]["queries"]:
                    if t3 > 0 else None}
 
 out = {"only": ONLY, "scales": results, "exponents": expo}
-path = f"{ROOT}/bench_logs/scale_sweep_r11.json"
+path = f"{ROOT}/bench_logs/scale_sweep_{TAG}.json"
 json.dump(out, open(path, "w"), indent=1)
 print(json.dumps(expo, indent=1))
 print(f"wrote {path}")
