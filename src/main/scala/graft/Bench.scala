@@ -129,7 +129,18 @@ object Bench {
     // terminal shard-export writer (HRW shards + packed sequences +
     // partitioned sink + manifest)
     "q207_table_stats_prod", "q208_quality_classifier",
-    "q209_export_shards")
+    "q209_export_shards",
+    // the Gopher within-document repetition gate — per-doc map-side
+    // run-fold, the only exchange the final orderBy
+    "q210_repetition_filter",
+    // CCNet per-source perplexity terciles (distributed two-phase rank),
+    // best-of-cluster canonical selection (MinHash clusters × the
+    // learned quality score), and template-prefix boilerplate detection
+    "q211_ccnet_buckets", "q212_cluster_best_keeper",
+    "q213_template_prefixes",
+    // the epoch-sample materializer (q206's multipliers → copy counts)
+    // and the context-length packing-efficiency curve
+    "q214_epoch_sample", "q215_packing_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -313,14 +324,14 @@ object Bench {
         "q200_", "q201_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
         "q170_", "q177_", "q178_", "q179_", "q189_", "q203_", "q204_",
-        "q206_"),
+        "q206_", "q211_", "q214_", "q215_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
         "q127_", "q129_", "q133_", "q134_", "q139_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",
         "q155_"),
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
-        "q188_", "q191_", "q192_", "q208_"),
+        "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_"),

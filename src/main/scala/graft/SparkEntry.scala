@@ -81,7 +81,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the fastText/CCNet gate with an exp-free exact-logit contract,
   * q209 the training-data shard-export writer — rendezvous-hash
   * shards, content-hash deterministic order, token-budget packed
-  * sequences, one-exchange partitioned sink with a re-read manifest),
+  * sequences, one-exchange partitioned sink with a re-read manifest,
+  * q210 the Gopher within-document repetition gate — modal-bigram and
+  * duplicate-5-gram occupancy folded map-side from sorted gram arrays,
+  * per-doc state, the only exchange the final sort, q211 CCNet
+  * head/middle/tail perplexity terciles per source — the distributed
+  * two-phase rank over the q101 LM score, exact integer tercile cuts,
+  * q212 best-of-cluster canonical selection — near-dup clusters keep
+  * their highest-quality member by the learned logit instead of an
+  * arbitrary min-id, q213 template-prefix boilerplate detection —
+  * shared opening stubs across distinct docs, heap-cut top families,
+  * q214 epoch-sample materialization — q206's multipliers become
+  * per-doc copy counts via a deterministic md5 coin, q215 the
+  * sequence-packing efficiency curve — exact ceil-sum sequences and
+  * waste per candidate context length),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

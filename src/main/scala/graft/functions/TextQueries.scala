@@ -80,6 +80,30 @@ object TextQueries {
   def releaseCaches(s: SparkSession): Unit =
     graft.PersistTracker.release("text", s)
 
+  /** q206's guardrailed target-mix weight relation, shared with q214's
+    * epoch sampler: per language the raw→clipped→renormalized chain —
+    * (lang, n_docs, mass, big_m, current_share, target_share, cw,
+    * clipped, zf). Language-count-sized; both the totals row and the
+    * normalizer broadcast. */
+  private[graft] def targetMixWeights(s: SparkSession, d: String)
+      : DataFrame = {
+    val m = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+    val tot = m.agg(sum(col("mass")).as("big_m"),
+      count(lit(1)).as("n_langs"))
+    val raw = col("big_m").cast("double") / (col("n_langs") * col("mass"))
+    val cw = least(greatest(raw, lit(0.6)), lit(1.25))
+    val w = m.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("mass"), col("big_m"),
+        round(col("mass") / col("big_m").cast("double"), 6)
+          .as("current_share"),
+        round(lit(1.0) / col("n_langs"), 6).as("target_share"),
+        cw.as("cw"), (raw =!= cw).cast("int").as("clipped"))
+    val z = w.agg((max(col("big_m")).cast("double") /
+      sum(col("cw") * col("mass"))).as("zf"))
+    w.crossJoin(broadcast(z))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -312,29 +336,72 @@ object TextQueries {
     // — the signal to iterate rather than over-clamp. One lang-keyed
     // rollup; everything after is language-count-sized; division order
     // and round(6) fixed so both engines agree.
-    "q206_target_mix" -> ((s, d) => {
-      val m = documents(s, d).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
-      val tot = m.agg(sum(col("mass")).as("big_m"),
-        count(lit(1)).as("n_langs"))
-      val raw = col("big_m").cast("double") / (col("n_langs") * col("mass"))
-      val cw = least(greatest(raw, lit(0.6)), lit(1.25))
-      val w = m.crossJoin(broadcast(tot))
-        .select(col("lang"), col("n_docs"), col("mass"), col("big_m"),
-          round(col("mass") / col("big_m").cast("double"), 6)
-            .as("current_share"),
-          round(lit(1.0) / col("n_langs"), 6).as("target_share"),
-          cw.as("cw"), (raw =!= cw).cast("int").as("clipped"))
-      val z = w.agg((max(col("big_m")).cast("double") /
-        sum(col("cw") * col("mass"))).as("zf"))
-      w.crossJoin(broadcast(z))
+    "q206_target_mix" -> ((s, d) =>
+      targetMixWeights(s, d)
         .select(col("lang"), col("n_docs"), col("mass"),
           col("current_share"), col("target_share"),
           round(col("cw"), 6).as("clipped_w"), col("clipped"),
           round(col("cw") * col("zf"), 6).as("multiplier"),
           round(col("cw") * col("zf") * col("mass") /
             col("big_m"), 6).as("expected_share"))
-        .orderBy(col("lang"))
+        .orderBy(col("lang"))),
+
+    // EPOCH SAMPLE MATERIALIZATION — q206's reweighting plan turned
+    // into data: the per-language multiplier becomes an actual copy
+    // count per document for one training epoch, the step between "we
+    // should upsample lang X by 1.08" and the q209 shard exporter that
+    // writes the epoch. Whole-doc stochastic rounding with a
+    // DETERMINISTIC coin (q192's 52-bit md5 fold on doc_id — text-free,
+    // so re-ingesting identical docs under new ids reshuffles fairly):
+    // n_copies = floor(m) + [u < frac(m)], which conserves each
+    // language's expected char mass exactly (the multiplier is constant
+    // within a language). The 20-row multiplier relation broadcasts;
+    // the coin, floor and comparison are one codegen map pass — at
+    // 100 TB the only exchange is the final orderBy. All arithmetic on
+    // the ROUNDED multiplier, so the oracle replays bit-exactly.
+    "q214_epoch_sample" -> ((s, d) => {
+      val mult = targetMixWeights(s, d)
+        .select(col("lang"), round(col("cw") * col("zf"), 6).as("multiplier"))
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":epoch"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0)
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(mult), "lang")
+        .select(col("doc_id"), col("lang"), col("multiplier"),
+          (floor(col("multiplier")).cast("long") +
+            (u < col("multiplier") - floor(col("multiplier")))
+              .cast("long")).as("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SEQUENCE-PACKING EFFICIENCY CURVE — the context-length planning
+    // number a training run is budgeted on: under q118's concat-then-
+    // chunk packing (documents stream into each shard in doc_id order,
+    // sequences are cut every `budget` BPE tokens), the only waste is
+    // each shard's final partial sequence — so sequences(L) =
+    // Σ_shards ceil(shard_tokens / L), EXACT integer arithmetic, and
+    // the curve over candidate context lengths reads fill efficiency
+    // directly. Plan shape: one pass to the 32 shard totals (the same
+    // memoized BPE counter q113/q115/q118 share), then a 32×5 literal
+    // cross join — everything after the rollup is shard-count-sized at
+    // any corpus scale.
+    "q215_packing_curve" -> ((s, d) => {
+      import s.implicits._
+      val sh = bpeDocCounts(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(32)))
+        .groupBy(col("shard")).agg(sum(col("n_bpe")).as("st"))
+      val tot = sh.agg(sum(col("st")).as("t"))
+      val budgets = Seq(128L, 256L, 512L, 1024L, 2048L).toDF("budget")
+      sh.crossJoin(broadcast(budgets))
+        .groupBy(col("budget"))
+        .agg(sum(expr("(st + budget - 1) div budget")).as("n_sequences"))
+        .crossJoin(broadcast(tot))
+        .select(col("budget"), col("n_sequences"),
+          col("t").as("total_tokens"),
+          round(lit(1.0) - col("t") /
+            (col("n_sequences") * col("budget")).cast("double"), 6)
+            .as("waste_frac"))
+        .orderBy(col("budget"))
     }),
 
     // BIGRAM-LM PERPLEXITY SCORING — the CCNet/C4-style quality filter
@@ -899,6 +966,77 @@ object TextQueries {
       merges.result()
         .toDF("step", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("step"))
+    }),
+
+    // CCNET PERPLEXITY BUCKETS — the CCNet curation stage (Wenzek et
+    // al. 2020): within each source, rank documents by LM score (q101's
+    // corpus-unigram mean log-prob — the deterministic stand-in for the
+    // wiki-LM perplexity) and cut into head/middle/tail terciles; head
+    // feeds pre-training first, tail is held for inspection. The
+    // per-source rank is DISTRIBUTED via the q178/q167 two-phase
+    // coarse-offset ladder keyed by (source, band = round(lm, 1)):
+    // band offsets come from a triangular join over the bounded
+    // (source × band) totals, group offsets window-partition BY
+    // (source, band), and the per-row row_number partitions by
+    // (source, band, lm) — so at a 10^9-doc source the largest window
+    // partition is one 0.1-wide score band's tie group, never the
+    // source. Ordering by (band DESC, lm DESC, doc_id) ≡ (lm DESC,
+    // doc_id) because round(lm, 1) is monotone in lm — the oracle's
+    // single window replays the identical total order. Tercile id =
+    // ((rk - 1) * 3) div n_source: pure integer arithmetic, no
+    // percentile estimation, sizes differ by at most one. The rollup
+    // emits per (source, bucket): doc count, mean LM (round(6) — q62's
+    // summation-ulp discipline), and the exact best/worst boundaries.
+    "q211_ccnet_buckets" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = tracked(
+        documents(s, d).select(col("doc_id"), explode(tokens).as("tok")))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).cast("double").as("t_total"))
+      val lm = toks.join(vocab, "tok").crossJoin(total)
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("cnt") / col("t_total"))), 6).as("lm"))
+      val g = documents(s, d).select(col("doc_id"), col("source"))
+        .join(lm, "doc_id")
+        .withColumn("band", round(col("lm"), 1))
+      val grp = g.groupBy(col("source"), col("band"), col("lm"))
+        .agg(count(lit(1)).as("cnt"))
+      val bandTot = grp.groupBy(col("source"), col("band"))
+        .agg(sum(col("cnt")).as("bcnt"))
+      // offsets count everything ranked EARLIER = higher-lm bands
+      val boffs = bandTot.alias("l")
+        .join(bandTot.alias("h"), col("h.source") === col("l.source") &&
+          col("h.band") > col("l.band"), "left_outer")
+        .groupBy(col("l.source").as("source"), col("l.band").as("band"))
+        .agg(coalesce(sum(col("h.bcnt")), lit(0L)).as("boff"))
+      val offs = grp.withColumn("goff", coalesce(sum(col("cnt")).over(
+          W.partitionBy(col("source"), col("band")).orderBy(col("lm").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("band"), col("lm"), col("goff"))
+      val nSrc = g.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      g.join(offs, Seq("source", "band", "lm"))
+        .join(broadcast(boffs), Seq("source", "band"))
+        .withColumn("rk", col("boff") + col("goff") + row_number().over(
+          W.partitionBy(col("source"), col("band"), col("lm"))
+            .orderBy(col("doc_id"))))
+        .join(broadcast(nSrc), "source")
+        .withColumn("bi", expr("((rk - 1) * 3) div n_src"))
+        .groupBy(col("source"), col("bi"))
+        // mean over EXACT integer micro-units, not avg-of-doubles: lm is
+        // already 6-dp, so round(lm·1e6) is an exact long, the sum is
+        // order-independent, and one IEEE division feeds round(6) the
+        // bit-identical double on both engines — an avg() here once
+        // straddled a half-up boundary by a summation-order ulp
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("lm") * 1e6, 0).cast("long")).as("sm"),
+          max(col("lm")).as("best_lm"), min(col("lm")).as("worst_lm"))
+        .withColumn("avg_lm",
+          round(col("sm") / (col("n_docs") * lit(1e6)), 6))
+        .select(col("source"),
+          when(col("bi") === 0, "head").when(col("bi") === 1, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_docs"), col("avg_lm"), col("best_lm"), col("worst_lm"))
+        .orderBy(col("source"), col("bucket"))
     })
   )
 
@@ -1285,6 +1423,30 @@ object TextQueries {
       }
       .toDF("doc_id", "n_words", "n_bpe")
   }
+
+  /** q206's weight chain as named DuckDB CTEs (`m`/`tot`/`w`/`z`),
+    * shared by the q206 and q214 oracles so the guardrail/renormalize
+    * arithmetic cannot drift between them. The consumer reads
+    * `w CROSS JOIN z`. */
+  private val targetMixCtes: String =
+    """m AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS mass
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(mass) AS BIGINT) AS big_m,
+           count(*) AS n_langs FROM m),
+         w AS (
+           SELECT lang, n_docs, mass, big_m,
+             round(mass / CAST(big_m AS DOUBLE), 6) AS current_share,
+             round(1.0 / n_langs, 6) AS target_share,
+             least(greatest(CAST(big_m AS DOUBLE) / (n_langs * mass),
+               0.6), 1.25) AS cw,
+             (CAST(big_m AS DOUBLE) / (n_langs * mass) <>
+              least(greatest(CAST(big_m AS DOUBLE) / (n_langs * mass),
+                0.6), 1.25))::INT AS clipped
+           FROM m CROSS JOIN tot),
+         z AS (SELECT CAST(max(big_m) AS DOUBLE) / sum(cw * mass) AS zf
+           FROM w)"""
 
   /** The merge table as DuckDB VALUES rows: (rank, ' a b ', ' ab ') —
     * space-delimited symbol patterns for the oracle's replace-leftmost
@@ -1678,29 +1840,60 @@ object TextQueries {
     // q206 replay: same rollup, clamp, renormalization and division
     // order, rounds at 6
     "q206_target_mix" ->
-      """WITH m AS (
-           SELECT lang, count(*) AS n_docs,
-             CAST(sum(n_chars) AS BIGINT) AS mass
-           FROM documents GROUP BY lang),
-         tot AS (SELECT CAST(sum(mass) AS BIGINT) AS big_m,
-           count(*) AS n_langs FROM m),
-         w AS (
-           SELECT lang, n_docs, mass, big_m,
-             round(mass / CAST(big_m AS DOUBLE), 6) AS current_share,
-             round(1.0 / n_langs, 6) AS target_share,
-             least(greatest(CAST(big_m AS DOUBLE) / (n_langs * mass),
-               0.6), 1.25) AS cw,
-             (CAST(big_m AS DOUBLE) / (n_langs * mass) <>
-              least(greatest(CAST(big_m AS DOUBLE) / (n_langs * mass),
-                0.6), 1.25))::INT AS clipped
-           FROM m CROSS JOIN tot),
-         z AS (SELECT CAST(max(big_m) AS DOUBLE) / sum(cw * mass) AS zf
-           FROM w)
+      s"""WITH $targetMixCtes
          SELECT lang, n_docs, mass, current_share, target_share,
            round(cw, 6) AS clipped_w, clipped,
            round(cw * zf, 6) AS multiplier,
            round(cw * zf * mass / big_m, 6) AS expected_share
          FROM w CROSS JOIN z ORDER BY lang""",
+
+    // the shared mix CTEs + q192's 52-bit md5 fold as the epoch coin:
+    // same floor/frac stochastic rounding on the ROUNDED multiplier
+    "q214_epoch_sample" ->
+      s"""WITH $targetMixCtes,
+         mult AS (SELECT lang, round(cw * zf, 6) AS multiplier
+           FROM w CROSS JOIN z),
+         c AS (
+           SELECT d.doc_id, d.lang, mu.multiplier,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(
+                  substr(md5(d.doc_id::VARCHAR || ':epoch'), 1, 13), '')]),
+               (a, x) -> a * 16 + x) / 4503599627370496.0 AS u
+           FROM documents d JOIN mult mu USING (lang))
+         SELECT doc_id, lang, multiplier,
+           CAST(floor(multiplier) AS BIGINT)
+             + CASE WHEN u < multiplier - floor(multiplier)
+                 THEN 1 ELSE 0 END AS n_copies
+         FROM c ORDER BY doc_id""",
+
+    // q118's counts CTE rolled to shard totals, then exact integer
+    // ceil-division per candidate budget
+    "q215_packing_curve" ->
+      raw"""WITH RECURSIVE
+         $bpeEncodeCtes,
+         counts AS (
+           SELECT d.doc_id,
+             coalesce(CAST(sum(f.n_sym) AS BIGINT), 0) AS n_bpe,
+             d.doc_id % 32 AS shard
+           FROM documents d
+           LEFT JOIN toks t ON d.doc_id = t.doc_id
+           LEFT JOIN fin f ON t.tok = f.tok
+           GROUP BY d.doc_id),
+         sh AS (SELECT shard, CAST(sum(n_bpe) AS BIGINT) AS st
+           FROM counts GROUP BY shard),
+         tt AS (SELECT CAST(sum(st) AS BIGINT) AS t FROM sh),
+         ls AS (SELECT unnest([128, 256, 512, 1024, 2048]) AS budget),
+         agg AS (
+           SELECT budget,
+             CAST(sum((st + budget - 1) // budget) AS BIGINT)
+               AS n_sequences
+           FROM sh CROSS JOIN ls GROUP BY budget)
+         SELECT CAST(budget AS BIGINT) AS budget, n_sequences,
+           t AS total_tokens,
+           round(1.0 - t / CAST(n_sequences * budget AS DOUBLE), 6)
+             AS waste_frac
+         FROM agg CROSS JOIN tt ORDER BY budget""",
 
     // q203 replay: same pivoted gram rollup, same Laplace arithmetic,
     // ranked on the ROUNDED llr with the gram tiebreak
@@ -1959,6 +2152,38 @@ object TextQueries {
         s"SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged," +
           s" cnt AS pair_count FROM b$k").mkString(" UNION ALL ")
       "WITH " + ctes.mkString(",\n") + "\n" + sel + " ORDER BY step"
-    }
+    },
+
+    // single-window replay of the two-phase per-source rank (fine at
+    // oracle SF — the q189 precedent): identical (lm DESC, doc_id)
+    // total order, identical integer tercile arithmetic
+    "q211_ccnet_buckets" ->
+      """WITH tk AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(text, '[^\p{L}]+')) AS tok
+             FROM documents) WHERE tok <> ''),
+         vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total FROM vocab),
+         lm AS (
+           SELECT tk.doc_id, round(avg(ln(cnt / t_total)), 6) AS lm
+           FROM tk JOIN vocab USING (tok) CROSS JOIN tot
+           GROUP BY tk.doc_id),
+         sc AS (SELECT d.doc_id, d.source, lm.lm
+                FROM documents d JOIN lm USING (doc_id)),
+         n AS (SELECT source, count(*) AS n_src FROM sc GROUP BY source),
+         r AS (SELECT sc.*, row_number() OVER (
+             PARTITION BY source ORDER BY lm DESC, doc_id) AS rk
+           FROM sc),
+         b AS (SELECT r.source, r.lm, ((r.rk - 1) * 3) // n.n_src AS bi
+           FROM r JOIN n USING (source))
+         SELECT source,
+           CASE bi WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(sum(CAST(round(lm * 1000000, 0) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS avg_lm,
+           max(lm) AS best_lm, min(lm) AS worst_lm
+         FROM b GROUP BY source, bi ORDER BY source, bucket"""
   )
 }

@@ -422,40 +422,168 @@ object CorpusCleaning {
     // rationale). 96.6% teacher agreement at training time; the spec
     // pins agreement ≥ 0.9 on held-out sf0.001 plus known-good/bad
     // probes.
-    "q208_quality_classifier" -> ((s, d) => {
-      val pt = concat(lit(" "), col("text"), lit(" "))
-      val predicted =
-        when(pt.contains(" der ") || pt.contains(" und ")
-          || pt.contains(" das "), "de")
-          .when(pt.contains(" le ") || pt.contains(" la ")
-            || pt.contains(" et "), "fr")
-          .when(pt.contains(" el ") || pt.contains(" los ")
-            || pt.contains(" es "), "es")
-          .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-          .otherwise("en")
-      val base = documents(s, d).select(col("doc_id"), col("source"),
-        col("lang"), col("text"),
-        size(tokens).as("n_tokens"),
-        size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),
-        length(regexp_replace(col("text"), "[^\\p{L}]", "")).as("n_letters"),
-        predicted.as("predicted"))
-      val nt1 = greatest(col("n_tokens"), lit(1)).cast("double")
-      val feat = base.select(col("doc_id"), col("source"),
-        round(least(col("n_tokens"), lit(200)) / lit(200.0), 6).as("x1"),
-        round(col("n_stop") / nt1, 6).as("x2"),
-        when(col("predicted") === col("lang"), 1.0).otherwise(0.0).as("x3"),
-        round(lit(1.0) - length(regexp_replace(col("text"), " ", ""))
-          / length(col("text")).cast("double"), 6).as("x4"),
-        round(col("n_letters") / (lit(10.0) * nt1), 6).as("x5"))
-      val z = round(
-        lit(Qw(0)) + lit(Qw(1)) * col("x1") + lit(Qw(2)) * col("x2") +
-          lit(Qw(3)) * col("x3") + lit(Qw(4)) * col("x4") +
-          lit(Qw(5)) * col("x5"), 6)
-      feat.select(col("doc_id"), col("source"), z.as("score"),
-          (z >= 0).cast("int").as("keep"))
+    "q208_quality_classifier" -> ((s, d) =>
+      qualityLogit(s, d)
+        .select(col("doc_id"), col("source"), col("score"),
+          (col("score") >= 0).cast("int").as("keep"))
+        .orderBy(col("doc_id"))),
+
+    // WITHIN-DOCUMENT REPETITION FILTER — the Gopher repetition gate
+    // (Rae et al. 2021, "Scaling Language Models", Table A1): a doc
+    // dominated by one repeated n-gram, or whose long n-grams keep
+    // recurring, is boilerplate/template spam and poisons pre-training.
+    // Two signals per doc over the shared tokenizer contract:
+    // top_bigram_frac (occurrences of the modal bigram / bigram slots)
+    // and dup_5gram_frac (5-gram slots occupied by a repeat). keep ⇔
+    // top-bigram ≤ 0.05 (fixture-calibrated — word-salad p75 ≈ 0.047,
+    // so both classes are populated) AND dup-5-gram ≤ 0.15 (Gopher's
+    // own threshold; identically 0 on the salad fixture, so the spec
+    // pins that leg on crafted repetitive text instead). Plan shape:
+    // repetition is a PER-DOC property, so unlike the corpus-keyed gram
+    // rollups (q186/q203) nothing leaves the map side — grams are
+    // built with transform/sequence over the token array, sorted, and
+    // folded by [[sortedRunStats]] (one aggregate() pass: modal run
+    // length + distinct count, state bounded by one doc); at 100 TB
+    // the only exchange is the final orderBy. The gate compares the
+    // ROUNDED fractions, so the oracle's relational replay (DuckDB has
+    // no run-fold; it recounts with GROUP BY — modal sorted-run length
+    // ≡ modal group count) cannot straddle an ulp.
+    "q210_repetition_filter" -> ((s, d) => {
+      val g = documents(s, d)
+        .select(col("doc_id"), tokens.as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          expr("""array_sort(transform(sequence(0, size(toks) - 2),
+            i -> concat(toks[i], ' ', toks[i + 1])))""").as("bi"),
+          expr("""array_sort(transform(sequence(0, size(toks) - 5),
+            i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2],
+                        ' ', toks[i + 3], ' ', toks[i + 4])))""").as("g5"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(sortedRunStats("bi")).as("b"),
+          expr(sortedRunStats("g5")).as("f"))
+      val topBi = round(col("b.mx") /
+        (col("n_tokens") - 1).cast("double"), 6)
+      val dup5 = round((col("n_tokens") - 4 - col("f.nd")) /
+        (col("n_tokens") - 4).cast("double"), 6)
+      g.select(col("doc_id"), col("n_tokens"),
+          topBi.as("top_bigram_frac"), dup5.as("dup_5gram_frac"),
+          (topBi <= 0.05 && dup5 <= 0.15).cast("int").as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BEST-OF-CLUSTER CANONICAL SELECTION — the refinement of naive
+    // near-dup dedup that production corpora actually run: instead of
+    // keeping an arbitrary member (min doc_id) of each near-duplicate
+    // cluster, keep the HIGHEST-QUALITY member by the learned
+    // classifier's logit (q208), tiebroken by doc_id. Composes two
+    // existing relations: the verified MinHash cluster labels (q27's
+    // pair graph → q72's components, cached) and the map-side quality
+    // score. Every doc gets cluster_id = coalesce(label, doc_id) — its
+    // own singleton when unclustered — so ONE window partitioned by
+    // cluster_id ranks everything; the largest window partition is the
+    // largest near-dup cluster, never the corpus, and the shuffle is
+    // one hash exchange on cluster_id. keep ⇔ rank 1 on (score DESC,
+    // doc_id ASC) over the ROUNDED logit — the oracle replays the
+    // identical order.
+    "q212_cluster_best_keeper" -> ((s, d) => {
+      val labels = graft.functions.Dedup.nearDupLabels(s, d)
+      val j = qualityLogit(s, d).select(col("doc_id"), col("score"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      j.withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          col("score"), (col("rk") === 1).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TEMPLATE-PREFIX DETECTION — the boilerplate signal C4's line-level
+    // dedup and Gopher's repetition gate both miss: many DISTINCT
+    // documents opening with the same token stub ("sign in to continue",
+    // "terms of service") mark a template family worth stripping or
+    // down-weighting, and near-dup MinHash won't cluster them because
+    // the bodies differ. Prefix length is fixture-calibrated at 2 tokens
+    // (word salad repeats nothing longer; a crawl corpus would use
+    // 8–32); the detector shape is length-independent. Plan: the prefix
+    // is one map-side array slice, the rollup shuffles (prefix, partial
+    // agg) rows only, the 1-row total broadcasts, and the deterministic
+    // (n_docs DESC, prefix) cut runs as TakeOrderedAndProject — a heap,
+    // never a global sort, so the output stays ≤100 rows at any corpus
+    // size.
+    "q213_template_prefixes" -> ((s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"), tokens.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          array_join(slice(col("toks"), 1, 2), " ").as("prefix"))
+      val total = base.agg(count(lit(1)).cast("double").as("n_total"))
+      base.groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n_docs") >= 3)
+        .crossJoin(broadcast(total))
+        .select(col("prefix"), col("n_docs"), col("n_sources"),
+          round(col("n_docs") / col("n_total"), 6).as("share"),
+          col("example_doc"))
+        .orderBy(col("n_docs").desc, col("prefix")).limit(100)
     })
   )
+
+  /** One fold over a SORTED gram array: modal run length (`mx` — equal
+    * grams are adjacent after array_sort, so the longest run IS the
+    * modal gram's occurrence count) and distinct count (`nd` — runs
+    * started). State is four scalars regardless of doc length; the
+    * initial `prev` of '' can never collide because grams are non-empty
+    * token joins. */
+  private def sortedRunStats(arr: String): String =
+    s"""aggregate($arr,
+        named_struct('prev', '', 'run', 0L, 'mx', 0L, 'nd', 0L),
+        (st, x) -> named_struct(
+          'prev', x,
+          'run', if(x = st.prev, st.run + 1L, 1L),
+          'mx', greatest(st.mx, if(x = st.prev, st.run + 1L, 1L)),
+          'nd', st.nd + if(x = st.prev, 0L, 1L)),
+        st -> named_struct('mx', st.mx, 'nd', st.nd))"""
+
+  /** q208's scoring pass, shared with q212: the frozen-weights logistic
+    * logit per document — (doc_id, source, score), all map-side, one
+    * codegen dot product per row. */
+  private[graft] def qualityLogit(s: SparkSession, d: String): DataFrame = {
+    val pt = concat(lit(" "), col("text"), lit(" "))
+    val predicted =
+      when(pt.contains(" der ") || pt.contains(" und ")
+        || pt.contains(" das "), "de")
+        .when(pt.contains(" le ") || pt.contains(" la ")
+          || pt.contains(" et "), "fr")
+        .when(pt.contains(" el ") || pt.contains(" los ")
+          || pt.contains(" es "), "es")
+        .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .otherwise("en")
+    val base = documents(s, d).select(col("doc_id"), col("source"),
+      col("lang"), col("text"),
+      size(tokens).as("n_tokens"),
+      size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),
+      length(regexp_replace(col("text"), "[^\\p{L}]", "")).as("n_letters"),
+      predicted.as("predicted"))
+    val nt1 = greatest(col("n_tokens"), lit(1)).cast("double")
+    val feat = base.select(col("doc_id"), col("source"),
+      round(least(col("n_tokens"), lit(200)) / lit(200.0), 6).as("x1"),
+      round(col("n_stop") / nt1, 6).as("x2"),
+      when(col("predicted") === col("lang"), 1.0).otherwise(0.0).as("x3"),
+      round(lit(1.0) - length(regexp_replace(col("text"), " ", ""))
+        / length(col("text")).cast("double"), 6).as("x4"),
+      round(col("n_letters") / (lit(10.0) * nt1), 6).as("x5"))
+    feat.select(col("doc_id"), col("source"),
+      round(
+        lit(Qw(0)) + lit(Qw(1)) * col("x1") + lit(Qw(2)) * col("x2") +
+          lit(Qw(3)) * col("x3") + lit(Qw(4)) * col("x4") +
+          lit(Qw(5)) * col("x5"), 6).as("score"))
+  }
 
   /** q208's frozen logistic-regression weights — bias, then x1..x5
     * (length, stopword density, language agreement, space ratio, mean
@@ -465,6 +593,47 @@ object CorpusCleaning {
   private[graft] val Qw: Array[Double] = Array(
     -10.477025486327573, 15.587616694192102, 7.674218655701867,
     11.116499005843007, -0.545156708473783, -5.812091316255362)
+
+  /** The q208 scoring chain as named DuckDB CTEs (`qbase`/`qfeat`/
+    * `qscore` — q-prefixed so they compose beside [[graft.functions
+    * .Dedup.shingleCtes]] without collisions), shared by the q208 and
+    * q212 oracles so the score formula cannot drift between them.
+    * `qscore` carries (doc_id, source, score). */
+  private[graft] lazy val qualityScoreCtes: String = {
+    val w = Qw.map(_.toString)
+    s"""qbase AS (
+           SELECT doc_id, source, lang, text,
+             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+               x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+               x -> x IN ('the','a','of','and','to','in','is','on')))
+               AS n_stop,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters,
+             ' ' || text || ' ' AS pt
+           FROM documents),
+         qfeat AS (
+           SELECT doc_id, source,
+             round(least(n_tokens, 200) / 200.0, 6) AS x1,
+             round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS x2,
+             CASE WHEN (CASE
+                 WHEN contains(pt, ' der ') OR contains(pt, ' und ')
+                   OR contains(pt, ' das ') THEN 'de'
+                 WHEN contains(pt, ' le ') OR contains(pt, ' la ')
+                   OR contains(pt, ' et ') THEN 'fr'
+                 WHEN contains(pt, ' el ') OR contains(pt, ' los ')
+                   OR contains(pt, ' es ') THEN 'es'
+                 WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                 ELSE 'en' END) = lang THEN 1.0 ELSE 0.0 END AS x3,
+             round(1.0 - length(replace(text, ' ', ''))
+               / CAST(length(text) AS DOUBLE), 6) AS x4,
+             round(n_letters / (10.0 * greatest(n_tokens, 1)), 6) AS x5
+           FROM qbase),
+         qscore AS (
+           SELECT doc_id, source,
+             round(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3
+               + ${w(4)} * x4 + ${w(5)} * x5, 6) AS score
+           FROM qfeat)"""
+  }
 
   /** The q79 stats/verdict CTE block, shared verbatim with q136's
     * oracle (PipelineOps) so the sibling oracles cannot drift — the CDC
@@ -689,41 +858,98 @@ object CorpusCleaning {
     // bit-identically), the same left-associated dot product — and no
     // exp anywhere, so the score arithmetic is exact IEEE on both
     // engines.
-    "q208_quality_classifier" -> {
-      val w = Qw.map(_.toString)
-      s"""WITH base AS (
-           SELECT doc_id, source, lang, text,
-             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
-               x -> x <> '')) AS n_tokens,
-             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
-               x -> x IN ('the','a','of','and','to','in','is','on')))
-               AS n_stop,
-             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters,
-             ' ' || text || ' ' AS pt
-           FROM documents),
-         feat AS (
+    "q208_quality_classifier" ->
+      s"""WITH $qualityScoreCtes
+         SELECT doc_id, source, score,
+           CAST(score >= 0 AS INT) AS keep
+         FROM qscore ORDER BY doc_id""",
+
+    // the q188 recursive-reach cluster labels + the q208 score fragment,
+    // composed: one window replays the (score DESC, doc_id) argmax
+    "q212_cluster_best_keeper" ->
+      s"""WITH RECURSIVE ${graft.functions.Dedup.shingleCtes},
+         pairs AS (
+           SELECT doc_a, doc_b
+           FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (
+           SELECT doc_a AS s, doc_b AS e FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT r.src, g.e FROM reach r JOIN edges g ON r.node = g.s),
+         labels AS (
+           SELECT src AS doc_id, min(node) AS cluster_id
+           FROM reach GROUP BY src),
+         $qualityScoreCtes,
+         j AS (
+           SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+             q.score
+           FROM qscore q LEFT JOIN labels l USING (doc_id)),
+         r AS (
+           SELECT j.*,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY score DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM j)
+         SELECT doc_id, cluster_id, n_members, score,
+           CAST(rk = 1 AS INT) AS keep
+         FROM r ORDER BY doc_id""",
+
+    "q213_template_prefixes" ->
+      """WITH t AS (
            SELECT doc_id, source,
-             round(least(n_tokens, 200) / 200.0, 6) AS x1,
-             round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS x2,
-             CASE WHEN (CASE
-                 WHEN contains(pt, ' der ') OR contains(pt, ' und ')
-                   OR contains(pt, ' das ') THEN 'de'
-                 WHEN contains(pt, ' le ') OR contains(pt, ' la ')
-                   OR contains(pt, ' et ') THEN 'fr'
-                 WHEN contains(pt, ' el ') OR contains(pt, ' los ')
-                   OR contains(pt, ' es ') THEN 'es'
-                 WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                 ELSE 'en' END) = lang THEN 1.0 ELSE 0.0 END AS x3,
-             round(1.0 - length(replace(text, ' ', ''))
-               / CAST(length(text) AS DOUBLE), 6) AS x4,
-             round(n_letters / (10.0 * greatest(n_tokens, 1)), 6) AS x5
-           FROM base)
-         SELECT doc_id, source,
-           round(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3
-             + ${w(4)} * x4 + ${w(5)} * x5, 6) AS score,
-           CAST(round(${w(0)} + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3
-             + ${w(4)} * x4 + ${w(5)} * x5, 6) >= 0 AS INT) AS keep
-         FROM feat ORDER BY doc_id"""
-    }
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id, source, array_to_string(toks[1:2], ' ') AS prefix
+           FROM t WHERE len(toks) >= 2),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM p),
+         g AS (
+           SELECT prefix, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             min(doc_id) AS example_doc
+           FROM p GROUP BY prefix)
+         SELECT prefix, n_docs, n_sources,
+           round(n_docs / n_total, 6) AS share, example_doc
+         FROM g CROSS JOIN tot WHERE n_docs >= 3
+         ORDER BY n_docs DESC, prefix LIMIT 100""",
+
+    // Relational replay of the run-fold: modal sorted-run length ≡ modal
+    // GROUP BY count, distinct runs ≡ COUNT(DISTINCT gram).
+    "q210_repetition_filter" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, len(toks) AS n_tokens FROM t
+               WHERE len(toks) >= 5),
+         bi AS (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2])) AS g
+           FROM t WHERE len(toks) >= 5),
+         g5 AS (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               || ' ' || toks[i+4] || ' ' || toks[i+5])) AS g
+           FROM t WHERE len(toks) >= 5),
+         bs AS (SELECT doc_id, max(c) AS top FROM
+           (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2)
+           GROUP BY 1),
+         fs AS (SELECT doc_id, count(DISTINCT g) AS nd FROM g5 GROUP BY 1)
+         SELECT n.doc_id, n.n_tokens,
+           round(bs.top * 1.0 / (n.n_tokens - 1), 6) AS top_bigram_frac,
+           round((n.n_tokens - 4 - fs.nd) * 1.0 / (n.n_tokens - 4), 6)
+             AS dup_5gram_frac,
+           CAST(round(bs.top * 1.0 / (n.n_tokens - 1), 6) <= 0.05
+             AND round((n.n_tokens - 4 - fs.nd) * 1.0
+               / (n.n_tokens - 4), 6) <= 0.15 AS INT) AS keep
+         FROM n JOIN bs USING (doc_id) JOIN fs USING (doc_id)
+         ORDER BY n.doc_id"""
   )
 }

@@ -738,4 +738,273 @@ class CorpusCleaningSpec extends TestSpark {
       .count()
     assert(nCands < Tables.documents(spark, sf0001).count())
   }
+
+  test("q210 repetition filter: fractions recount, gate is the threshold pair, crafted dup-5gram leg fires, map-side plan") {
+    val rows = CorpusCleaning.queries("q210_repetition_filter")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // brute-force recount per doc: modal-bigram and repeated-5-gram
+    // fractions from the raw text (the run-fold must agree with a plain
+    // sliding-window recount)
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+        .split("[^\\p{L}]+").filter(_.nonEmpty)
+      val bi = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val g5 = toks.sliding(5).map(_.mkString(" ")).toSeq
+      val topBi = bi.groupBy(identity).values.map(_.size).max
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Int]("n_tokens") == toks.length, s"$r")
+      assert(r.getAs[Double]("top_bigram_frac") ==
+        r6(topBi.toDouble / bi.size), s"$r")
+      assert(r.getAs[Double]("dup_5gram_frac") ==
+        r6((g5.size - g5.distinct.size).toDouble / g5.size), s"$r")
+      // the gate IS the rounded threshold pair — nothing else
+      assert((r.getAs[Int]("keep") == 1) ==
+        (r.getAs[Double]("top_bigram_frac") <= 0.05 &&
+          r.getAs[Double]("dup_5gram_frac") <= 0.15), s"$r")
+    }
+    // both classes are populated on the fixture (the filter discriminates)
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length, s"degenerate gate: $kept")
+    // the dup-5-gram leg never fires on word salad (5-grams don't recur
+    // by chance) — pin it on a crafted template-spam doc instead
+    locally {
+      import spark.implicits._
+      val dir = Tables.scratchDir(spark, "q210docs")
+      Seq(
+        (0L, ("click here to win now " * 12).trim, "en", "web", 0L),
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+          "phi chi psi omega quux", "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val crafted = CorpusCleaning.queries("q210_repetition_filter")(
+        spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      val spam = crafted(0L)
+      assert(spam.getAs[Double]("dup_5gram_frac") > 0.15,
+        s"template spam not caught by the 5-gram leg: $spam")
+      assert(spam.getAs[Int]("keep") == 0)
+      val clean = crafted(1L)
+      assert(clean.getAs[Double]("dup_5gram_frac") == 0.0)
+      assert(clean.getAs[Double]("top_bigram_frac") <= 0.05 + 1e-9)
+      assert(clean.getAs[Int]("keep") == 1)
+    }
+    // repetition is a per-doc property: one corpus scan, no join, no
+    // aggregate — the only exchange is the final presentation sort
+    val plan = CorpusCleaning.queries("q210_repetition_filter")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "repetition filter must not join")
+    assert(!plan.contains("HashAggregate"),
+      "repetition filter must not aggregate across rows")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      "only the final sort may exchange")
+  }
+
+  test("q211 ccnet buckets: terciles partition each source, boundaries are monotone, ladder rank ≡ single window") {
+    val rows = graft.functions.TextQueries.queries("q211_ccnet_buckets")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val srcCounts = Tables.documents(spark, sf0001)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySrc.foreach { case (src, bs) =>
+      // buckets partition the source
+      assert(bs.map(_.getAs[Long]("n_docs")).sum == srcCounts(src), src)
+      // tercile sizes differ by at most one
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src sizes ${sizes.toSeq}")
+      // head is the best bucket: its worst member is at least as good
+      // as the middle's best, and so on down (ties allowed)
+      val byName = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail")))
+        (byName.get(hi), byName.get(lo)) match {
+          case (Some(h), Some(l)) =>
+            assert(h.getAs[Double]("worst_lm") >= l.getAs[Double]("best_lm"),
+              s"$src: $hi/$lo boundary inverted")
+          case _ => ()
+        }
+    }
+    // the distributed offset-ladder rank reproduces a plain per-source
+    // window's bucket assignment exactly
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val W = Window.partitionBy(col("source"))
+        .orderBy(col("lm").desc, col("doc_id"))
+      val toks = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "[^\\p{L}]+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).cast("double").as("t"))
+      val lm = toks.join(vocab, "tok").crossJoin(tot)
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(avg(log(col("cnt") / col("t"))), 6).as("lm"))
+      val nS = lm.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val want = lm.withColumn("rk", row_number().over(W))
+        .join(nS, "source")
+        .withColumn("bi", expr("((rk - 1) * 3) div n"))
+        .groupBy(col("source"), col("bi")).agg(count(lit(1)).as("n_docs"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("bi")) ->
+          r.getAs[Long]("n_docs")).toMap
+      val got = rows.map { r =>
+        val bi = r.getAs[String]("bucket") match {
+          case "head" => 0L; case "middle" => 1L; case _ => 2L
+        }
+        (r.getAs[String]("source"), bi) -> r.getAs[Long]("n_docs")
+      }.toMap
+      assert(got == want, "ladder rank diverges from the single window")
+    }
+  }
+
+  test("q212 cluster best keeper: one keeper per cluster, keeper is the score argmax, members agree with the dedup labels") {
+    val rows = CorpusCleaning.queries("q212_cluster_best_keeper")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == Tables.documents(spark, sf0001).count(),
+      "every doc must get a verdict")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, ms) =>
+      // exactly one keeper, and n_members is the cluster size everywhere
+      assert(ms.count(_.getAs[Int]("keep") == 1) == 1, s"cluster $cid")
+      assert(ms.forall(_.getAs[Long]("n_members") == ms.length), s"$cid")
+      // the keeper is the (score DESC, doc_id ASC) argmax
+      val want = ms.minBy(r =>
+        (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      val got = ms.find(_.getAs[Int]("keep") == 1).get
+      assert(got.getAs[Long]("doc_id") == want.getAs[Long]("doc_id"),
+        s"cluster $cid keeper is not the quality argmax")
+    }
+    // cluster membership is exactly the verified near-dup labels;
+    // unclustered docs are their own singleton keeper
+    val labels = graft.functions.Dedup.nearDupLabels(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      labels.get(id) match {
+        case Some(cid) =>
+          assert(r.getAs[Long]("cluster_id") == cid, s"doc $id")
+        case None =>
+          assert(r.getAs[Long]("cluster_id") == id, s"doc $id not singleton")
+          assert(r.getAs[Long]("n_members") == 1L && r.getAs[Int]("keep") == 1,
+            s"singleton $id must keep itself")
+      }
+    }
+    // at least one real multi-member cluster demotes a member (the
+    // operator actually changes the corpus on this fixture)
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_members") > 1 && r.getAs[Int]("keep") == 0),
+      "fixture has no demoted near-dup member — vacuous test")
+  }
+
+  test("q213 template prefixes: threshold honored, counts recount, crafted template family surfaces, heap cut in plan") {
+    // sf0.001 (50 docs) has no 2-token stub shared by 3+ docs, so pin
+    // the detector on a crafted corpus: one 4-doc template family with
+    // differing bodies (near-dup MinHash would NOT cluster these), one
+    // 2-doc stub below threshold, and distinct-opening filler
+    import spark.implicits._
+    val dir = Tables.scratchDir(spark, "q213docs")
+    val docs =
+      (0L to 3L).map(i => (i, s"sign in to continue body variant " +
+        ("filler " * i.toInt) + s"unique${i} content", "en", "web", 0L)) ++
+      Seq((4L, "terms of service apply here", "en", "web", 0L),
+        (5L, "terms of service differ somewhat", "en", "web", 0L)) ++
+      Seq("alpha one", "bravo two", "charlie three", "delta four",
+        "echo five", "foxtrot six").zipWithIndex.map { case (w, i) =>
+        ((i + 6).toLong, s"$w vary a lot here", "en", "web", 0L) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusCleaning.queries("q213_template_prefixes")(spark, dir)
+      .collect()
+    assert(rows.length == 1, s"expected exactly the template family: " +
+      rows.map(_.getAs[String]("prefix")).mkString(","))
+    val fam = rows.head
+    assert(fam.getAs[String]("prefix") == "sign in")
+    assert(fam.getAs[Long]("n_docs") == 4L)
+    assert(fam.getAs[Long]("n_sources") == 1L)
+    assert(fam.getAs[Long]("example_doc") == 0L)
+    assert(fam.getAs[Double]("share") == 0.333333) // round(4/12, 6)
+    // the real fixture at sf0.001: nothing clears the threshold, and the
+    // operator says so rather than inventing noise
+    val real = CorpusCleaning.queries("q213_template_prefixes")(
+      spark, sf0001).collect()
+    real.foreach(r => assert(r.getAs[Long]("n_docs") >= 3))
+    // the cut is a bounded heap (TakeOrderedAndProject), never a global
+    // sort of the prefix rollup
+    val plan = CorpusCleaning.queries("q213_template_prefixes")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 cut is not a heap:\n${plan.take(600)}")
+  }
+
+  test("q214 epoch sample: copies are floor/ceil of the multiplier, coin replays, char mass conserved in expectation") {
+    val rows = graft.functions.TextQueries.queries("q214_epoch_sample")(
+      spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count().toInt)
+    val mults = graft.functions.TextQueries.queries("q206_target_mix")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("multiplier"))
+      .toMap
+    rows.foreach { r =>
+      val m = mults(r.getAs[String]("lang"))
+      assert(r.getAs[Double]("multiplier") == m, s"$r")
+      val n = r.getAs[Long]("n_copies")
+      // stochastic rounding never strays outside {floor, ceil}
+      assert(n == math.floor(m).toLong || n == math.ceil(m).toLong, s"$r")
+      // the coin is the deterministic q192 fold — replay it
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r.getAs[Long]("doc_id")}:epoch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = java.lang.Long.parseLong(hex, 16) / 4503599627370496.0
+      val want = math.floor(m).toLong + (if (u < m - math.floor(m)) 1L else 0L)
+      assert(n == want, s"coin replay diverged for $r")
+    }
+    // expected char mass per language ≈ multiplier × mass: the realized
+    // sample is within ±35% relative on this 50-doc fixture (binomial
+    // noise bound, deterministic because the coins are)
+    val mass = Tables.documents(spark, sf0001)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("m")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("m")).toMap
+    val sampled = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> rs.map(r => r.getAs[Long]("n_copies")).sum
+    }
+    sampled.foreach { case (l, n) =>
+      val docs = rows.count(_.getAs[String]("lang") == l)
+      val expected = mults(l) * docs
+      assert(math.abs(n - expected) <= 0.35 * expected + 1,
+        s"$l sampled $n vs expected $expected")
+    }
+    assert(mass.nonEmpty)
+  }
+
+  test("q215 packing curve: sequences are exact shard ceil-sums, waste shrinks with budget fill, arithmetic recounts") {
+    val rows = graft.functions.TextQueries.queries("q215_packing_curve")(
+      spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("budget")).toSeq ==
+      Seq(128L, 256L, 512L, 1024L, 2048L))
+    val total = rows.head.getAs[Long]("total_tokens")
+    assert(total > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") == total)
+      val l = r.getAs[Long]("budget")
+      val n = r.getAs[Long]("n_sequences")
+      // capacity covers the corpus and waste is the exact remainder
+      assert(n * l >= total)
+      assert(r.getAs[Double]("waste_frac") ==
+        BigDecimal(1.0 - total.toDouble / (n * l))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r")
+      // at most one partial sequence per shard
+      assert(n * l - total < 32L * l, s"$r")
+    }
+    // n_sequences is monotone non-increasing in budget
+    val ns = rows.map(_.getAs[Long]("n_sequences")).toSeq
+    assert(ns == ns.sorted.reverse, s"not monotone: $ns")
+  }
 }

@@ -417,11 +417,16 @@ class PlanSpec extends TestSpark {
       }
       (p +: kids.flatMap(allNodes)) ++ p.subqueries.flatMap(allNodes)
     }
+    // q211's per-source rank rides the q178 offset ladder (windows key
+    // by (source, band[, lm])); q212's argmax window partitions by
+    // cluster_id — the largest partition is the largest near-dup
+    // cluster, never the corpus
     Seq("q186_ngram_novelty", "q187_rendezvous_shards",
       "q188_leakage_safe_split", "q189_vocab_coverage",
       "q191_entity_resolution", "q192_weighted_sample",
       "q194_equidepth_hist", "q195_kmv_set_ops", "q197_sketch_rollup",
-      "q198_range_selectivity").foreach { name =>
+      "q198_range_selectivity", "q211_ccnet_buckets",
+      "q212_cluster_best_keeper").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       df.collect()
       allNodes(df.queryExecution.executedPlan)
