@@ -140,7 +140,15 @@ object Bench {
     "q213_template_prefixes",
     // the epoch-sample materializer (q206's multipliers → copy counts)
     // and the context-length packing-efficiency curve
-    "q214_epoch_sample", "q215_packing_curve")
+    "q214_epoch_sample", "q215_packing_curve",
+    // embedding-space corpus monitoring: per-label half-centroid drift
+    // and the bottom-5-per-label centroid-distance outlier scrub
+    "q216_centroid_drift", "q217_embedding_outliers",
+    // Bloom-filter decontamination (broadcast membership sketch with the
+    // exact join retained as the in-query FP audit); q219 streaming
+    // quality-gated admission stays out of the headline — its batch
+    // twins q208/q210 carry the family's timing (the q190 precedent)
+    "q218_bloom_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -326,9 +334,9 @@ object Bench {
         "q170_", "q177_", "q178_", "q179_", "q189_", "q203_", "q204_",
         "q206_", "q211_", "q214_", "q215_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
-        "q127_", "q129_", "q133_", "q134_", "q139_"),
+        "q127_", "q129_", "q133_", "q134_", "q139_", "q218_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",
-        "q155_"),
+        "q155_", "q216_", "q217_"),
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_"),

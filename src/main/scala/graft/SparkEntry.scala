@@ -94,7 +94,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * q214 epoch-sample materialization — q206's multipliers become
   * per-doc copy counts via a deterministic md5 coin, q215 the
   * sequence-packing efficiency curve — exact ceil-sum sequences and
-  * waste per candidate context length),
+  * waste per candidate context length, q216 semantic centroid drift —
+  * per-label half-centroid cosine, the embedding-space twin of gram
+  * drift, q217 embedding outlier scrub — bottom-5 centroid cosines
+  * per label through the TopKPerGroup heap, q218 Bloom-filter
+  * decontamination — the broadcast membership sketch with the exact
+  * join retained as the per-doc false-positive audit, q219 streaming
+  * quality-gated admission — both learned gates stateless in the
+  * ingest path, exactly-once sinks),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -536,6 +536,64 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // BLOOM-FILTER DECONTAMINATION — the missing member of the sketch
+    // algebra (KMV q195, count-min q196, Misra-Gries q199: Bloom is the
+    // MEMBERSHIP sketch) applied where production actually uses it: the
+    // benchmark gram set compressed to a fixed bit array that BROADCASTS
+    // to every executor, so the 100 TB corpus probes map-side and the
+    // gram-keyed shuffle of the exact join (q74/q137) never happens.
+    // Deterministic by construction — k=3 positions per gram from the
+    // q192 52-bit md5 fold mod m, with m the next power of two ≥
+    // 8 × bench-gram-count (a load factor that sets ~31% of bits; the
+    // oracle derives the same m via integer bit-length, never floating
+    // log2). Per flagged doc the EXACT membership join is retained
+    // in-query as the audit (the q183 discipline): n_false_pos =
+    // bloom hits − exact hits is the measured FP cost of the broadcast
+    // shortcut, visible per row. The bit array is modeled relationally
+    // as its distinct set-position table (membership ≡ all 3 positions
+    // present), which is what lets DuckDB replay the filter bit-exactly.
+    "q218_bloom_decontam" -> ((s, d) => {
+      import s.implicits._
+      val grams = tracked(documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) => ngramSet(t, 8).map(g => (id, g)) }
+        .toDF("doc_id", "gram"))
+      val bench = grams.filter(col("doc_id") % 5 === 0)
+        .select(col("gram")).distinct()
+      // bounded scalar (benchmarks are small and fixed-size); the bit
+      // width derives from it by integer arithmetic both engines share
+      val nb = bench.count()
+      val m = 1L << java.lang.Long.toBinaryString(
+        math.max(8 * nb, 1024L) - 1).length
+      def posOf(i: Int) = pmod(
+        conv(substring(md5(concat(col("gram"), lit(s":$i"))), 1, 13), 16, 10)
+          .cast("long"), lit(m))
+      val bits = bench
+        .select(explode(array(posOf(0), posOf(1), posOf(2))).as("pos"))
+        .distinct()
+      val corpus = grams.filter(col("doc_id") % 5 =!= 0)
+      val hits = corpus
+        .select(col("doc_id"), col("gram"),
+          explode(array(posOf(0), posOf(1), posOf(2))).as("pos"))
+        .join(broadcast(bits), Seq("pos"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === 3)
+      val nH = hits.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom_hits"))
+      val nG = corpus.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val nE = corpus.join(bench, Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      nH.join(nG, Seq("doc_id"))
+        .join(nE, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"), col("n_bloom_hits"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("n_bloom_hits") - coalesce(col("n_exact"), lit(0L)))
+            .as("n_false_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STORE-BACKED DECONTAMINATION — q74 through a persisted benchmark
     // gram index, completing the persisted-artifact trio (LSH bands
     // q129, ANN codes q135, contamination grams here). A benchmark
@@ -1142,6 +1200,55 @@ object Dedup {
          FROM grams c JOIN bench b ON c.g = b.g
          WHERE c.doc_id % 5 <> 0
          GROUP BY 1 ORDER BY 1""",
+
+    // the filter's bit array replayed as its distinct set-position
+    // table: same md5 fold, same m by integer bit-length, membership ≡
+    // all three positions present; the exact join audits FP per doc
+    "q218_bloom_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS t
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-6, 1)),
+               i -> array_to_string(t[i:i+7], ' '))) AS g
+           FROM toks),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+         mm AS (SELECT CAST(2 ** length(bin(
+             greatest(8 * count(*), 1024) - 1)) AS BIGINT) AS m
+           FROM bench),
+         bpos AS (
+           SELECT DISTINCT
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(
+                  substr(md5(g || ':' || i), 1, 13), '')]),
+               (a, x) -> a * 16 + x) % (SELECT m FROM mm) AS pos
+           FROM (SELECT g, unnest([0, 1, 2]) AS i FROM bench)),
+         corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
+         probe AS (
+           SELECT doc_id, g,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(
+                  substr(md5(g || ':' || i), 1, 13), '')]),
+               (a, x) -> a * 16 + x) % (SELECT m FROM mm) AS pos
+           FROM (SELECT doc_id, g, unnest([0, 1, 2]) AS i FROM corpus)),
+         hits AS (
+           SELECT doc_id, g FROM probe JOIN bpos USING (pos)
+           GROUP BY doc_id, g HAVING count(*) = 3),
+         nh AS (SELECT doc_id, count(*) AS n_bloom_hits FROM hits
+           GROUP BY doc_id),
+         ne AS (SELECT c.doc_id, count(*) AS n_exact
+           FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id),
+         ng AS (SELECT doc_id, count(*) AS n_grams FROM corpus
+           GROUP BY doc_id)
+         SELECT nh.doc_id, ng.n_grams, nh.n_bloom_hits,
+           coalesce(ne.n_exact, 0) AS n_exact,
+           nh.n_bloom_hits - coalesce(ne.n_exact, 0) AS n_false_pos
+         FROM nh JOIN ng USING (doc_id) LEFT JOIN ne USING (doc_id)
+         ORDER BY nh.doc_id""",
 
     // q74's replay with grams counted by their stored 64-bit key
     // (substr(md5, 1, 16)) — exactly what the store persists.

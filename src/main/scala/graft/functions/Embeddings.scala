@@ -39,6 +39,81 @@ object Embeddings {
           (abs(col("approx") - col("exact_orders"))
             <= col("exact_orders") * 0.05).as("approx_within_5pct"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // SEMANTIC CENTROID DRIFT — the embedding-space corpus monitor that
+    // catches what the token-level gram drift (q203) cannot: a source
+    // whose VOCABULARY is stable but whose MEANING mix shifts (topic
+    // rot, model-version skew in the embedder) moves its class centroid
+    // between ingestion halves. Per label: the dimension-wise mean of
+    // each half (vec_id parity — q203's half convention), then the
+    // cosine between the two half-centroids; a healthy class sits near
+    // 1.0 (on the synthetic fixture the label signal is weak, so the
+    // half-centroids are noise-dominated and read near 0 — the spec
+    // pins the contract on a crafted stable/orthogonal class pair
+    // where the answer is exactly 1 and exactly 0).
+    // Everything after the (label, half, dim) rollup — ≤
+    // labels × 2 × 64 rows — is centroid-sized: the rollup shuffles
+    // (key, partial sum) only, vectors never leave the map side.
+    // Dimension means are ROUNDED (6 dp, exactly q41's contract) before
+    // the cosine, so the only cross-engine float risk is the ≤64-term
+    // product sums — nine orders below the round(6) cut.
+    "q216_centroid_drift" -> ((s, d) => {
+      val m = embeddings(s, d)
+        .select(col("label"), expr("vec_id % 2").as("half"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"),
+          count(lit(1)).as("n"))
+      val h0 = m.filter(col("half") === 0).select(col("label"), col("pos"),
+        col("m").as("m0"), col("n").as("n0"))
+      val h1 = m.filter(col("half") === 1).select(col("label"), col("pos"),
+        col("m").as("m1"), col("n").as("n1"))
+      h0.join(h1, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"),
+          sum(col("m0") * col("m1")).as("dp"),
+          sum(col("m0") * col("m0")).as("s0"),
+          sum(col("m1") * col("m1")).as("s1"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(col("dp") / (sqrt(col("s0")) * sqrt(col("s1"))), 6)
+            .as("drift_cos"))
+        .orderBy(col("label"))
+    }),
+
+    // EMBEDDING OUTLIER SCRUB — the SemDeDup-adjacent garbage detector:
+    // vectors far from their OWN class centroid are mislabeled points,
+    // embedder failures, or junk documents, and they poison both
+    // training mixes and ANN index balance. Per label the 5 lowest
+    // cosines against the label centroid (rounded per q41's contract).
+    // Plan shape: the ≤ labels × 64 centroid rollup BROADCASTS into the
+    // exploded corpus (a map-side join — the corpus never shuffles for
+    // the join), the per-vector rollup keys on vec_id (linear), and the
+    // bottom-5 cut is the TopKPerGroup heap + its re-used partitioning
+    // for the rank window — ≤ 5 rows per label survive to the driver at
+    // any corpus size.
+    "q217_embedding_outliers" -> ((s, d) => {
+      val cen = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      val vd = col("v").cast("double")
+      val scored = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .join(broadcast(cen), Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum(vd * col("m")) /
+          (sqrt(sum(vd * vd)) * sqrt(sum(col("m") * col("m")))), 6)
+          .as("cos"))
+      graft.plans.TopKPerGroup.topK(scored, Seq("label"),
+          Seq("cos" -> true, "vec_id" -> true), 5)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+            .orderBy(col("cos"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("label"), col("rk"))
     })
   )
 
@@ -89,6 +164,47 @@ object Embeddings {
       """SELECT l_returnflag,
          count(DISTINCT l_orderkey) AS exact_orders,
          TRUE AS approx_within_5pct
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q216_centroid_drift" ->
+      """WITH m AS (
+           SELECT label, vec_id % 2 AS half, i AS pos,
+             round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS m,
+             count(*) AS n
+           FROM embeddings, range(64) t(i)
+           GROUP BY 1, 2, 3),
+         j AS (
+           SELECT a.label, a.m AS m0, b.m AS m1, a.n AS n0, b.n AS n1
+           FROM m a JOIN m b
+             ON a.label = b.label AND a.pos = b.pos
+             AND a.half = 0 AND b.half = 1)
+         SELECT label, max(n0) AS n_even, max(n1) AS n_odd,
+           round(sum(m0 * m1)
+             / (sqrt(sum(m0 * m0)) * sqrt(sum(m1 * m1))), 6) AS drift_cos
+         FROM j GROUP BY label ORDER BY label""",
+
+    "q217_embedding_outliers" ->
+      """WITH c AS (
+           SELECT label, i AS pos,
+             round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS m
+           FROM embeddings, range(64) t(i)
+           GROUP BY 1, 2),
+         s AS (
+           SELECT e.vec_id, e.label,
+             round(sum(CAST(e.embedding[t.i + 1] AS DOUBLE) * c.m)
+               / (sqrt(sum(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                     * CAST(e.embedding[t.i + 1] AS DOUBLE)))
+                  * sqrt(sum(c.m * c.m))), 6) AS cos
+           FROM embeddings e
+           CROSS JOIN range(64) t(i)
+           JOIN c ON c.label = e.label AND c.pos = t.i
+           GROUP BY 1, 2),
+         r AS (
+           SELECT label, vec_id, cos,
+             row_number() OVER (PARTITION BY label
+               ORDER BY cos, vec_id) AS rk
+           FROM s)
+         SELECT label, rk, vec_id, cos
+         FROM r WHERE rk <= 5 ORDER BY label, rk"""
   )
 }

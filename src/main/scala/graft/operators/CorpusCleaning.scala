@@ -448,28 +448,8 @@ object CorpusCleaning {
     // ROUNDED fractions, so the oracle's relational replay (DuckDB has
     // no run-fold; it recounts with GROUP BY — modal sorted-run length
     // ≡ modal group count) cannot straddle an ulp.
-    "q210_repetition_filter" -> ((s, d) => {
-      val g = documents(s, d)
-        .select(col("doc_id"), tokens.as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-          expr("""array_sort(transform(sequence(0, size(toks) - 2),
-            i -> concat(toks[i], ' ', toks[i + 1])))""").as("bi"),
-          expr("""array_sort(transform(sequence(0, size(toks) - 5),
-            i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2],
-                        ' ', toks[i + 3], ' ', toks[i + 4])))""").as("g5"))
-        .select(col("doc_id"), col("n_tokens"),
-          expr(sortedRunStats("bi")).as("b"),
-          expr(sortedRunStats("g5")).as("f"))
-      val topBi = round(col("b.mx") /
-        (col("n_tokens") - 1).cast("double"), 6)
-      val dup5 = round((col("n_tokens") - 4 - col("f.nd")) /
-        (col("n_tokens") - 4).cast("double"), 6)
-      g.select(col("doc_id"), col("n_tokens"),
-          topBi.as("top_bigram_frac"), dup5.as("dup_5gram_frac"),
-          (topBi <= 0.05 && dup5 <= 0.15).cast("int").as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    "q210_repetition_filter" -> ((s, d) =>
+      repetitionStatsOf(documents(s, d)).orderBy(col("doc_id"))),
 
     // BEST-OF-CLUSTER CANONICAL SELECTION — the refinement of naive
     // near-dup dedup that production corpora actually run: instead of
@@ -534,6 +514,33 @@ object CorpusCleaning {
     })
   )
 
+  /** q210's per-doc repetition statistics over an arbitrary
+    * documents-shaped relation — (doc_id, n_tokens, top_bigram_frac,
+    * dup_5gram_frac, keep) for docs of ≥5 tokens; shared with the
+    * streaming admission path (q219), which treats shorter docs as
+    * rep-gate-vacuous. */
+  private[graft] def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr("""array_sort(transform(sequence(0, size(toks) - 2),
+          i -> concat(toks[i], ' ', toks[i + 1])))""").as("bi"),
+        expr("""array_sort(transform(sequence(0, size(toks) - 5),
+          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2],
+                      ' ', toks[i + 3], ' ', toks[i + 4])))""").as("g5"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(sortedRunStats("bi")).as("b"),
+        expr(sortedRunStats("g5")).as("f"))
+    val topBi = round(col("b.mx") /
+      (col("n_tokens") - 1).cast("double"), 6)
+    val dup5 = round((col("n_tokens") - 4 - col("f.nd")) /
+      (col("n_tokens") - 4).cast("double"), 6)
+    g.select(col("doc_id"), col("n_tokens"),
+      topBi.as("top_bigram_frac"), dup5.as("dup_5gram_frac"),
+      (topBi <= 0.05 && dup5 <= 0.15).cast("int").as("keep"))
+  }
+
   /** One fold over a SORTED gram array: modal run length (`mx` — equal
     * grams are adjacent after array_sort, so the longest run IS the
     * modal gram's occurrence count) and distinct count (`nd` — runs
@@ -553,7 +560,13 @@ object CorpusCleaning {
   /** q208's scoring pass, shared with q212: the frozen-weights logistic
     * logit per document — (doc_id, source, score), all map-side, one
     * codegen dot product per row. */
-  private[graft] def qualityLogit(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qualityLogit(s: SparkSession, d: String): DataFrame =
+    qualityLogitOf(documents(s, d))
+
+  /** The same scoring pass over an arbitrary documents-shaped relation
+    * (doc_id, source, lang, text) — the form the STREAMING admission
+    * path (q219) applies per micro-batch. */
+  private[graft] def qualityLogitOf(docs: DataFrame): DataFrame = {
     val pt = concat(lit(" "), col("text"), lit(" "))
     val predicted =
       when(pt.contains(" der ") || pt.contains(" und ")
@@ -564,7 +577,7 @@ object CorpusCleaning {
           || pt.contains(" es "), "es")
         .when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
         .otherwise("en")
-    val base = documents(s, d).select(col("doc_id"), col("source"),
+    val base = docs.select(col("doc_id"), col("source"),
       col("lang"), col("text"),
       size(tokens).as("n_tokens"),
       size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"),

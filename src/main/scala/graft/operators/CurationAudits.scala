@@ -68,6 +68,16 @@ object CurationAudits {
     .add("n_docs", "long").add("grams_seen", "long")
     .add("new_grams", "long").add("batch_id", "long")
 
+  /** q219's two sinks: admitted doc ids and the one-row-per-batch gate
+    * statistics, both batch-partitioned for the q190 exactly-once
+    * replace-yourself discipline. */
+  private val admitSinkSchema = new StructType()
+    .add("doc_id", "long").add("batch_id", "long")
+  private val admitStatsSchema = new StructType()
+    .add("n_seen", "long").add("n_admitted", "long")
+    .add("n_quality_rejects", "long").add("n_repetition_rejects", "long")
+    .add("batch_id", "long")
+
   /** Schema of the q199 heavy-hitter store: ≤ CAP (token, counter) rows
     * per version plus ONE sentinel row (NULL token) whose counter is the
     * cumulative Misra-Gries subtraction Σδ — the store's error budget.
@@ -425,6 +435,76 @@ object CurationAudits {
             .otherwise(round(col("new_grams") /
               col("grams_seen").cast("double"), 6)).as("novelty_rate"))
         .orderBy(col("batch_id"))
+    }),
+
+    // STREAMING QUALITY-GATED ADMISSION — the learned gate (q208's
+    // frozen logit) and the repetition gate (q210) in the INGEST path,
+    // completing the streaming-admission family (dedup q130, vectors
+    // q138, novelty q190): each arriving micro-batch of src0 documents
+    // is scored entirely map-side (both gates are stateless — no store,
+    // no state between batches, unlike the dedup admissions), admitted
+    // ids land exactly-once under their batch partition, and a one-row
+    // gate-statistics summary lands beside them. Docs too short for the
+    // 5-gram window pass the repetition gate vacuously (the gate can't
+    // fire on what it can't measure). The returned row sums the stats
+    // across batches AND recounts the admitted sink — n_sink_docs ≡
+    // n_admitted is the exactly-once evidence the driver hashes.
+    "q219_stream_quality_admit" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val sinkDir = graft.Tables.scratchDir(s, "q219_sink_" + tag)
+      val statsDir = graft.Tables.scratchDir(s, "q219_stats_" + tag)
+      resetTable(s, admitSinkSchema, sinkDir)
+      resetTable(s, admitStatsSchema, statsDir)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema)
+        .parquet(s"$d/documents.parq*")
+        .filter(col("source") === "src0")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val verdicts = batch.select(col("doc_id"))
+              .join(CorpusCleaning.qualityLogitOf(batch)
+                .select(col("doc_id"), (col("score") >= 0).as("q_keep")),
+                Seq("doc_id"))
+              .join(CorpusCleaning.repetitionStatsOf(batch)
+                .select(col("doc_id"), (col("keep") === 1).as("r_keep")),
+                Seq("doc_id"), "left_outer")
+              .select(col("doc_id"), col("q_keep"),
+                coalesce(col("r_keep"), lit(true)).as("r_keep"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              verdicts.filter(col("q_keep") && col("r_keep"))
+                .select(col("doc_id")).withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(sinkDir)
+              verdicts.agg(count(lit(1)).as("n_seen"),
+                  sum((col("q_keep") && col("r_keep")).cast("long"))
+                    .as("n_admitted"),
+                  sum((!col("q_keep")).cast("long")).as("n_quality_rejects"),
+                  sum((!col("r_keep")).cast("long"))
+                    .as("n_repetition_rejects"))
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(statsDir)
+            } finally { verdicts.unpersist(); () }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.read.schema(admitSinkSchema).parquet(sinkDir)
+        .agg(count(lit(1)).as("n_sink_docs"))
+      s.read.schema(admitStatsSchema).parquet(statsDir)
+        .agg(sum(col("n_seen")).as("n_seen"),
+          sum(col("n_admitted")).as("n_admitted"),
+          sum(col("n_quality_rejects")).as("n_quality_rejects"),
+          sum(col("n_repetition_rejects")).as("n_repetition_rejects"))
+        .crossJoin(sunk)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -623,5 +703,47 @@ object CurationAudits {
              row_number() OVER (ORDER BY n DESC, tok) AS rk
            FROM vocab)
          SELECT rk, tok, n AS cnt_lb, n AS cnt_ub
-         FROM r WHERE rk <= 10 ORDER BY rk""")
+         FROM r WHERE rk <= 10 ORDER BY rk""",
+
+    // single-batch replay: the q208 score fragment + q210's repetition
+    // recount restricted to the src0 stream slice; short docs pass the
+    // repetition gate vacuously (LEFT JOIN + coalesce TRUE)
+    "q219_stream_quality_admit" ->
+      s"""WITH ${CorpusCleaning.qualityScoreCtes},
+         q AS (SELECT doc_id, score >= 0 AS q_keep FROM qscore
+               WHERE source = 'src0'),
+         rt AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{L}]+'),
+               x -> x <> '') AS toks
+           FROM documents WHERE source = 'src0'),
+         rn AS (SELECT doc_id, len(toks) AS n FROM rt WHERE len(toks) >= 5),
+         rbi AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2])) AS g
+           FROM rt WHERE len(toks) >= 5),
+         rg5 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               || ' ' || toks[i+4] || ' ' || toks[i+5])) AS g
+           FROM rt WHERE len(toks) >= 5),
+         rbs AS (SELECT doc_id, max(c) AS top FROM
+           (SELECT doc_id, g, count(*) AS c FROM rbi GROUP BY 1, 2)
+           GROUP BY 1),
+         rfs AS (SELECT doc_id, count(DISTINCT g) AS nd FROM rg5
+           GROUP BY 1),
+         rk AS (
+           SELECT rn.doc_id,
+             (round(rbs.top * 1.0 / (rn.n - 1), 6) <= 0.05
+              AND round((rn.n - 4 - rfs.nd) * 1.0 / (rn.n - 4), 6) <= 0.15)
+               AS r_keep
+           FROM rn JOIN rbs USING (doc_id) JOIN rfs USING (doc_id)),
+         v AS (
+           SELECT q.doc_id, q.q_keep, coalesce(rk.r_keep, TRUE) AS r_keep
+           FROM q LEFT JOIN rk USING (doc_id))
+         SELECT count(*) AS n_seen,
+           CAST(sum((q_keep AND r_keep)::BIGINT) AS BIGINT) AS n_admitted,
+           CAST(sum((NOT q_keep)::BIGINT) AS BIGINT) AS n_quality_rejects,
+           CAST(sum((NOT r_keep)::BIGINT) AS BIGINT)
+             AS n_repetition_rejects,
+           CAST(sum((q_keep AND r_keep)::BIGINT) AS BIGINT) AS n_sink_docs
+         FROM v""")
 }

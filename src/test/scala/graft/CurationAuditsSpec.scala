@@ -308,4 +308,33 @@ class CurationAuditsSpec extends TestSpark {
         s"bucket $rb population ${row.getLong(2)} != $expect — the distributed rank has gaps")
     }
   }
+
+  test("q219 stream quality admit: stats recount the batch gates, sink is exactly-once, rerun idempotent") {
+    import graft.operators.{CorpusCleaning, CurationAudits}
+    def run() = CurationAudits.queries("q219_stream_quality_admit")(
+      spark, sf0001).collect().head
+    val r = run()
+    // exactly-once: the re-read sink count IS the admitted count
+    assert(r.getAs[Long]("n_sink_docs") == r.getAs[Long]("n_admitted"), s"$r")
+    // batch-side recount of both gates over the same src0 slice
+    val src0 = Tables.documents(spark, sf0001)
+      .filter(col("source") === "src0")
+    val q = CorpusCleaning.qualityLogitOf(src0).collect()
+      .map(x => x.getAs[Long]("doc_id") -> (x.getAs[Double]("score") >= 0))
+      .toMap
+    val rep = CorpusCleaning.repetitionStatsOf(src0).collect()
+      .map(x => x.getAs[Long]("doc_id") -> (x.getAs[Int]("keep") == 1))
+      .toMap
+    val ids = src0.select(col("doc_id")).collect().map(_.getLong(0))
+    assert(r.getAs[Long]("n_seen") == ids.length, s"$r")
+    val admitted = ids.count(id => q(id) && rep.getOrElse(id, true))
+    assert(r.getAs[Long]("n_admitted") == admitted, s"$r admitted")
+    assert(r.getAs[Long]("n_quality_rejects") == ids.count(!q(_)), s"$r")
+    assert(r.getAs[Long]("n_repetition_rejects") ==
+      ids.count(id => !rep.getOrElse(id, true)), s"$r")
+    // both verdict classes exist on the fixture (the gate discriminates)
+    assert(admitted > 0 && admitted < ids.length, s"degenerate: $r")
+    // a rerun resets its sinks and reproduces the identical row
+    assert(run() == r, "rerun is not idempotent")
+  }
 }

@@ -672,4 +672,101 @@ class DedupSimilaritySpec extends TestSpark {
     } yield (p, docId) -> n.toLong).toMap
     assert(rows == expected, "phrase counts must match the direct recount")
   }
+
+  test("q216 centroid drift: halves partition each label, crafted stable class reads 1.0 and orthogonal class 0.0") {
+    val rows = graft.functions.Embeddings.queries("q216_centroid_drift")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val labelCounts = Tables.embeddings(spark, sf0001)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Double]("drift_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"$r")
+      assert(r.getAs[Long]("n_even") + r.getAs[Long]("n_odd") ==
+        labelCounts(r.getAs[Int]("label")), s"$r")
+    }
+    // crafted contract: a class whose two halves share one direction
+    // drifts to exactly 1.0; a class whose halves are orthogonal to 0.0
+    import spark.implicits._
+    val dir = Tables.scratchDir(spark, "q216vecs")
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    Seq(
+      (0L, basis(0), 0), (1L, basis(0), 0), // label 0: stable
+      (2L, basis(1), 1), (3L, basis(2), 1)) // label 1: orthogonal halves
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val crafted = graft.functions.Embeddings.queries("q216_centroid_drift")(
+      spark, dir).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("drift_cos")).toMap
+    assert(crafted(0) == 1.0, s"stable class must read 1.0: $crafted")
+    assert(crafted(1) == 0.0, s"orthogonal class must read 0.0: $crafted")
+  }
+
+  test("q217 embedding outliers: five per label, ascending, scores track a brute-force recount") {
+    val rows = graft.functions.Embeddings.queries("q217_embedding_outliers")(
+      spark, sf0001).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    // brute-force: rounded per-label centroid, rounded cosine per vector
+    val vecs = Tables.embeddings(spark, sf0001).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cen = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(64)(j => r6(vs.map(_._3(j)).sum / vs.length))
+    }
+    val brute = vecs.map { case (id, l, e) =>
+      val m = cen(l)
+      val dp = e.zip(m).map { case (a, b) => a * b }.sum
+      val c = dp / (math.sqrt(e.map(x => x * x).sum) *
+        math.sqrt(m.map(x => x * x).sum))
+      (l, id, r6(c))
+    }
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.length == 5, s"label $l: ${rs.length} outliers")
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.toSeq == cs.sorted.toSeq, s"label $l not ascending")
+      // each reported score matches the recount for that vector, and the
+      // cut is genuinely the bottom of the distribution (≤ the 6th-lowest
+      // brute score, with an ulp allowance at the rounding boundary)
+      val bs = brute.filter(_._1 == l).map(_._3).sorted
+      rs.foreach { r =>
+        val want = brute.find(b => b._1 == l &&
+          b._2 == r.getAs[Long]("vec_id")).get._3
+        assert(math.abs(r.getAs[Double]("cos") - want) <= 2e-6, s"$r vs $want")
+      }
+      assert(cs.max <= bs(5) + 2e-6, s"label $l cut above the 6th-lowest")
+    }
+  }
+
+  test("q218 bloom decontamination: no false negatives vs the exact join, audit column is honest, FP rate sane") {
+    val rows = graft.functions.Dedup.queries("q218_bloom_decontam")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // Bloom filters never produce false negatives: every doc q74 flags
+    // must appear here with n_exact equal to q74's shared-gram count and
+    // n_bloom_hits covering it
+    val exact = graft.functions.Dedup.queries("q74_decontaminate")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(exact.nonEmpty, "fixture has no contamination — vacuous")
+    exact.foreach { case (id, n) =>
+      val r = rows.getOrElse(id,
+        fail(s"doc $id flagged by the exact join but missed by Bloom"))
+      assert(r.getAs[Long]("n_exact") == n, s"$id exact count drifted")
+      assert(r.getAs[Long]("n_bloom_hits") >= n, s"$id bloom < exact")
+    }
+    // the audit arithmetic holds row by row and FPs are a minority
+    var bloom = 0L; var fp = 0L
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_false_pos") ==
+        r.getAs[Long]("n_bloom_hits") - r.getAs[Long]("n_exact"), s"$r")
+      assert(r.getAs[Long]("n_false_pos") >= 0, s"$r")
+      assert(r.getAs[Long]("n_bloom_hits") <= r.getAs[Long]("n_grams"), s"$r")
+      bloom += r.getAs[Long]("n_bloom_hits"); fp += r.getAs[Long]("n_false_pos")
+    }
+    assert(fp < bloom, s"false positives dominate: $fp of $bloom")
+  }
 }
