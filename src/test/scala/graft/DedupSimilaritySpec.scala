@@ -769,4 +769,22 @@ class DedupSimilaritySpec extends TestSpark {
     }
     assert(fp < bloom, s"false positives dominate: $fp of $bloom")
   }
+
+  test("q217/q218 plan shapes: centroid and bit-array joins broadcast, heap cut in the outlier plan") {
+    // q217: the ≤labels×64 centroid rollup must broadcast (the corpus
+    // never shuffles for the join) and the bottom-5 cut must be the
+    // TopKPerGroup heap, not a global sort
+    val p17 = graft.functions.Embeddings.queries("q217_embedding_outliers")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"),
+      s"centroid join is not broadcast:\n${p17.take(600)}")
+    assert(p17.contains("TopKPerGroup "),
+      s"bottom-5 cut is not the heap:\n${p17.take(600)}")
+    // q218: the Bloom bit-position table must broadcast — the whole
+    // point of the sketch is that the corpus side probes map-side
+    val p18 = graft.functions.Dedup.queries("q218_bloom_decontam")(
+      spark, sf0001).queryExecution.executedPlan.toString
+    assert(p18.contains("BroadcastHashJoin"),
+      s"bit-array join is not broadcast:\n${p18.take(600)}")
+  }
 }
