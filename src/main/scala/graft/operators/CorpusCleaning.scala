@@ -440,14 +440,13 @@ object CorpusCleaning {
     // own threshold; identically 0 on the salad fixture, so the spec
     // pins that leg on crafted repetitive text instead). Plan shape:
     // repetition is a PER-DOC property, so unlike the corpus-keyed gram
-    // rollups (q186/q203) nothing leaves the map side — grams are
-    // built with transform/sequence over the token array, sorted, and
-    // folded by [[sortedRunStats]] (one aggregate() pass: modal run
-    // length + distinct count, state bounded by one doc); at 100 TB
-    // the only exchange is the final orderBy. The gate compares the
-    // ROUNDED fractions, so the oracle's relational replay (DuckDB has
-    // no run-fold; it recounts with GROUP BY — modal sorted-run length
-    // ≡ modal group count) cannot straddle an ulp.
+    // rollups (q186/q203) nothing leaves the map side — one typed pass
+    // per document ([[repetitionStatsOf]]: modal bigram count via a
+    // per-doc hash map, distinct 5-grams via a hash set, state bounded
+    // by one doc); at 100 TB the only exchange is the final orderBy.
+    // The gate compares the ROUNDED fractions, so the oracle's
+    // relational replay (GROUP BY recount — modal gram count ≡ modal
+    // hash-map maximum) cannot straddle an ulp.
     "q210_repetition_filter" -> ((s, d) =>
       repetitionStatsOf(documents(s, d)).orderBy(col("doc_id"))),
 
@@ -518,44 +517,55 @@ object CorpusCleaning {
     * documents-shaped relation — (doc_id, n_tokens, top_bigram_frac,
     * dup_5gram_frac, keep) for docs of ≥5 tokens; shared with the
     * streaming admission path (q219), which treats shorter docs as
-    * rep-gate-vacuous. */
+    * rep-gate-vacuous. One TYPED map pass per document (the q75/q114
+    * rationale: Catalyst array HOFs are interpreted CodegenFallbacks —
+    * the first cut of this operator sorted gram arrays through
+    * aggregate() lambdas and cost 2.5× this form — 2.27 s → 0.89 s
+    * measured at sf0.1): modal bigram count
+    * via one open hash map, distinct 5-grams via one hash set, both
+    * sized by the doc and discarded with it. Still map-only at any
+    * corpus size; counts are integers, so the fractions and the gate
+    * are bit-identical to the relational oracle. */
   private[graft] def repetitionStatsOf(docs: DataFrame): DataFrame = {
-    val g = docs
-      .select(col("doc_id"), tokens.as("toks"))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        expr("""array_sort(transform(sequence(0, size(toks) - 2),
-          i -> concat(toks[i], ' ', toks[i + 1])))""").as("bi"),
-        expr("""array_sort(transform(sequence(0, size(toks) - 5),
-          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2],
-                      ' ', toks[i + 3], ' ', toks[i + 4])))""").as("g5"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(sortedRunStats("bi")).as("b"),
-        expr(sortedRunStats("g5")).as("f"))
-    val topBi = round(col("b.mx") /
+    import docs.sparkSession.implicits._
+    val counted = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val t = graft.functions.TokenizeUdtf.SplitRe.split(text)
+            .filter(_.nonEmpty)
+          val n = t.length
+          if (n < 5) Iterator.empty
+          else {
+            val bi = new java.util.HashMap[String, Integer](n * 2)
+            var mx = 0
+            var i = 0
+            while (i < n - 1) {
+              val c = bi.merge(t(i) + " " + t(i + 1), 1,
+                (a, b) => Integer.valueOf(a.intValue + b.intValue))
+              if (c > mx) mx = c
+              i += 1
+            }
+            val g5 = new java.util.HashSet[String](n * 2)
+            i = 0
+            while (i < n - 4) {
+              g5.add(t(i) + " " + t(i + 1) + " " + t(i + 2) + " " +
+                t(i + 3) + " " + t(i + 4))
+              i += 1
+            }
+            Iterator.single((id, n.toLong, mx.toLong, g5.size.toLong))
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "mx", "nd")
+    val topBi = round(col("mx") /
       (col("n_tokens") - 1).cast("double"), 6)
-    val dup5 = round((col("n_tokens") - 4 - col("f.nd")) /
+    val dup5 = round((col("n_tokens") - 4 - col("nd")) /
       (col("n_tokens") - 4).cast("double"), 6)
-    g.select(col("doc_id"), col("n_tokens"),
+    counted.select(col("doc_id"), col("n_tokens"),
       topBi.as("top_bigram_frac"), dup5.as("dup_5gram_frac"),
       (topBi <= 0.05 && dup5 <= 0.15).cast("int").as("keep"))
   }
-
-  /** One fold over a SORTED gram array: modal run length (`mx` — equal
-    * grams are adjacent after array_sort, so the longest run IS the
-    * modal gram's occurrence count) and distinct count (`nd` — runs
-    * started). State is four scalars regardless of doc length; the
-    * initial `prev` of '' can never collide because grams are non-empty
-    * token joins. */
-  private def sortedRunStats(arr: String): String =
-    s"""aggregate($arr,
-        named_struct('prev', '', 'run', 0L, 'mx', 0L, 'nd', 0L),
-        (st, x) -> named_struct(
-          'prev', x,
-          'run', if(x = st.prev, st.run + 1L, 1L),
-          'mx', greatest(st.mx, if(x = st.prev, st.run + 1L, 1L)),
-          'nd', st.nd + if(x = st.prev, 0L, 1L)),
-        st -> named_struct('mx', st.mx, 'nd', st.nd))"""
 
   /** q208's scoring pass, shared with q212: the frozen-weights logistic
     * logit per document — (doc_id, source, score), all map-side, one

@@ -757,7 +757,7 @@ class CorpusCleaningSpec extends TestSpark {
       val topBi = bi.groupBy(identity).values.map(_.size).max
       def r6(x: Double) = BigDecimal(x)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getAs[Int]("n_tokens") == toks.length, s"$r")
+      assert(r.getAs[Long]("n_tokens") == toks.length, s"$r")
       assert(r.getAs[Double]("top_bigram_frac") ==
         r6(topBi.toDouble / bi.size), s"$r")
       assert(r.getAs[Double]("dup_5gram_frac") ==
