@@ -148,7 +148,9 @@ object Bench {
     // exact join retained as the in-query FP audit); q219 streaming
     // quality-gated admission stays out of the headline — its batch
     // twins q208/q210 carry the family's timing (the q190 precedent)
-    "q218_bloom_decontam")
+    "q218_bloom_decontam",
+    // SemDeDup's cross-slice signal over the IVF kNN graph
+    "q220_crosslabel_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -336,7 +338,7 @@ object Bench {
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
         "q127_", "q129_", "q133_", "q134_", "q139_", "q218_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",
-        "q155_", "q216_", "q217_"),
+        "q155_", "q216_", "q217_", "q220_"),
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_"),

@@ -101,7 +101,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * decontamination — the broadcast membership sketch with the exact
   * join retained as the per-doc false-positive audit, q219 streaming
   * quality-gated admission — both learned gates stateless in the
-  * ingest path, exactly-once sinks),
+  * ingest path, exactly-once sinks, q220 cross-label near-duplicates
+  * — SemDeDup's cross-slice signal over the IVF kNN graph),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

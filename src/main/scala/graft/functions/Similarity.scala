@@ -188,6 +188,32 @@ object Similarity {
         .orderBy(col("src_id"), col("rk"))
     }),
 
+    // CROSS-LABEL NEAR-DUPLICATES — SemDeDup's cross-slice signal: a
+    // high-cosine neighbor pair whose LABELS disagree is a mislabeled
+    // point, a translation, or a cross-split leak that label-scoped
+    // curation never sees (every per-label operator — q216's drift,
+    // q217's outliers — conditions on the label being right). Composes
+    // the q73 IVF kNN graph (sub-quadratic candidates by construction)
+    // with the q77/q122 cos ≥ 0.4 near-dup edge: directed edges as the
+    // index finds them, labels attached by two id-keyed hash joins
+    // (linear — the label relation is corpus-sized, so it is NOT
+    // broadcast), mismatches kept. At 100 TB the candidate volume is
+    // the kNN graph's ~nProbe·n^1.5, never all-pairs.
+    "q220_crosslabel_neardup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
+        .filter(col("cos") >= 0.4)
+        .select(col("probe_id").as("src_id"),
+          col("vec_id").as("nbr_id"), col("cos"))
+        .join(lbl.toDF("src_id", "src_label"), "src_id")
+        .join(lbl.toDF("nbr_id", "nbr_label"), "nbr_id")
+        .filter(col("src_label") =!= col("nbr_label"))
+        .select(col("src_id"), col("src_label"), col("nbr_id"),
+          col("nbr_label"), col("cos"))
+        .orderBy(col("src_id"), col("nbr_id"))
+    }),
+
     // RANDOM-HYPERPLANE LSH ANN — the second ANN family next to IVF
     // (q31), per the survey's "IVF or LSH-bucketed variant" scale path:
     // each vector's sign pattern under [[lshNPlanes]](n) seeded Gaussian
@@ -855,6 +881,18 @@ object Similarity {
       s"""WITH ${ivfCtes(probeWhere = "")}
          SELECT probe_id AS src_id, rk, vec_id AS nbr_id, cos FROM ranked
          WHERE rk <= 3 ORDER BY src_id, rk""",
+
+    // the q73 replay with the near-dup edge and label joins on top
+    "q220_crosslabel_neardup" ->
+      s"""WITH ${ivfCtes(probeWhere = "")},
+         lbl AS (SELECT vec_id, label FROM embeddings)
+         SELECT r.probe_id AS src_id, la.label AS src_label,
+           r.vec_id AS nbr_id, lb.label AS nbr_label, r.cos
+         FROM ranked r
+         JOIN lbl la ON la.vec_id = r.probe_id
+         JOIN lbl lb ON lb.vec_id = r.vec_id
+         WHERE r.rk <= 3 AND r.cos >= 0.4 AND la.label <> lb.label
+         ORDER BY src_id, nbr_id""",
 
     // Full PQ replay: same 16-vector codebook sample rule, same
     // subspace slices, the same dxx - 2·dxc + dcc subdistance (each dot

@@ -787,4 +787,31 @@ class DedupSimilaritySpec extends TestSpark {
     assert(p18.contains("BroadcastHashJoin"),
       s"bit-array join is not broadcast:\n${p18.take(600)}")
   }
+
+  test("q220 cross-label near-dups: exactly the q73 edges above the near-dup threshold with mismatched labels") {
+    val rows = graft.functions.Similarity.queries("q220_crosslabel_neardup")(
+      spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id")) ->
+        (r.getAs[Int]("src_label"), r.getAs[Int]("nbr_label"),
+          r.getAs[Double]("cos"))).toMap
+    assert(rows.nonEmpty, "fixture has no cross-label near-dups — vacuous")
+    val labels = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    // compose recount: the q73 kNN edges, thresholded and label-filtered
+    val want = graft.functions.Similarity.queries("q73_knn_graph")(
+      spark, sf0001).collect()
+      .filter(_.getAs[Double]("cos") >= 0.4)
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id")) ->
+        r.getAs[Double]("cos"))
+      .filter { case ((a, b), _) => labels(a) != labels(b) }.toMap
+    assert(rows.keySet == want.keySet,
+      s"edge set diverges from the q73 composition: ${rows.keySet.size} vs ${want.keySet.size}")
+    rows.foreach { case ((a, b), (la, lb, c)) =>
+      assert(la == labels(a) && lb == labels(b), s"($a,$b) labels wrong")
+      assert(la != lb, s"($a,$b) labels agree — must have been filtered")
+      assert(c == want((a, b)), s"($a,$b) cos drifted")
+      assert(c >= 0.4, s"($a,$b) below the near-dup edge")
+    }
+  }
 }
