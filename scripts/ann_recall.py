@@ -1,0 +1,32 @@
+#!/usr/bin/env python3
+"""ANN recall-at-scale curve (round-12 verdict ask #6): drive
+graft.tools.RecallProbe over the 1x/3x/10x growth fixtures (same dirs as
+scale_sweep.py) and record recall@5 (q31 IVF search) and recall@3 (q73
+kNN-graph edges) vs brute-force cosine on a ~200-probe deterministic
+sample, alongside the ivf_k the engine derived at each scale. Dev-side
+tooling — NOT part of the library runtime.
+
+Usage: ann_recall.py [tag]   (writes bench_logs/ann_recall_<tag>.json)
+"""
+import json, os, subprocess, sys
+
+ROOT = "/root/repo"
+DIRS = [("x1", "/root/testdata/sf0.1"),
+        ("x3", f"{ROOT}/scratch/scale/x3"),
+        ("x10", f"{ROOT}/scratch/scale/x10")]
+TAG = sys.argv[1] if len(sys.argv) > 1 else "r13"
+
+out = {}
+for tag, d in DIRS:
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": d, "SPARK_GRAFT_CPUS": "32"}
+    print(f"=== {tag} ({d}) ===", flush=True)
+    p = subprocess.run(["sbt", "-batch", "runMain graft.tools.RecallProbe"],
+                       cwd=ROOT, env=env, check=True, capture_output=True,
+                       text=True)
+    line = [l for l in p.stdout.splitlines() if '"metric":"ann_recall"' in l]
+    out[tag] = json.loads(line[-1])
+    print(out[tag], flush=True)
+
+path = f"{ROOT}/bench_logs/ann_recall_{TAG}.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"wrote {path}")

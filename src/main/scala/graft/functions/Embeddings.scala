@@ -58,6 +58,13 @@ object Embeddings {
     // Dimension means are ROUNDED (6 dp, exactly q41's contract) before
     // the cosine, so the only cross-engine float risk is the ≤64-term
     // product sums — nine orders below the round(6) cut.
+    // CONTRACT (round-12 advisor finding, pinned in EmbeddingsSpec): a
+    // label whose vectors ALL land in one vec_id-parity half has no
+    // between-half drift to measure — the inner h0⋈h1 join drops it,
+    // and the oracle inner-joins identically. Such a degenerate class
+    // is a data-arrival problem, not a drift number; the monitor's
+    // companion count query (groupBy label, both halves) is where it
+    // surfaces, and q217 still scrubs its outliers.
     "q216_centroid_drift" -> ((s, d) => {
       val m = embeddings(s, d)
         .select(col("label"), expr("vec_id % 2").as("half"),

@@ -203,7 +203,7 @@ object Similarity {
       val emb = embeddings(s, d)
       val lbl = emb.select(col("vec_id"), col("label"))
       ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= graft.Thresholds.CosNearDup)
         .select(col("probe_id").as("src_id"),
           col("vec_id").as("nbr_id"), col("cos"))
         .join(lbl.toDF("src_id", "src_label"), "src_id")
@@ -264,7 +264,7 @@ object Similarity {
     "q77_embedding_dedup" -> ((s, d) => {
       val emb = embeddings(s, d)
       val edges = ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= graft.Thresholds.CosNearDup)
         .select(col("probe_id").as("doc_a"), col("vec_id").as("doc_b"))
       val labels = Dedup.cachedComponents(s, "emb:" + d)(edges)
       val sizes = labels.groupBy(col("cluster_id"))
@@ -287,7 +287,7 @@ object Similarity {
     "q122_embedding_dedup_keep" -> ((s, d) => {
       val emb = embeddings(s, d)
       val edges = ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= graft.Thresholds.CosNearDup)
         .select(col("probe_id").as("doc_a"), col("vec_id").as("doc_b"))
       val dropped = Dedup.cachedComponents(s, "emb:" + d)(edges)
         .filter(col("doc_id") =!= col("cluster_id"))
@@ -746,7 +746,7 @@ object Similarity {
     r
   }
 
-  private def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
+  private[graft] def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
       k: Int, broadcastProbes: Boolean, cacheKey: String): DataFrame = {
     import s.implicits._
     val bc = centroidBroadcast(s, emb, cacheKey)
@@ -891,7 +891,7 @@ object Similarity {
          FROM ranked r
          JOIN lbl la ON la.vec_id = r.probe_id
          JOIN lbl lb ON lb.vec_id = r.vec_id
-         WHERE r.rk <= 3 AND r.cos >= 0.4 AND la.label <> lb.label
+         WHERE r.rk <= 3 AND r.cos >= ${graft.Thresholds.CosNearDup} AND la.label <> lb.label
          ORDER BY src_id, nbr_id""",
 
     // Full PQ replay: same 16-vector codebook sample rule, same
@@ -1056,7 +1056,7 @@ object Similarity {
       s"""WITH RECURSIVE ${ivfCtes(probeWhere = "")},
          knn AS (
            SELECT probe_id AS a, vec_id AS b FROM ranked
-           WHERE rk <= 3 AND cos >= 0.4),
+           WHERE rk <= 3 AND cos >= ${graft.Thresholds.CosNearDup}),
          edges AS (
            SELECT a AS s, b AS e FROM knn
            UNION ALL SELECT b, a FROM knn),
@@ -1157,7 +1157,7 @@ object Similarity {
       s"""WITH RECURSIVE ${ivfCtes(probeWhere = "")},
          knn AS (
            SELECT probe_id AS a, vec_id AS b FROM ranked
-           WHERE rk <= 3 AND cos >= 0.4),
+           WHERE rk <= 3 AND cos >= ${graft.Thresholds.CosNearDup}),
          edges AS (
            SELECT a AS s, b AS e FROM knn
            UNION ALL SELECT b, a FROM knn),

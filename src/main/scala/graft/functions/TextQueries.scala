@@ -106,6 +106,39 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** q214's per-doc epoch copy counts — (doc_id, lang, multiplier,
+    * n_copies): whole-doc stochastic rounding of q206's multiplier with
+    * the deterministic md5(doc_id ":epoch") coin (q192's 52-bit fold).
+    * Factored so the epoch-aware shard exporter (CurationPipeline
+    * q223/q224) replicates by the SAME rule q214 reports — the
+    * cleanVerdict no-drift precedent. The 20-row multiplier relation
+    * broadcasts; the coin, floor and comparison are one codegen map
+    * pass — no corpus-sized exchange. */
+  private[graft] def epochCopies(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(epochMultipliers(s, d)), "lang")
+      .select(col("doc_id"), col("lang"), col("multiplier"),
+        epochCopiesExpr.as("n_copies"))
+
+  /** The (lang, multiplier) relation q214 and the epoch exporter
+    * broadcast — q206's clipped/renormalized weight, rounded at 6. */
+  private[graft] def epochMultipliers(s: SparkSession, d: String): DataFrame =
+    targetMixWeights(s, d)
+      .select(col("lang"), round(col("cw") * col("zf"), 6).as("multiplier"))
+
+  /** The stochastic-rounding copy count, given `doc_id` and
+    * `multiplier` columns in scope: floor(m) + [coin < frac(m)] with
+    * the deterministic md5(doc_id ":epoch") 52-bit coin. Column-level
+    * so the exporter can apply it while retaining `text` in the same
+    * map-side projection (no second join for the content hash). */
+  private[graft] def epochCopiesExpr: org.apache.spark.sql.Column = {
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":epoch"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    floor(col("multiplier")).cast("long") +
+      (u < col("multiplier") - floor(col("multiplier"))).cast("long")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The reference's wc app as a declarative plan (src/mrapps/wc.go:21-44).
     "q19_wordcount" -> ((s, d) => {
@@ -359,20 +392,8 @@ object TextQueries {
     // the coin, floor and comparison are one codegen map pass — at
     // 100 TB the only exchange is the final orderBy. All arithmetic on
     // the ROUNDED multiplier, so the oracle replays bit-exactly.
-    "q214_epoch_sample" -> ((s, d) => {
-      val mult = targetMixWeights(s, d)
-        .select(col("lang"), round(col("cw") * col("zf"), 6).as("multiplier"))
-      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":epoch"))), 1, 13), 16, 10)
-        .cast("long").cast("double") / lit(4503599627370496.0)
-      documents(s, d).select(col("doc_id"), col("lang"))
-        .join(broadcast(mult), "lang")
-        .select(col("doc_id"), col("lang"), col("multiplier"),
-          (floor(col("multiplier")).cast("long") +
-            (u < col("multiplier") - floor(col("multiplier")))
-              .cast("long")).as("n_copies"))
-        .orderBy(col("doc_id"))
-    }),
+    "q214_epoch_sample" -> ((s, d) =>
+      epochCopies(s, d).orderBy(col("doc_id"))),
 
     // SEQUENCE-PACKING EFFICIENCY CURVE — the context-length planning
     // number a training run is budgeted on: under q118's concat-then-
@@ -675,11 +696,17 @@ object TextQueries {
     // candidate-set ⊇ matches a theorem instead of a fixture accident
     // (round-11 advisor finding — the unanchored form matched 'xbig dog
     // scan' as a substring while the token prefilter dropped it).
-    // Boundary chars are CONSUMED, so two occurrences sharing one
-    // separator char count as one match — identically on both engines,
-    // the standard price of lookaround-free anchoring. The oracle
-    // replays the brute-force scan with the same pattern and must agree
-    // exactly; [a-z]+ and \p{L} mean the same in Java regex and RE2.
+    // n_matches counts WHOLE-TOKEN TRIGRAM occurrences from token
+    // positions (round-12 advisor finding: the consuming boundary
+    // groups make regexp_extract_all undercount occurrences that share
+    // a single separator char — 'big a scan big b scan' read as one
+    // match), so the reported count is true occurrences-of-the-phrase
+    // under the tokenizer contract; the anchored regex remains the
+    // VERIFY predicate only (membership, not counting — a doc matches
+    // the regex iff it has ≥1 single-space-separated occurrence). The
+    // oracle replays both the brute-force regex scan and the identical
+    // token-position count; [a-z]+ and \p{L} mean the same in Java
+    // regex and RE2.
     "q204_gram_search" -> ((s, d) => {
       val pat = "(^|[^\\p{L}])big [a-z]+ scan($|[^\\p{L}])"
       val lits = Seq("big", "scan")
@@ -702,11 +729,17 @@ object TextQueries {
       // no broadcast hint: candidate volume is selectivity-dependent, so
       // the join strategy is left to the planner/AQE
       val marked = cands.withColumn("m", pmod(col("doc_id"), lit(1L)))
+      // interpreted HOF lambdas are fine HERE: the count runs on
+      // verified candidates only, never the corpus (the q210 typed-pass
+      // rationale does not apply to a candidate-sized relation)
       documents(s, d).join(marked, "doc_id")
         .filter(when(col("m") === 0, col("text").rlike(pat))
           .otherwise(lit(false)))
+        .withColumn("ts", tokens)
         .select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          expr("CASE WHEN size(ts) >= 3 THEN size(filter(" +
+            "sequence(0, size(ts) - 3), j -> ts[j] = 'big' AND " +
+            "ts[j+1] RLIKE '^[a-z]+$' AND ts[j+2] = 'scan')) ELSE 0 END")
             .as("n_matches"))
         .orderBy(col("doc_id"))
     }),
@@ -1428,7 +1461,7 @@ object TextQueries {
     * shared by the q206 and q214 oracles so the guardrail/renormalize
     * arithmetic cannot drift between them. The consumer reads
     * `w CROSS JOIN z`. */
-  private val targetMixCtes: String =
+  private[graft] val targetMixCtes: String =
     """m AS (
            SELECT lang, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS mass
@@ -1923,12 +1956,21 @@ object TextQueries {
            FROM sc) WHERE rk <= 15 ORDER BY rk""",
 
     // q204 replay: the brute-force regex scan the prefilter must agree
-    // with exactly
+    // with exactly, counting whole-token trigram occurrences from the
+    // same tokenizer positions
     "q204_gram_search" ->
-      """SELECT doc_id,
-           len(regexp_extract_all(text,
-             '(^|[^\p{L}])big [a-z]+ scan($|[^\p{L}])')) AS n_matches
-         FROM documents
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '[^\p{L}]+'),
+               x -> x <> '') AS ts
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(ts) >= 3 THEN len(list_filter(range(len(ts) - 2),
+               j -> ts[j+1] = 'big'
+                 AND regexp_matches(ts[j+2], '^[a-z]+$')
+                 AND ts[j+3] = 'scan'))
+             ELSE 0 END AS n_matches
+         FROM t
          WHERE regexp_matches(text, '(^|[^\p{L}])big [a-z]+ scan($|[^\p{L}])')
          ORDER BY doc_id""",
     // CDC replay: q114's polynomial per window, cuts at h%64=0 (p>1),

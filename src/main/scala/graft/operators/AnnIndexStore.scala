@@ -301,7 +301,7 @@ object AnnIndexStore {
           round(Similarity.dot(col("p_emb"), col("c_emb"))
             / (Similarity.l2norm(col("p_emb"))
               * Similarity.l2norm(col("c_emb"))), 6).as("cos"))
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= graft.Thresholds.CosNearDup)
         .distinct() // a pair reachable via 2 shared cells counts once
     }
   }
@@ -718,7 +718,7 @@ object AnnIndexStore {
     // exact-cosine rejection at the q77/q122 edge threshold — final
     // table = seed + unrejected delta.
     "q138_stream_vector_admit" ->
-      """WITH cents AS (
+      s"""WITH cents AS (
            SELECT vec_id AS centroid_id, embedding AS c_emb FROM (
              SELECT vec_id, embedding,
                row_number() OVER (
@@ -756,7 +756,7 @@ object AnnIndexStore {
            WHERE round(list_dot_product(pe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
              / (sqrt(list_dot_product(pe.embedding::DOUBLE[], pe.embedding::DOUBLE[]))
               * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))),
-             6) >= 0.4)
+             6) >= ${graft.Thresholds.CosNearDup})
          SELECT vec_id, len(embedding) AS n_dims FROM embeddings
          WHERE vec_id % 10 <> 7
             OR vec_id NOT IN (SELECT vec_id FROM dup)

@@ -425,7 +425,8 @@ object CorpusCleaning {
     "q208_quality_classifier" -> ((s, d) =>
       qualityLogit(s, d)
         .select(col("doc_id"), col("source"), col("score"),
-          (col("score") >= 0).cast("int").as("keep"))
+          (col("score") >= graft.Thresholds.QualityLogitKeepMin)
+            .cast("int").as("keep"))
         .orderBy(col("doc_id"))),
 
     // WITHIN-DOCUMENT REPETITION FILTER — the Gopher repetition gate
@@ -494,11 +495,12 @@ object CorpusCleaning {
     // never a global sort, so the output stays ≤100 rows at any corpus
     // size.
     "q213_template_prefixes" -> ((s, d) => {
+      val p = graft.Thresholds.TemplatePrefixTokens
       val base = documents(s, d)
         .select(col("doc_id"), col("source"), tokens.as("toks"))
-        .filter(size(col("toks")) >= 2)
+        .filter(size(col("toks")) >= p)
         .select(col("doc_id"), col("source"),
-          array_join(slice(col("toks"), 1, 2), " ").as("prefix"))
+          array_join(slice(col("toks"), 1, p), " ").as("prefix"))
       val total = base.agg(count(lit(1)).cast("double").as("n_total"))
       base.groupBy(col("prefix"))
         .agg(count(lit(1)).as("n_docs"),
@@ -534,26 +536,10 @@ object CorpusCleaning {
         it.flatMap { case (id, text) =>
           val t = graft.functions.TokenizeUdtf.SplitRe.split(text)
             .filter(_.nonEmpty)
-          val n = t.length
-          if (n < 5) Iterator.empty
+          if (t.length < 5) Iterator.empty
           else {
-            val bi = new java.util.HashMap[String, Integer](n * 2)
-            var mx = 0
-            var i = 0
-            while (i < n - 1) {
-              val c = bi.merge(t(i) + " " + t(i + 1), 1,
-                (a, b) => Integer.valueOf(a.intValue + b.intValue))
-              if (c > mx) mx = c
-              i += 1
-            }
-            val g5 = new java.util.HashSet[String](n * 2)
-            i = 0
-            while (i < n - 4) {
-              g5.add(t(i) + " " + t(i + 1) + " " + t(i + 2) + " " +
-                t(i + 3) + " " + t(i + 4))
-              i += 1
-            }
-            Iterator.single((id, n.toLong, mx.toLong, g5.size.toLong))
+            val (n, mx, nd) = repCounts(t)
+            Iterator.single((id, n.toLong, mx.toLong, nd.toLong))
           }
         }
       }
@@ -564,8 +550,45 @@ object CorpusCleaning {
       (col("n_tokens") - 4).cast("double"), 6)
     counted.select(col("doc_id"), col("n_tokens"),
       topBi.as("top_bigram_frac"), dup5.as("dup_5gram_frac"),
-      (topBi <= 0.05 && dup5 <= 0.15).cast("int").as("keep"))
+      (topBi <= graft.Thresholds.RepTopBigramMax &&
+        dup5 <= graft.Thresholds.RepDup5gramMax).cast("int").as("keep"))
   }
+
+  /** q210's per-doc fold kernel over a pre-split token array:
+    * (n_tokens, modal-bigram count, distinct-5-gram count). Shared by
+    * [[repetitionStatsOf]] and the end-to-end pipeline's combined pass
+    * (CurationPipeline) so the repetition arithmetic cannot drift
+    * between the standalone gate and the composed run. */
+  private[graft] def repCounts(t: Array[String]): (Int, Int, Int) = {
+    val n = t.length
+    val bi = new java.util.HashMap[String, Integer](n * 2)
+    var mx = 0
+    var i = 0
+    while (i < n - 1) {
+      val c = bi.merge(t(i) + " " + t(i + 1), 1,
+        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      if (c > mx) mx = c
+      i += 1
+    }
+    val g5 = new java.util.HashSet[String](n * 2)
+    i = 0
+    while (i < n - 4) {
+      g5.add(t(i) + " " + t(i + 1) + " " + t(i + 2) + " " +
+        t(i + 3) + " " + t(i + 4))
+      i += 1
+    }
+    (n, mx, g5.size)
+  }
+
+  /** The q210 gate predicate as DuckDB SQL over (modal-count, n-token,
+    * distinct-5-gram-count) expressions — thresholds interpolated from
+    * [[graft.Thresholds]] so the engine and every oracle that replays
+    * the gate move together. */
+  private[graft] def repGateSql(top: String, n: String, nd: String): String =
+    s"round($top * 1.0 / ($n - 1), 6) <= " +
+      s"${graft.Thresholds.RepTopBigramMax} AND " +
+      s"round(($n - 4 - $nd) * 1.0 / ($n - 4), 6) <= " +
+      s"${graft.Thresholds.RepDup5gramMax}"
 
   /** q208's scoring pass, shared with q212: the frozen-weights logistic
     * logit per document — (doc_id, source, score), all map-side, one
@@ -696,7 +719,7 @@ object CorpusCleaning {
   /** The q184/q185 URL synth + canonicalization as DuckDB SQL — kept as
     * named fragments so both oracles read the one definition (the
     * cdcBoundaryPositions no-drift precedent). */
-  private val UrlSynthSql = """
+  private[graft] val UrlSynthSql = """
     CASE (doc_id // 20) % 4
       WHEN 0 THEN 'https://www.' || source || '.example.com/docs/d'
         || (doc_id // 80) || '/'
@@ -714,7 +737,7 @@ object CorpusCleaning {
     string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))),
     '&')"""
-  private val UrlCanonSql = s"""
+  private[graft] val UrlCanonSql = s"""
     $UrlDomainSql
     || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
          '(/index\\.html|/)$$', '')
@@ -884,7 +907,8 @@ object CorpusCleaning {
     "q208_quality_classifier" ->
       s"""WITH $qualityScoreCtes
          SELECT doc_id, source, score,
-           CAST(score >= 0 AS INT) AS keep
+           CAST(score >= ${graft.Thresholds.QualityLogitKeepMin} AS INT)
+             AS keep
          FROM qscore ORDER BY doc_id""",
 
     // the q188 recursive-reach cluster labels + the q208 score fragment,
@@ -923,14 +947,16 @@ object CorpusCleaning {
          FROM r ORDER BY doc_id""",
 
     "q213_template_prefixes" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id, source,
-             list_filter(string_split_regex(text, '[^\p{L}]+'),
+             list_filter(string_split_regex(text, '[^\\p{L}]+'),
                x -> x <> '') AS toks
            FROM documents),
          p AS (
-           SELECT doc_id, source, array_to_string(toks[1:2], ' ') AS prefix
-           FROM t WHERE len(toks) >= 2),
+           SELECT doc_id, source,
+             array_to_string(toks[1:${graft.Thresholds.TemplatePrefixTokens}],
+               ' ') AS prefix
+           FROM t WHERE len(toks) >= ${graft.Thresholds.TemplatePrefixTokens}),
          tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM p),
          g AS (
            SELECT prefix, count(*) AS n_docs,
@@ -945,7 +971,7 @@ object CorpusCleaning {
     // Relational replay of the run-fold: modal sorted-run length ≡ modal
     // GROUP BY count, distinct runs ≡ COUNT(DISTINCT gram).
     "q210_repetition_filter" ->
-      """WITH t AS (
+      ("""WITH t AS (
            SELECT doc_id,
              list_filter(string_split_regex(text, '[^\p{L}]+'),
                x -> x <> '') AS toks
@@ -969,10 +995,9 @@ object CorpusCleaning {
            round(bs.top * 1.0 / (n.n_tokens - 1), 6) AS top_bigram_frac,
            round((n.n_tokens - 4 - fs.nd) * 1.0 / (n.n_tokens - 4), 6)
              AS dup_5gram_frac,
-           CAST(round(bs.top * 1.0 / (n.n_tokens - 1), 6) <= 0.05
-             AND round((n.n_tokens - 4 - fs.nd) * 1.0
-               / (n.n_tokens - 4), 6) <= 0.15 AS INT) AS keep
+           CAST(""" +
+        repGateSql("bs.top", "n.n_tokens", "fs.nd") + """ AS INT) AS keep
          FROM n JOIN bs USING (doc_id) JOIN fs USING (doc_id)
-         ORDER BY n.doc_id"""
+         ORDER BY n.doc_id""")
   )
 }

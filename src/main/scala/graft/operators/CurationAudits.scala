@@ -46,8 +46,15 @@ object CurationAudits {
     * defined anyway) break toward the larger shard id, which the oracle
     * mirrors with ORDER BY h DESC, s DESC. */
   private[graft] def hrwOwner(nShards: Int): Column =
+    hrwOwnerKeyed(col("doc_id").cast("string"), nShards)
+
+  /** [[hrwOwner]] generalized to an arbitrary string key — the form the
+    * epoch exporter (CurationPipeline q223) shards (doc_id, copy) pairs
+    * with, so replicated copies of one doc spread across shards. Same
+    * codegen `greatest`-over-structs argmax, same DESC tie rule. */
+  private[graft] def hrwOwnerKeyed(key: Column, nShards: Int): Column =
     greatest((0 until nShards).map(i =>
-      struct(md5(concat(col("doc_id").cast("string"), lit(":" + i))).as("h"),
+      struct(md5(concat(key, lit(":" + i))).as("h"),
         lit(i).as("s"))): _*).getField("s")
 
   /** q140's content-hash fold rule (membership a pure function of TEXT —

@@ -585,13 +585,20 @@ object PipelineOps {
           .topK(cand, Seq("lang"), Seq("h" -> true), K)
           .groupBy(col("lang").as("col_name"))
           .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
-        val estv = when(col("k_used") < K, col("k_used").cast("double"))
+        // LEFT join + coalesce (round-12 advisor finding): a column with
+        // zero non-null values produces no KMV row, and an inner join
+        // would silently drop its whole profile row while the oracle's
+        // always-present scalar subquery still emits it — k_used = 0,
+        // est_ndv = 0 is the honest profile of an all-null column.
+        val kUsed = coalesce(col("k_used"), lit(0L))
+        val estv = when(kUsed < K, kUsed.cast("double"))
           .otherwise(round(lit((K - 1).toDouble) /
             (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")
               .cast("double") / lit(1.152921504606846976e18)), 4))
-        basic.join(est, "col_name")
+        basic.join(est, Seq("col_name"), "left_outer")
           .select(lit(tbl).as("tbl"), col("col_name"), col("n_rows"),
-            col("n_null"), col("min_val"), col("max_val"), col("k_used"),
+            col("n_null"), col("min_val"), col("max_val"),
+            kUsed.as("k_used"),
             estv.as("est_ndv"), col("exact_ndv"),
             (abs(estv - col("exact_ndv")) <= col("exact_ndv") * 0.25)
               .cast("int").as("within_bound"))
@@ -646,13 +653,17 @@ object PipelineOps {
           .topK(cand, Seq("lang"), Seq("h" -> true), K)
           .groupBy(col("lang").as("col_name"))
           .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
-        val estv = when(col("k_used") < K, col("k_used").cast("double"))
+        // LEFT join + coalesce — q183's all-null-column fix, mirrored
+        // (the production form must profile such a column too)
+        val kUsed = coalesce(col("k_used"), lit(0L))
+        val estv = when(kUsed < K, kUsed.cast("double"))
           .otherwise(round(lit((K - 1).toDouble) /
             (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")
               .cast("double") / lit(1.152921504606846976e18)), 4))
-        basic.join(est, "col_name")
+        basic.join(est, Seq("col_name"), "left_outer")
           .select(lit(tbl).as("tbl"), col("col_name"), col("n_rows"),
-            col("n_null"), col("min_val"), col("max_val"), col("k_used"),
+            col("n_null"), col("min_val"), col("max_val"),
+            kUsed.as("k_used"),
             estv.as("est_ndv"))
       }
       profile("lineitem", lineitem(s, d),

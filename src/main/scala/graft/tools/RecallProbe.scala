@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.functions.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN recall-at-scale probe (round-12 verdict ask #6): DedupSimilaritySpec
+  * pins IVF recall at sf0.001, but recall was never MEASURED as ivf_k
+  * grows per its √n formula. This main computes, for one fixture dir,
+  * recall@5 of the q31 IVF search and recall@3 of the q73 kNN-graph
+  * edges against brute-force cosine ground truth on a deterministic
+  * probe sample (vec_id % step = 0, step sized for ~200 probes — exact
+  * ground truth over the whole corpus would be Θ(n²) at 10× and the
+  * sampled estimate is unbiased), and prints ONE JSON line. Dev-side
+  * tooling — NOT part of the library runtime; scripts/ann_recall.py
+  * drives it across the 1×/3×/10× growth fixtures.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val step = math.max(1L, n / 200L)
+    val probes = emb.filter(col("vec_id") % step === 0)
+    val nProbes = probes.count()
+
+    // q31-style point search: IVF top-5 vs exact top-5 for the sample
+    val exact5 = Similarity.cosineTopK(probes, emb, 5)
+      .select(col("probe_id"), col("vec_id"))
+    val ivf5 = Similarity.ivfTopK(spark, emb, probes, k = 5,
+        broadcastProbes = true, cacheKey = sfDir)
+      .select(col("probe_id"), col("vec_id"))
+    val nExact5 = exact5.count()
+    val hit5 = ivf5.join(exact5, Seq("probe_id", "vec_id"), "left_semi").count()
+
+    // q73-style kNN graph: the REAL full-corpus edge relation (probes =
+    // corpus, not broadcast), recall read off the sampled sources
+    val graphEdges = Similarity.ivfTopK(spark, emb, emb, k = 3,
+        broadcastProbes = false, cacheKey = sfDir)
+      .filter(col("probe_id") % step === 0)
+      .select(col("probe_id"), col("vec_id"))
+    val exact3 = Similarity.cosineTopK(probes, emb, 3)
+      .select(col("probe_id"), col("vec_id"))
+    val nExact3 = exact3.count()
+    val hit3 = graphEdges.join(exact3, Seq("probe_id", "vec_id"), "left_semi")
+      .count()
+
+    def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    println(
+      s"""{"metric":"ann_recall","sf":"$sfDir","n_vecs":$n,""" +
+      s""""ivf_k":${Similarity.ivfK(n)},"n_probes":$nProbes,""" +
+      s""""recall_q31_at5":${r4(hit5.toDouble / nExact5)},""" +
+      s""""recall_q73_at3":${r4(hit3.toDouble / nExact3)}}""")
+    graft.functions.Similarity.releaseCaches(spark)
+    spark.stop()
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusCleaning, CurationPipeline}
+
+/** q221/q222 (end-to-end provenance pipeline) and q223/q224 (epoch-aware
+  * export): gate-by-gate reconciliation against the standalone queries,
+  * funnel arithmetic, stochastic-rounding conservation, and the
+  * one-exchange export plan pin. */
+class CurationPipelineSpec extends TestSpark {
+
+  private lazy val prov = CurationPipeline
+    .queries("q221_curation_provenance")(spark, sf0001).collect()
+  private lazy val verdictOf = prov.map(r =>
+    r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+
+  test("q221 provenance: covers exactly the corpus slice, one verdict each") {
+    val corpusIds = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(prov.map(_.getAs[Long]("doc_id")).toSet == corpusIds)
+    assert(prov.length == corpusIds.size, "one row per corpus doc")
+    val allowed = Set("url_dup", "repetition", "quality", "cluster_dup",
+      "contaminated", "keep")
+    assert(verdictOf.values.toSet.subsetOf(allowed))
+    assert(verdictOf.values.exists(_ == "keep"), "some docs must survive")
+  }
+
+  test("q221 verdicts reconcile with each standalone gate, first gate wins") {
+    // stage 1: keeper = min doc_id per canonical URL over the corpus
+    val urls = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl).as("curl"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("curl")))
+    val keeper = urls.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    // standalone per-doc gates (full-table queries; lookups stay corpus-side)
+    val rep = CorpusCleaning.queries("q210_repetition_filter")(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Int]("keep") == 1)).toMap
+    val qual = CorpusCleaning.queries("q208_quality_classifier")(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Int]("keep") == 1)).toMap
+    val contam = functions.Dedup.queries("q74_decontaminate")(spark, sf0001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    verdictOf.foreach { case (id, v) =>
+      // docs under 5 tokens are absent from q210 and pass vacuously
+      val repKeep = rep.getOrElse(id, true)
+      if (!keeper.contains(id)) assert(v == "url_dup", s"$id: $v")
+      else if (!repKeep) assert(v == "repetition", s"$id: $v")
+      else if (!qual(id)) assert(v == "quality", s"$id: $v")
+      else assert(v == "cluster_dup" || v == "contaminated" || v == "keep",
+        s"$id: $v")
+      if (v == "contaminated")
+        assert(contam.contains(id), s"$id flagged but not in q74's set")
+      if (v == "keep")
+        assert(!contam.contains(id), s"$id kept but contaminated per q74")
+    }
+  }
+
+  test("q221 cluster stage: best surviving member per cluster keeps") {
+    val labels = functions.Dedup.nearDupLabels(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val score = CorpusCleaning.queries("q208_quality_classifier")(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // alive = survivors of stages 1-3 = docs whose verdict is one of the
+    // stage-4+ outcomes
+    val alive = verdictOf.filter { case (_, v) =>
+      v == "cluster_dup" || v == "contaminated" || v == "keep" }.keys.toSeq
+    val byCluster = alive.groupBy(id => labels.getOrElse(id, id))
+    byCluster.foreach { case (_, members) =>
+      val winner = members.minBy(id => (-score(id), id))
+      members.foreach { id =>
+        if (id == winner)
+          assert(verdictOf(id) != "cluster_dup", s"winner $id demoted")
+        else assert(verdictOf(id) == "cluster_dup",
+          s"non-best $id: ${verdictOf(id)}")
+      }
+    }
+    // the fixture must actually exercise the stage
+    assert(verdictOf.values.count(_ == "cluster_dup") > 0,
+      "fixture must contain at least one surviving near-dup cluster")
+  }
+
+  test("q222 funnel: stage arithmetic chains and reconciles with q221") {
+    val f = CurationPipeline.queries("q222_curation_funnel")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("stage_ord"))
+    assert(f.map(_.getAs[String]("stage")).toSeq ==
+      Seq("url_dedup", "repetition", "quality", "cluster_dedup", "decontam"))
+    assert(f.head.getAs[Long]("n_in") == prov.length.toLong)
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_out") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped"), s"$r")
+    }
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"), s"$a -> $b")
+    }
+    val dropByStage = Map("url_dedup" -> "url_dup",
+      "repetition" -> "repetition", "quality" -> "quality",
+      "cluster_dedup" -> "cluster_dup", "decontam" -> "contaminated")
+    f.foreach { r =>
+      val expected = verdictOf.values
+        .count(_ == dropByStage(r.getAs[String]("stage"))).toLong
+      assert(r.getAs[Long]("n_dropped") == expected, s"$r")
+    }
+    assert(f.last.getAs[Long]("n_out") ==
+      verdictOf.values.count(_ == "keep").toLong)
+  }
+
+  test("q223 epoch export: copy conservation, manifest matches q214, one-exchange plan") {
+    val copies = functions.TextQueries.queries("q214_epoch_sample")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    val nTokOf = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+          .as("nt"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nt")).toMap
+    val m = CurationPipeline.queries("q223_epoch_export")(spark, sf0001)
+      .collect()
+    assert(m.map(_.getAs[Long]("shard")).toSeq == (0L until 8L).toSeq)
+    assert(m.map(_.getAs[Long]("n_doc_copies")).sum == copies.values.sum,
+      "every stochastic-rounding copy lands in exactly one shard")
+    assert(m.map(_.getAs[Long]("n_tokens")).sum ==
+      copies.map { case (id, c) => c * nTokOf(id) }.sum,
+      "epoch token mass = sum of per-doc copies x tokens")
+    m.foreach { r =>
+      assert(r.getAs[Long]("n_seqs") >= 1 &&
+        r.getAs[Long]("n_seqs") <= r.getAs[Long]("n_doc_copies"), s"$r")
+      // greedy packing: a sequence holds the docs spanning one budget
+      // window, so its total is < budget + one max doc
+      assert(r.getAs[Long]("max_seq_tokens") <
+        512L + nTokOf.values.max, s"$r")
+    }
+    // one CORPUS-SIZED exchange (the shard window): the multiplier
+    // relation's own lang-rollup exchanges shuffle (lang, partial-agg)
+    // rows — language-count-sized after map-side combine — and the
+    // multiplier joins back by BROADCAST, so the replicated corpus
+    // never shuffles on doc_id (q209's bar, held with replication
+    // composed in)
+    val plan = CurationPipeline.epochPacked(spark, sf0001, 8, 512L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).size == 1,
+      s"exactly one shard-window exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"the corpus must never shuffle on doc_id — multiplier join is " +
+        s"broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [lang"),
+      s"multiplier relation must broadcast:\n$plan")
+  }
+
+  test("q224 mix audit: stochastic-rounding bound holds per language") {
+    val a = CurationPipeline.queries("q224_epoch_mix_audit")(spark, sf0001)
+      .collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Int]("within_bound") == 1, s"$r")
+      val real = r.getAs[Double]("realized_multiplier")
+      val mult = r.getAs[Double]("multiplier")
+      assert(math.abs(real - mult) < 0.25,
+        s"realized multiplier should track the target closely: $r")
+    }
+  }
+
+  override def afterAll(): Unit = {
+    CurationPipeline.releaseCaches(spark)
+    super.afterAll()
+  }
+}

@@ -694,7 +694,8 @@ class DedupSimilaritySpec extends TestSpark {
       Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
     Seq(
       (0L, basis(0), 0), (1L, basis(0), 0), // label 0: stable
-      (2L, basis(1), 1), (3L, basis(2), 1)) // label 1: orthogonal halves
+      (2L, basis(1), 1), (3L, basis(2), 1), // label 1: orthogonal halves
+      (4L, basis(3), 2), (6L, basis(3), 2)) // label 2: one parity half only
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val crafted = graft.functions.Embeddings.queries("q216_centroid_drift")(
@@ -702,6 +703,12 @@ class DedupSimilaritySpec extends TestSpark {
       .map(r => r.getAs[Int]("label") -> r.getAs[Double]("drift_cos")).toMap
     assert(crafted(0) == 1.0, s"stable class must read 1.0: $crafted")
     assert(crafted(1) == 0.0, s"orthogonal class must read 0.0: $crafted")
+    // pinned contract (round-12 advisor): a label whose vectors all land
+    // in one vec_id-parity half has no between-half drift to measure and
+    // is ABSENT from the monitor (the oracle inner-joins identically) —
+    // degenerate arrival is a count-query problem, not a drift number
+    assert(!crafted.contains(2),
+      s"single-half label must be absent from the drift report: $crafted")
   }
 
   test("q217 embedding outliers: five per label, ascending, scores track a brute-force recount") {

@@ -1,0 +1,73 @@
+package graft
+
+/** Table-driven plan-shape lock over the FULL bench headline (round-12
+  * verdict ask #8, generalizing the per-query pins in PlanSpec /
+  * StorageOpsSpec): for every headline query, the count of shuffle
+  * exchanges and broadcast exchanges in the (pre-execution, AQE initial)
+  * physical plan at sf0.001 is snapshotted in
+  * src/test/resources/plan_shapes_sf0001.tsv and asserted here — a
+  * query that silently GAINS an exchange (a broadcast join falling back
+  * to shuffle, a new un-fused stage, a cache miss turning one scan into
+  * two) fails the suite with a per-query diff. A DELIBERATE plan change
+  * regenerates the table in the same commit:
+  *
+  *   GRAFT_REGEN_PLAN_LOCK=1 sbt "testOnly graft.PlanShapeLockSpec"
+  *
+  * The counts are a string-level fingerprint (regexes over the plan
+  * tree's print form — ReusedExchange reference lines count with their
+  * referent, consistently), not a semantic audit: the point is DRIFT
+  * DETECTION between rounds, with the semantic plan reviews living in
+  * the per-operator specs. Streaming entries are excluded — their
+  * builders EXECUTE the stream and return a result-table read whose
+  * plan carries no operator shape.
+  */
+class PlanShapeLockSpec extends TestSpark {
+
+  private val lockPath = "src/test/resources/plan_shapes_sf0001.tsv"
+
+  /** Builders that execute a streaming query (or probe task scheduling)
+    * before returning — their returned plan is a trivial result read. */
+  private val excluded = Set("q33_stream_tumbling", "q139_stream_decontam")
+
+  private def shapeOf(name: String): (Int, Int) = {
+    val plan = SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (hash|range|Single|RoundRobin)".r.findAllIn(plan).size
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    (shuffles, broadcasts)
+  }
+
+  test("headline plan shapes match the committed lock table") {
+    val names = Bench.headline.filterNot(excluded)
+    val observed = names.map(n => n -> shapeOf(n))
+    if (sys.env.contains("GRAFT_REGEN_PLAN_LOCK")) {
+      val w = new java.io.PrintWriter(lockPath)
+      try {
+        w.println("# query\tshuffle_exchanges\tbroadcast_exchanges")
+        observed.foreach { case (n, (sh, bc)) => w.println(s"$n\t$sh\t$bc") }
+      } finally w.close()
+      info(s"regenerated $lockPath with ${observed.size} entries")
+    } else {
+      val src = scala.io.Source.fromFile(lockPath)
+      val expected =
+        try src.getLines().filterNot(_.startsWith("#")).map { l =>
+          val Array(n, sh, bc) = l.split("\t")
+          n -> (sh.toInt, bc.toInt)
+        }.toMap
+        finally src.close()
+      val missing = observed.collect {
+        case (n, _) if !expected.contains(n) => n }
+      assert(missing.isEmpty,
+        s"headline queries missing from $lockPath (regenerate with " +
+          s"GRAFT_REGEN_PLAN_LOCK=1): $missing")
+      val diffs = observed.collect {
+        case (n, got) if expected(n) != got =>
+          s"$n: expected (shuffles, broadcasts)=${expected(n)}, got $got"
+      }
+      assert(diffs.isEmpty,
+        "plan shapes drifted — review, then regenerate the lock in the " +
+          "same commit if deliberate:\n" + diffs.mkString("\n"))
+    }
+  }
+}

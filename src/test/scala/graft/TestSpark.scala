@@ -37,5 +37,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     graft.operators.Multimodal.releaseCaches(spark)
     graft.operators.SignatureStore.releaseCaches(spark)
     operators.PipelineOps.releaseCaches(spark)
+    operators.CurationPipeline.releaseCaches(spark)
   }
 }
