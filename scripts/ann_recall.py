@@ -16,16 +16,27 @@ DIRS = [("x1", "/root/testdata/sf0.1"),
         ("x10", f"{ROOT}/scratch/scale/x10")]
 TAG = sys.argv[1] if len(sys.argv) > 1 else "r13"
 
-out = {}
-for tag, d in DIRS:
+def probe(tag, d, cells=None):
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": d, "SPARK_GRAFT_CPUS": "32"}
-    print(f"=== {tag} ({d}) ===", flush=True)
+    if cells:
+        env["SPARK_GRAFT_IVF_CELLS"] = str(cells)
+    print(f"=== {tag} ({d}, cells={cells}) ===", flush=True)
     p = subprocess.run(["sbt", "-batch", "runMain graft.tools.RecallProbe"],
                        cwd=ROOT, env=env, check=True, capture_output=True,
                        text=True)
     line = [l for l in p.stdout.splitlines() if '"metric":"ann_recall"' in l]
-    out[tag] = json.loads(line[-1])
-    print(out[tag], flush=True)
+    r = json.loads(line[-1])
+    print(r, flush=True)
+    return r
+
+out = {}
+for tag, d in DIRS:
+    out[tag] = probe(tag, d)
+# the ivf_k DIAL at 10x: k = n^(2/3) bounds the kNN-graph candidate
+# volume at nProbe*n^(4/3) (vs n^1.5 under k = sqrt(n)); this leg
+# measures the recall that faster-growing k costs
+n10 = out["x10"]["n_vecs"]
+out["x10_dial"] = probe("x10_dial", DIRS[-1][1], cells=round(n10 ** (2 / 3)))
 
 path = f"{ROOT}/bench_logs/ann_recall_{TAG}.json"
 json.dump(out, open(path, "w"), indent=1)

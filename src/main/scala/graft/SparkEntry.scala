@@ -114,7 +114,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (doc, copy) rendezvous keys, still exactly one corpus-sized
   * exchange, q224 the epoch mix audit — per-language realized token
   * multiplier vs q206's target with the deterministic floor(m) ≤
-  * realized ≤ floor(m)+1 stochastic-rounding bound asserted in-query),
+  * realized ≤ floor(m)+1 stochastic-rounding bound asserted in-query,
+  * q225 the CURATED epoch export — the full nightly chain: provenance
+  * keeps → mix weights recomputed over the survivors → stochastic-
+  * rounding copies → rendezvous shards → packed sequences → sink →
+  * re-read manifest, everything a training run consumes from one
+  * provenance relation and one exporter),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -698,13 +698,16 @@ object Similarity {
     * by the IVF paths (q31/q73/q77/q122) and the IVF+PQ composition
     * (q131): the deterministic multiplicative-hash sample of
     * [[ivfK]](n) corpus vectors, sorted by id. */
-  private def centroidBroadcast(s: SparkSession, emb: DataFrame, cacheKey: String)
+  private def centroidBroadcast(s: SparkSession, emb: DataFrame, cacheKey: String,
+      kCells: Option[Int] = None)
       : org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]] =
     centCache.synchronized {
       centCache.getOrElseUpdate((sessionKey(s), cacheKey), {
         // corpus-size-derived k (metadata-cheap count, computed once per
-        // (session, dataset) thanks to the cache)
-        val k = ivfK(emb.count())
+        // (session, dataset) thanks to the cache); kCells overrides the
+        // √n rule for the RecallProbe's quantizer-dial measurement ONLY —
+        // every query path leaves it None so engine and oracle agree
+        val k = kCells.getOrElse(ivfK(emb.count()))
         val cents: Array[(Long, Array[Float])] =
           emb.select(col("vec_id"), col("embedding"))
             .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(999999937L)),
@@ -747,9 +750,10 @@ object Similarity {
   }
 
   private[graft] def ivfTopK(s: SparkSession, emb: DataFrame, probes: DataFrame,
-      k: Int, broadcastProbes: Boolean, cacheKey: String): DataFrame = {
+      k: Int, broadcastProbes: Boolean, cacheKey: String,
+      kCells: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val bc = centroidBroadcast(s, emb, cacheKey)
+    val bc = centroidBroadcast(s, emb, cacheKey, kCells)
     // map-side nearest cell (max ccos, ties → max centroid_id): one
     // typed pass over the corpus against the broadcast centroids
     val assigned = emb.select(col("vec_id"), col("embedding"))

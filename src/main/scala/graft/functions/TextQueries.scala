@@ -86,8 +86,15 @@ object TextQueries {
     * clipped, zf). Language-count-sized; both the totals row and the
     * normalizer broadcast. */
   private[graft] def targetMixWeights(s: SparkSession, d: String)
-      : DataFrame = {
-    val m = documents(s, d).groupBy(col("lang"))
+      : DataFrame = targetMixWeightsOf(documents(s, d))
+
+  /** The same weight chain over an arbitrary documents-shaped relation
+    * (lang, n_chars, …) — the form the CURATED epoch exporter
+    * (CurationPipeline q225) applies to the pipeline's survivors: a
+    * real run mixes post-cleaning masses, not raw ones (q136's
+    * rationale — mixing raw counts would over-sample dirty sources). */
+  private[graft] def targetMixWeightsOf(docs: DataFrame): DataFrame = {
+    val m = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
     val tot = m.agg(sum(col("mass")).as("big_m"),
       count(lit(1)).as("n_langs"))
@@ -123,7 +130,12 @@ object TextQueries {
   /** The (lang, multiplier) relation q214 and the epoch exporter
     * broadcast — q206's clipped/renormalized weight, rounded at 6. */
   private[graft] def epochMultipliers(s: SparkSession, d: String): DataFrame =
-    targetMixWeights(s, d)
+    epochMultipliersOf(targetMixWeights(s, d))
+
+  /** The multiplier projection of an arbitrary [[targetMixWeightsOf]]
+    * relation (the q225 curated-survivor form). */
+  private[graft] def epochMultipliersOf(weights: DataFrame): DataFrame =
+    weights
       .select(col("lang"), round(col("cw") * col("zf"), 6).as("multiplier"))
 
   /** The stochastic-rounding copy count, given `doc_id` and
@@ -1461,11 +1473,17 @@ object TextQueries {
     * shared by the q206 and q214 oracles so the guardrail/renormalize
     * arithmetic cannot drift between them. The consumer reads
     * `w CROSS JOIN z`. */
-  private[graft] val targetMixCtes: String =
-    """m AS (
+  private[graft] lazy val targetMixCtes: String =
+    targetMixCtesFrom("documents")
+
+  /** The same chain over an arbitrary documents-shaped CTE/table name —
+    * the q225 curated-survivor oracle reads it over the pipeline's
+    * keeps. */
+  private[graft] def targetMixCtesFrom(rel: String): String =
+    s"""m AS (
            SELECT lang, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS mass
-           FROM documents GROUP BY lang),
+           FROM $rel GROUP BY lang),
          tot AS (SELECT CAST(sum(mass) AS BIGINT) AS big_m,
            count(*) AS n_langs FROM m),
          w AS (

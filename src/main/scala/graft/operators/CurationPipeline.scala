@@ -217,10 +217,18 @@ object CurationPipeline {
     * hash), replication is an explode, the rendezvous shard and the
     * in-shard order key are per-row column work. */
   private[graft] def epochPacked(s: SparkSession, d: String,
-      nShards: Int, budget: Long): DataFrame = {
-    val mult = graft.functions.TextQueries.epochMultipliers(s, d)
+      nShards: Int, budget: Long): DataFrame =
+    epochPackedOf(s, documents(s, d),
+      graft.functions.TextQueries.epochMultipliers(s, d), nShards, budget)
+
+  /** [[epochPacked]] over an arbitrary documents-shaped relation and
+    * multiplier relation — the CURATED form (q225) feeds it the
+    * pipeline's keeps and the mix weights recomputed over those keeps
+    * (a real run mixes post-cleaning masses, q136's rationale). */
+  private[graft] def epochPackedOf(s: SparkSession, docs: DataFrame,
+      mult: DataFrame, nShards: Int, budget: Long): DataFrame = {
     val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
-    val base = documents(s, d)
+    val base = docs
       .join(broadcast(mult), "lang")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("multiplier"),
@@ -278,6 +286,44 @@ object CurationPipeline {
       val dir = graft.Tables.scratchDir(s,
         "q223_epoch_" + graft.Tables.datasetTag(d))
       val packed = epochPacked(s, d, nShards = 8, budget = 512L)
+      packed.write.mode("overwrite").partitionBy("shard").parquet(dir)
+      val reread = s.read.parquet(dir)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("cp"), col("lang"), col("n_tok"), col("seq_id"))
+      val perSeq = reread.groupBy(col("shard"), col("seq_id"))
+        .agg(sum(col("n_tok")).as("seq_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          max(col("seq_tok")).as("max_seq_tokens"))
+      reread.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_doc_copies"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(perSeq, "shard")
+        .select(col("shard"), col("n_doc_copies"), col("n_seqs"),
+          col("n_tokens"), col("n_langs"), col("max_seq_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    // THE FULL NIGHTLY CHAIN — provenance keeps → mix weights
+    // recomputed over the SURVIVORS (a real run mixes post-cleaning
+    // masses; raw-mass weights would over-sample dirty sources, q136's
+    // rationale) → stochastic-rounding copies → rendezvous shards →
+    // packed sequences → Hive-partitioned sink → re-read manifest.
+    // Everything a training run consumes, derived end to end from the
+    // one provenance relation and the one exporter. Cost over q223: the
+    // keep-list join (doc_id-keyed hash join — the keep list is
+    // corpus-sized at 100 TB, so it is deliberately NOT broadcast) plus
+    // the same single shard-window exchange.
+    "q225_curated_epoch_export" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s,
+        "q225_epoch_" + graft.Tables.datasetTag(d))
+      val keeps = provenance(s, d).filter(col("verdict") === "keep")
+        .select(col("doc_id"))
+      val docs = documents(s, d).join(keeps, "doc_id")
+      val mult = graft.functions.TextQueries.epochMultipliersOf(
+        graft.functions.TextQueries.targetMixWeightsOf(docs))
+      val packed = epochPackedOf(s, docs, mult, nShards = 8, budget = 512L)
       packed.write.mode("overwrite").partitionBy("shard").parquet(dir)
       val reread = s.read.parquet(dir)
         .select(col("shard").cast("long").as("shard"), col("doc_id"),
@@ -426,7 +472,13 @@ object CurationPipeline {
     * the q214 coin + list-range replication + the q209 HRW argmax on
     * (doc_id, copy) keys + the same greedy token cumsum. */
   private[graft] lazy val epochPackedCtes: String =
-    s"""${graft.functions.TextQueries.targetMixCtes},
+    epochPackedCtesFrom("documents")
+
+  /** The same chain over an arbitrary documents-shaped CTE/table name —
+    * the q225 curated-survivor oracle reads it over the pipeline's
+    * keeps (with the mix CTEs likewise re-rooted on that relation). */
+  private[graft] def epochPackedCtesFrom(rel: String): String =
+    s"""${graft.functions.TextQueries.targetMixCtesFrom(rel)},
          mult AS (SELECT lang, round(cw * zf, 6) AS multiplier
            FROM w CROSS JOIN z),
          cps AS (
@@ -439,7 +491,7 @@ object CurationPipeline {
                    (a, x) -> a * 16 + x) / 4503599627370496.0
                  < mu.multiplier - floor(mu.multiplier)
                  THEN 1 ELSE 0 END AS n_copies
-           FROM documents d JOIN mult mu USING (lang)),
+           FROM $rel d JOIN mult mu USING (lang)),
          rep AS (
            SELECT doc_id, lang, source, text,
              unnest(range(1, n_copies + 1)) AS cp
@@ -498,6 +550,26 @@ object CurationPipeline {
 
     "q223_epoch_export" ->
       s"""WITH $epochPackedCtes,
+         seqs AS (
+           SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+           FROM packed GROUP BY 1, 2),
+         m1 AS (
+           SELECT shard, count(*) AS n_doc_copies,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             count(DISTINCT lang) AS n_langs
+           FROM packed GROUP BY shard),
+         m2 AS (
+           SELECT shard, count(*) AS n_seqs, max(seq_tok) AS max_seq_tokens
+           FROM seqs GROUP BY shard)
+         SELECT shard, n_doc_copies, n_seqs, n_tokens, n_langs,
+           max_seq_tokens
+         FROM m1 JOIN m2 USING (shard) ORDER BY shard""",
+
+    "q225_curated_epoch_export" ->
+      s"""WITH RECURSIVE $provenanceCtes,
+         keeps AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
+         kdocs AS (SELECT d.* FROM documents d JOIN keeps USING (doc_id)),
+         ${epochPackedCtesFrom("kdocs")},
          seqs AS (
            SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
            FROM packed GROUP BY 1, 2),

@@ -32,22 +32,35 @@ object RecallProbe {
     val step = math.max(1L, n / 200L)
     val probes = emb.filter(col("vec_id") % step === 0)
     val nProbes = probes.count()
+    // optional quantizer-size override (SPARK_GRAFT_IVF_CELLS) — the
+    // "ivf_k dial" measurement: a faster-growing k bounds the kNN
+    // graph's nProbe·n²/k candidate volume below n^1.5, and this probe
+    // quantifies the recall it costs. Probe-only: query paths always
+    // derive k = ⌈√n⌉ so engine and oracle agree.
+    val kCells = sys.env.get("SPARK_GRAFT_IVF_CELLS").map(_.toInt)
+    val kUsed = kCells.getOrElse(Similarity.ivfK(n))
+    val key = sfDir + kCells.fold("")(k => s"#cells=$k")
 
     // q31-style point search: IVF top-5 vs exact top-5 for the sample
     val exact5 = Similarity.cosineTopK(probes, emb, 5)
       .select(col("probe_id"), col("vec_id"))
     val ivf5 = Similarity.ivfTopK(spark, emb, probes, k = 5,
-        broadcastProbes = true, cacheKey = sfDir)
+        broadcastProbes = true, cacheKey = key, kCells = kCells)
       .select(col("probe_id"), col("vec_id"))
     val nExact5 = exact5.count()
     val hit5 = ivf5.join(exact5, Seq("probe_id", "vec_id"), "left_semi").count()
 
     // q73-style kNN graph: the REAL full-corpus edge relation (probes =
-    // corpus, not broadcast), recall read off the sampled sources
-    val graphEdges = Similarity.ivfTopK(spark, emb, emb, k = 3,
-        broadcastProbes = false, cacheKey = sfDir)
-      .filter(col("probe_id") % step === 0)
+    // corpus, not broadcast), recall read off the sampled sources; the
+    // full graph is materialized and timed so the dial's cost and its
+    // recall price are read from the same run
+    val t0 = System.nanoTime()
+    val graphAll = Similarity.ivfTopK(spark, emb, emb, k = 3,
+        broadcastProbes = false, cacheKey = key, kCells = kCells)
       .select(col("probe_id"), col("vec_id"))
+    val nEdges = graphAll.count()
+    val graphSecs = (System.nanoTime() - t0) / 1e9
+    val graphEdges = graphAll.filter(col("probe_id") % step === 0)
     val exact3 = Similarity.cosineTopK(probes, emb, 3)
       .select(col("probe_id"), col("vec_id"))
     val nExact3 = exact3.count()
@@ -57,9 +70,10 @@ object RecallProbe {
     def r4(x: Double) = math.round(x * 10000).toDouble / 10000
     println(
       s"""{"metric":"ann_recall","sf":"$sfDir","n_vecs":$n,""" +
-      s""""ivf_k":${Similarity.ivfK(n)},"n_probes":$nProbes,""" +
+      s""""ivf_k":$kUsed,"n_probes":$nProbes,""" +
       s""""recall_q31_at5":${r4(hit5.toDouble / nExact5)},""" +
-      s""""recall_q73_at3":${r4(hit3.toDouble / nExact3)}}""")
+      s""""recall_q73_at3":${r4(hit3.toDouble / nExact3)},""" +
+      s""""knn_graph_secs":${r4(graphSecs)},"n_edges":$nEdges}""")
     graft.functions.Similarity.releaseCaches(spark)
     spark.stop()
   }

@@ -150,6 +150,49 @@ class CurationPipelineSpec extends TestSpark {
       s"multiplier relation must broadcast:\n$plan")
   }
 
+  test("q225 curated export: only keeps exported, survivor-mix copies replay independently") {
+    val keeps = verdictOf.filter(_._2 == "keep").keys.toSet
+    // independent replay of the SURVIVOR mix: per-lang char mass over
+    // the keeps → clamp [0.6, 1.25] → renormalize → round(6), then the
+    // deterministic md5 coin per doc (the q214 spec's replay, re-rooted
+    // on the curated population)
+    val kept = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+          .as("nt"))
+      .collect()
+      .filter(r => keeps.contains(r.getAs[Long]("doc_id")))
+    val mass = kept.groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n_chars")).sum }
+    val bigM = mass.values.sum.toDouble
+    val nL = mass.size
+    val cw = mass.map { case (l, m) =>
+      l -> math.min(1.25, math.max(0.6, bigM / (nL * m))) }
+    val zf = bigM / cw.map { case (l, w) => w * mass(l) }.sum
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mult = cw.map { case (l, w) => l -> r6(w * zf) }
+    val expCopies = kept.map { r =>
+      val m = mult(r.getAs[String]("lang"))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r.getAs[Long]("doc_id")}:epoch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = java.lang.Long.parseLong(hex, 16) / 4503599627370496.0
+      r.getAs[Long]("doc_id") ->
+        (math.floor(m).toLong + (if (u < m - math.floor(m)) 1L else 0L))
+    }.toMap
+    val man = CurationPipeline.queries("q225_curated_epoch_export")(
+      spark, sf0001).collect()
+    assert(man.map(_.getAs[Long]("shard")).toSeq == (0L until 8L).toSeq)
+    assert(man.map(_.getAs[Long]("n_doc_copies")).sum ==
+      expCopies.values.sum,
+      "exported doc-copies must equal the survivor-mix replay")
+    assert(man.map(_.getAs[Long]("n_tokens")).sum ==
+      kept.map(r => expCopies(r.getAs[Long]("doc_id")) *
+        r.getAs[Int]("nt")).sum,
+      "exported token mass must equal copies x tokens over keeps only")
+  }
+
   test("q224 mix audit: stochastic-rounding bound holds per language") {
     val a = CurationPipeline.queries("q224_epoch_mix_audit")(spark, sf0001)
       .collect()
