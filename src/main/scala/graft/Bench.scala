@@ -162,8 +162,10 @@ object Bench {
     // sweepable via the ONLY-extras mechanism above)
     "q221_curation_provenance", "q223_epoch_export", "q73_knn_graph",
     // the full nightly chain: provenance keeps -> survivor mix ->
-    // epoch copies -> shard export (q221 + q223 composed)
-    "q225_curated_epoch_export")
+    // epoch copies -> shard export (q221 + q223 composed), and the
+    // incremental delta form (today's batch through all five gates
+    // against frozen base state)
+    "q225_curated_epoch_export", "q226_delta_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -386,7 +388,7 @@ object Bench {
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_",
-        "q221_", "q225_"),
+        "q221_", "q225_", "q226_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_",

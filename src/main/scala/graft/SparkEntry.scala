@@ -119,7 +119,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * keeps → mix weights recomputed over the survivors → stochastic-
   * rounding copies → rendezvous shards → packed sequences → sink →
   * re-read manifest, everything a training run consumes from one
-  * provenance relation and one exporter),
+  * provenance relation and one exporter, q226 the INCREMENTAL delta
+  * curation — today's batch through the same five gates against frozen
+  * base state: the URL store check, the shared per-doc passes, q127's
+  * broadcast-delta-bands near-dup admission with a within-batch min-id
+  * rule, and the broadcast benchmark-gram probe, per-doc first-drop
+  * verdicts with 'admit' as the append set),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -105,29 +105,35 @@ object CurationPipeline {
         buildProvenance(s, d))
     }
 
-  private def buildProvenance(s: SparkSession, d: String): DataFrame = {
+  /** Distinct word 8-grams of the held-out benchmark slice, collected
+    * and wrapped in a JVM set for broadcast. BOUNDED by construction —
+    * an eval suite is a small fixed artifact (the q218 bounded-scalar
+    * adjudication) — so collect + broadcast is the production plan: the
+    * corpus probes it map-side and the gram-keyed shuffle of the exact
+    * join (q74) never happens at any corpus scale. */
+  private def benchGramSet(s: SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
     import s.implicits._
-    val corpus = documents(s, d).filter(col("doc_id") % 5 =!= 0)
-
-    // benchmark gram set: BOUNDED by construction (an eval suite is a
-    // small fixed artifact — the q218 bounded-scalar adjudication), so
-    // collect + broadcast is the production plan: the corpus probes it
-    // map-side and the gram-keyed shuffle of the exact join (q74) never
-    // happens at any corpus scale.
-    val benchGrams = documents(s, d).filter(col("doc_id") % 5 === 0)
+    val grams = documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("text")).as[String]
       .flatMap(t => graft.functions.Dedup.ngramSet(t, 8))
       .distinct().collect()
-    val bg = s.sparkContext.broadcast {
-      val hs = new java.util.HashSet[String](benchGrams.length * 2)
-      benchGrams.foreach(hs.add)
+    s.sparkContext.broadcast {
+      val hs = new java.util.HashSet[String](grams.length * 2)
+      grams.foreach(hs.add)
       hs
     }
+  }
 
-    // ONE typed pass: repetition counts (the q210 kernel) + the
-    // contamination probe, from a single tokenize per doc; the probe
-    // early-exits on the first benchmark hit.
-    val repContam = corpus.select(col("doc_id"), col("text"))
+  /** ONE typed pass shared by the full pipeline (q221) and the delta
+    * form (q226): repetition counts (the q210 kernel) + the benchmark
+    * contamination probe, from a single tokenize per doc; the probe
+    * early-exits on the first hit. */
+  private def repContamPass(docs: DataFrame,
+      bg: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val g = bg.value
@@ -153,6 +159,22 @@ object CurationPipeline {
         }
       }
       .toDF("doc_id", "n_tokens", "mx", "nd", "contaminated")
+  }
+
+  /** The q210 gate with the under-5-token vacuous pass, over the
+    * [[repContamPass]] count columns. */
+  private def repKeepExpr: Column = {
+    val topBi = round(col("mx") / (col("n_tokens") - 1).cast("double"), 6)
+    val dup5 = round((col("n_tokens") - 4 - col("nd")) /
+      (col("n_tokens") - 4).cast("double"), 6)
+    col("n_tokens") < 5 ||
+      (topBi <= graft.Thresholds.RepTopBigramMax &&
+        dup5 <= graft.Thresholds.RepDup5gramMax)
+  }
+
+  private def buildProvenance(s: SparkSession, d: String): DataFrame = {
+    val corpus = documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    val repContam = repContamPass(corpus, benchGramSet(s, d))
 
     // stage 1: canonical-URL keeper over the corpus — map-side string
     // work + one slim window on the canonical key (q184's exact rule,
@@ -172,13 +194,6 @@ object CurationPipeline {
     // stage 4 labels: the shared cached MinHash component labels
     val labels = graft.functions.Dedup.nearDupLabels(s, d)
 
-    val topBi = round(col("mx") / (col("n_tokens") - 1).cast("double"), 6)
-    val dup5 = round((col("n_tokens") - 4 - col("nd")) /
-      (col("n_tokens") - 4).cast("double"), 6)
-    val repKeep = col("n_tokens") < 5 ||
-      (topBi <= graft.Thresholds.RepTopBigramMax &&
-        dup5 <= graft.Thresholds.RepDup5gramMax)
-
     val pre = graft.PersistTracker.tracked("curation",
       corpus.select(col("doc_id"), col("source"), col("lang"))
         .join(urlKeep, "doc_id")
@@ -186,7 +201,7 @@ object CurationPipeline {
         .join(quality, "doc_id")
         .join(labels, Seq("doc_id"), "left_outer")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("rep_keep", repKeep)
+        .withColumn("rep_keep", repKeepExpr)
         .withColumn("quality_keep",
           col("score") >= graft.Thresholds.QualityLogitKeepMin))
 
@@ -341,6 +356,97 @@ object CurationPipeline {
         .select(col("shard"), col("n_doc_copies"), col("n_seqs"),
           col("n_tokens"), col("n_langs"), col("max_seq_tokens"))
         .orderBy(col("shard"))
+    }),
+
+    // THE INCREMENTAL (delta) FORM — what the nightly actually runs
+    // once a base corpus exists: today's crawl batch (src1 — the q127
+    // delta convention is src0, but the fixture stripes source =
+    // src(doc_id % 20), so EVERY src0 id is ≡ 0 mod 20 ⊂ the benchmark
+    // slice's ≡ 0 mod 5; src1 ids are ≡ 1 mod 20 and never collide with
+    // the decontamination family's held-out split) passes the SAME five
+    // gates against FROZEN base
+    // state instead of recomputing over the world. Per gate:
+    //   url_dup      — canonical URL already owned by a BASE page
+    //                  (hash join against the base's distinct canonical
+    //                  URLs — the URL store; corpus-sized, NOT
+    //                  broadcast) or a non-min duplicate within the
+    //                  batch;
+    //   repetition / quality — per-doc, the shared passes;
+    //   near_dup     — MinHash-verified j ≥ 0.8 against the base with
+    //                  the BATCH'S bands broadcast (q127's plan: the
+    //                  corpus side never shuffles for candidates), or a
+    //                  within-batch pair resolved by the min-id rule
+    //                  (pairwise, not components — conservative on the
+    //                  rare batch-internal chain, and exactly
+    //                  oracle-replayable);
+    //   contaminated — the broadcast benchmark-gram probe.
+    // Output: the batch's per-doc first-drop verdict — 'admit' is the
+    // set the ingest appends. At 100 TB the batch ≪ corpus, so every
+    // batch-side relation broadcasts and the base pays two hash joins
+    // (curl, band bucket) plus the shared cached shingle scan.
+    "q226_delta_curation" -> ((s, d) => {
+      val all = documents(s, d)
+      val delta = all.filter(col("source") === "src1" &&
+        col("doc_id") % 5 =!= 0)
+      val base = all.filter(col("source") =!= "src1" &&
+        col("doc_id") % 5 =!= 0)
+      val curlOf = CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl)
+      // stage 1: the URL store check + within-batch keeper
+      val baseCurls = base.select(curlOf.as("curl")).distinct()
+        .withColumn("in_base", lit(true))
+      val urlFlags = delta.select(col("doc_id"), curlOf.as("curl"))
+        .join(baseCurls, Seq("curl"), "left_outer")
+        .withColumn("url_keep",
+          coalesce(col("in_base"), lit(false)) === false &&
+            col("doc_id") ===
+              min(col("doc_id")).over(Window.partitionBy(col("curl"))))
+        .select(col("doc_id"), col("url_keep"))
+      // stages 2+5 (shared typed pass) and 3 (shared codegen pass)
+      val repContam = repContamPass(delta, benchGramSet(s, d))
+      val quality = CorpusCleaning.qualityLogitOf(delta)
+        .select(col("doc_id"), col("score"))
+      // stage 4: banded candidates — batch bands broadcast against the
+      // base's (q127), plus the batch's internal pairs; exact-Jaccard
+      // verify through the shared cached shingle relation
+      val sh = graft.functions.Dedup.sharedShingles(s, d)
+      val bands = graft.functions.Dedup.bandedBuckets(
+        graft.functions.Dedup.signaturesFromShingles(s, sh))
+      val deltaIds = delta.select(col("doc_id"))
+      val baseIds = base.select(col("doc_id"))
+      val deltaBands = bands.join(deltaIds, "doc_id")
+      val baseBands = bands.join(baseIds, "doc_id")
+      val vsBase = baseBands.alias("b")
+        .join(broadcast(deltaBands.alias("dl")),
+          col("b.band") === col("dl.band") &&
+            col("b.bucket") === col("dl.bucket"))
+        .select(col("dl.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val within = deltaBands.alias("x")
+        .join(broadcast(deltaBands.alias("y")),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val dupIds = graft.functions.Dedup
+        .verifyJaccardWith(sh, vsBase.unionByName(within))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val verdict = when(!col("url_keep"), "url_dup")
+        .when(!repKeepExpr, "repetition")
+        .when(col("score") < graft.Thresholds.QualityLogitKeepMin,
+          "quality")
+        .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+        .when(col("contaminated"), "contaminated")
+        .otherwise("admit")
+      delta.select(col("doc_id"), col("lang"))
+        .join(urlFlags, "doc_id")
+        .join(repContam, "doc_id")
+        .join(quality, "doc_id")
+        .join(dupIds, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"), verdict.as("verdict"))
+        .orderBy(col("doc_id"))
     }),
 
     // the mix audit: per language, the epoch's realized token
@@ -584,6 +690,88 @@ object CurationPipeline {
          SELECT shard, n_doc_copies, n_seqs, n_tokens, n_langs,
            max_seq_tokens
          FROM m1 JOIN m2 USING (shard) ORDER BY shard""",
+
+    // the delta form: same shared fragments (shingles for the exact
+    // near-dup ground truth, the qscore chain, the URL synth/canon
+    // pair, the rep gate), populations split per the q127 delta and
+    // decontamination-family conventions
+    "q226_delta_curation" ->
+      s"""WITH ${graft.functions.Dedup.shingleCtes},
+         ${CorpusCleaning.qualityScoreCtes},
+         ddocs AS (SELECT doc_id, lang, source, text FROM documents
+           WHERE source = 'src1' AND doc_id % 5 <> 0),
+         bdocs AS (SELECT doc_id, source FROM documents
+           WHERE source <> 'src1' AND doc_id % 5 <> 0),
+         bu AS (SELECT doc_id, ${CorpusCleaning.UrlSynthSql} AS url
+           FROM bdocs),
+         bcurls AS (SELECT DISTINCT ${CorpusCleaning.UrlCanonSql} AS curl
+           FROM bu),
+         du AS (SELECT doc_id, ${CorpusCleaning.UrlSynthSql} AS url
+           FROM ddocs),
+         dcu AS (SELECT doc_id, ${CorpusCleaning.UrlCanonSql} AS curl
+           FROM du),
+         duk AS (SELECT doc_id,
+             (curl NOT IN (SELECT curl FROM bcurls)
+               AND doc_id = min(doc_id) OVER (PARTITION BY curl))
+               AS url_keep
+           FROM dcu),
+         dt AS (SELECT doc_id, toks FROM t
+           WHERE doc_id IN (SELECT doc_id FROM ddocs)),
+         dbs AS (SELECT doc_id, max(c) AS top FROM (
+             SELECT doc_id, g, count(*) AS c FROM (
+               SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                 i -> toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM dt WHERE len(toks) >= 5) GROUP BY 1, 2) GROUP BY 1),
+         dfs AS (SELECT doc_id, count(DISTINCT g) AS nd FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS g
+             FROM dt WHERE len(toks) >= 5) GROUP BY 1),
+         drg AS (
+           SELECT dt.doc_id,
+             CASE WHEN len(dt.toks) < 5 THEN TRUE
+                  ELSE ${CorpusCleaning.repGateSql(
+                    "dbs.top", "len(dt.toks)", "dfs.nd")} END AS rep_keep
+           FROM dt LEFT JOIN dbs ON dt.doc_id = dbs.doc_id
+                   LEFT JOIN dfs ON dt.doc_id = dfs.doc_id),
+         g8 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+               i -> array_to_string(toks[i:i+7], ' '))) AS g
+           FROM t),
+         dcontam AS (
+           SELECT DISTINCT c.doc_id FROM g8 c
+           JOIN (SELECT DISTINCT g FROM g8 WHERE doc_id % 5 = 0) b
+             ON c.g = b.g
+           WHERE c.doc_id IN (SELECT doc_id FROM ddocs)),
+         jpairs AS (
+           SELECT doc_a, doc_b FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         ndup AS (
+           SELECT DISTINCT x.doc_id FROM (
+             SELECT doc_a AS doc_id, doc_b AS partner FROM jpairs
+             UNION ALL SELECT doc_b, doc_a FROM jpairs) x
+           WHERE x.doc_id IN (SELECT doc_id FROM ddocs)
+             AND (x.partner IN (SELECT doc_id FROM bdocs)
+               OR (x.partner IN (SELECT doc_id FROM ddocs)
+                 AND x.partner < x.doc_id)))
+         SELECT dd.doc_id, dd.lang,
+           CASE WHEN NOT duk.url_keep THEN 'url_dup'
+                WHEN NOT drg.rep_keep THEN 'repetition'
+                WHEN q.score < ${graft.Thresholds.QualityLogitKeepMin}
+                  THEN 'quality'
+                WHEN dd.doc_id IN (SELECT doc_id FROM ndup)
+                  THEN 'near_dup'
+                WHEN dd.doc_id IN (SELECT doc_id FROM dcontam)
+                  THEN 'contaminated'
+                ELSE 'admit' END AS verdict
+         FROM ddocs dd
+         JOIN duk ON dd.doc_id = duk.doc_id
+         JOIN drg ON dd.doc_id = drg.doc_id
+         JOIN qscore q ON dd.doc_id = q.doc_id
+         ORDER BY dd.doc_id""",
 
     "q224_epoch_mix_audit" ->
       s"""WITH $epochPackedCtes,

@@ -206,6 +206,101 @@ class CurationPipelineSpec extends TestSpark {
     }
   }
 
+  test("q226 delta curation: first-drop verdicts replay against brute-force gates") {
+    val rows = CurationPipeline.queries("q226_delta_curation")(spark, sf0001)
+      .collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.operators.CorpusCleaning.canonicalUrl(
+          graft.operators.CorpusCleaning.syntheticUrl).as("curl"))
+      .collect()
+    def ids(p: org.apache.spark.sql.Row => Boolean) =
+      docs.filter(p).map(_.getAs[Long]("doc_id")).toSet
+    val deltaIds = ids(r => r.getAs[String]("source") == "src1" &&
+      r.getAs[Long]("doc_id") % 5 != 0)
+    val baseIds = ids(r => r.getAs[String]("source") != "src1" &&
+      r.getAs[Long]("doc_id") % 5 != 0)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == deltaIds,
+      "one verdict per delta doc, delta = src1 minus the benchmark slice")
+    val v = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+
+    // brute-force gate replays
+    val curlOf = docs.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("curl")).toMap
+    val baseCurls = baseIds.map(curlOf)
+    val urlKeep = deltaIds.map { id =>
+      val peers = deltaIds.filter(o => curlOf(o) == curlOf(id))
+      id -> (!baseCurls.contains(curlOf(id)) && id == peers.min)
+    }.toMap
+    val rep = graft.operators.CorpusCleaning
+      .queries("q210_repetition_filter")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("keep") == 1)).toMap
+    val qual = graft.operators.CorpusCleaning
+      .queries("q208_quality_classifier")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("keep") == 1)).toMap
+    val contam = functions.Dedup.queries("q74_decontaminate")(spark, sf0001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val shOf = docs.map(r => r.getAs[Long]("doc_id") ->
+      functions.Dedup.shingleSet(r.getAs[String]("text")).toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (shOf(a), shOf(b))
+      val u = x.union(y).size
+      if (u == 0) 0.0 else x.intersect(y).size.toDouble / u
+    }
+    deltaIds.foreach { id =>
+      val nearDup = baseIds.exists(b => jac(id, b) >= 0.8) ||
+        deltaIds.exists(o => o < id && jac(id, o) >= 0.8)
+      val expected =
+        if (!urlKeep(id)) "url_dup"
+        else if (!rep.getOrElse(id, true)) "repetition"
+        else if (!qual(id)) "quality"
+        else if (nearDup) "near_dup"
+        else if (contam.contains(id)) "contaminated"
+        else "admit"
+      assert(v(id) == expected, s"doc $id: engine ${v(id)} vs $expected")
+    }
+    assert(v.values.exists(_ == "admit"), "the batch must admit something")
+    assert(v.values.toSet.size >= 3, "multiple gates must fire on the fixture")
+
+    // crafted corpus: positively fire the gates the fixture's random
+    // text cannot (near_dup vs base; contamination). Texts are
+    // stopword-laced unique-word sequences so the quality logit passes
+    // and no bigram repeats (the 0.05 modal-bigram cut tolerates none
+    // at this length).
+    import spark.implicits._
+    def uw(tag: String, i: Int): String =
+      "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar + tag
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    def laced(tag: String, n: Int, lastOverride: Option[String] = None)
+        : String = {
+      val ws = (0 until n).map(uw(tag, _)) match {
+        case init :+ _ if lastOverride.isDefined =>
+          init :+ lastOverride.get
+        case all => all
+      }
+      ws.zipWithIndex.map { case (w, i) => stops(i % 8) + " " + w }
+        .mkString(" ")
+    }
+    val benchText =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val crafted = Seq(
+      (5L, benchText, "en", "srcb"),                  // the benchmark row
+      (22L, laced("base", 40), "en", "src2"),         // base page
+      (21L, laced("base", 40, Some("changed")), "en", "src1"), // near-dup of 22
+      (101L, laced("cont", 40) + " " + benchText, "en", "src1"), // contaminated
+      (181L, laced("good", 40), "en", "src1"))        // clean admit
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Tables.scratchDir(spark, "q226crafted")
+    crafted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cv = CurationPipeline.queries("q226_delta_curation")(spark, dir)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(cv == Map(21L -> "near_dup", 101L -> "contaminated",
+      181L -> "admit"), s"crafted verdicts: $cv")
+  }
+
   override def afterAll(): Unit = {
     CurationPipeline.releaseCaches(spark)
     super.afterAll()
