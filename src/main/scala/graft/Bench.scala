@@ -165,7 +165,9 @@ object Bench {
     // epoch copies -> shard export (q221 + q223 composed), and the
     // incremental delta form (today's batch through all five gates
     // against frozen base state)
-    "q225_curated_epoch_export", "q226_delta_curation")
+    "q225_curated_epoch_export", "q226_delta_curation",
+    // the post-curation release data card and the multi-epoch schedule
+    "q227_curated_datasheet", "q228_epoch_schedule")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -380,7 +382,7 @@ object Bench {
         "q200_", "q201_"),
       "text" -> Seq("q19_", "q21_", "q106_", "q113_", "q115_", "q168_",
         "q170_", "q177_", "q178_", "q179_", "q189_", "q203_", "q204_",
-        "q206_", "q211_", "q214_", "q215_"),
+        "q206_", "q211_", "q214_", "q215_", "q228_"),
       "dedup" -> Seq("q26_", "q27_", "q114_", "q116_", "q120_", "q121_",
         "q127_", "q129_", "q133_", "q134_", "q139_", "q218_"),
       "ann" -> Seq("q30_", "q102_", "q123_", "q131_", "q135_", "q146_",
@@ -388,7 +390,7 @@ object Bench {
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_",
-        "q221_", "q225_", "q226_"),
+        "q221_", "q225_", "q226_", "q227_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_",

@@ -124,7 +124,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * base state: the URL store check, the shared per-doc passes, q127's
   * broadcast-delta-bands near-dup admission with a within-batch min-id
   * rule, and the broadcast benchmark-gram probe, per-doc first-drop
-  * verdicts with 'admit' as the append set),
+  * verdicts with 'admit' as the append set, q227 the post-curation
+  * release data card — per (source, language): raw/kept counts, drops
+  * by gate, kept token mass, kept share, off one join of the cached
+  * provenance relation, q228 the multi-epoch schedule — each epoch an
+  * independent deterministic draw keyed on (doc, epoch), conserving
+  * per-language expected mass while resampling different tail docs),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -449,6 +449,71 @@ object CurationPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // THE CURATED DATA CARD — the per-(source, language) scorecard a
+    // release publishes AFTER curation (q144's datasheet is the RAW
+    // corpus's): how much of each source survived, what killed the
+    // rest gate by gate, and the kept token mass the mix planner will
+    // divide. One join of the cached provenance relation against the
+    // slim per-doc token counts, then a sources×languages rollup —
+    // everything after the join is scorecard-sized. This is the table
+    // that answers "which sources are junk" before anyone re-crawls.
+    "q227_curated_datasheet" -> ((s, d) => {
+      val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+      val toks = documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), nTok.as("nt"))
+      def cnt(v: String) =
+        sum(when(col("verdict") === v, 1L).otherwise(0L))
+      provenance(s, d).join(toks, "doc_id")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+          cnt("keep").as("n_kept"),
+          cnt("url_dup").as("n_url_dup"),
+          cnt("repetition").as("n_repetition"),
+          cnt("quality").as("n_quality"),
+          cnt("cluster_dup").as("n_cluster_dup"),
+          cnt("contaminated").as("n_contaminated"),
+          sum(when(col("verdict") === "keep", col("nt").cast("long"))
+            .otherwise(0L)).as("kept_tokens"))
+        .withColumn("kept_share",
+          round(col("n_kept") / col("n_raw").cast("double"), 6))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // MULTI-EPOCH SCHEDULE — q214 generalized to a training RUN: each
+    // epoch draws its own independent deterministic sample (the coin
+    // keys on (doc_id, epoch), so epoch 2 upsamples DIFFERENT tail
+    // docs than epoch 1 — repeating the identical sample every epoch
+    // is the memorization failure mode the guardrailed multiplier
+    // exists to avoid), while every epoch conserves the same expected
+    // per-language mass. The 3×langs schedule table is what a trainer
+    // checkpoints against. Plan: the epochs relation is a 3-row
+    // literal cross-joined map-side; one (epoch, lang) rollup.
+    "q228_epoch_schedule" -> ((s, d) => {
+      import s.implicits._
+      val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+      val epochs = Seq(1, 2, 3).toDF("epoch")
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":epoch:"), col("epoch").cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0)
+      val copies = floor(col("multiplier")).cast("long") +
+        (u < col("multiplier") - floor(col("multiplier"))).cast("long")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), nTok.as("nt"))
+        .join(broadcast(graft.functions.TextQueries.epochMultipliers(s, d)),
+          "lang")
+        .crossJoin(broadcast(epochs))
+        .select(col("epoch"), col("lang"), col("nt"), col("multiplier"),
+          copies.as("n_copies"))
+        .groupBy(col("epoch"), col("lang"))
+        .agg(min(col("multiplier")).as("multiplier"),
+          sum(col("n_copies")).as("n_copies"),
+          sum(col("n_copies") * col("nt")).as("epoch_tokens"),
+          sum(col("nt").cast("long")).as("base_tokens"))
+        .withColumn("realized_multiplier",
+          round(col("epoch_tokens") / col("base_tokens").cast("double"), 6))
+        .orderBy(col("epoch"), col("lang"))
+    }),
+
     // the mix audit: per language, the epoch's realized token
     // multiplier against q206's target, with the deterministic
     // stochastic-rounding bound asserted in-query (each doc contributes
@@ -772,6 +837,59 @@ object CurationPipeline {
          JOIN drg ON dd.doc_id = drg.doc_id
          JOIN qscore q ON dd.doc_id = q.doc_id
          ORDER BY dd.doc_id""",
+
+    "q227_curated_datasheet" ->
+      s"""WITH RECURSIVE $provenanceCtes,
+         ktoks AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+               x -> x <> '')) AS nt
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT v.source, v.lang, count(*) AS n_raw,
+           CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN verdict = 'url_dup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_url_dup,
+           CAST(sum(CASE WHEN verdict = 'repetition' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_repetition,
+           CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN verdict = 'cluster_dup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cluster_dup,
+           CAST(sum(CASE WHEN verdict = 'contaminated' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN verdict = 'keep' THEN nt ELSE 0 END)
+             AS BIGINT) AS kept_tokens,
+           round(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS kept_share
+         FROM verdicts v JOIN ktoks USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q228_epoch_schedule" ->
+      s"""WITH ${graft.functions.TextQueries.targetMixCtes},
+         mult AS (SELECT lang, round(cw * zf, 6) AS multiplier
+           FROM w CROSS JOIN z),
+         es AS (SELECT unnest([1, 2, 3]) AS epoch),
+         c AS (
+           SELECT e.epoch, d.lang, mu.multiplier,
+             len(list_filter(string_split_regex(d.text, '[^\\p{L}]+'),
+               x -> x <> '')) AS nt,
+             CAST(floor(mu.multiplier) AS BIGINT)
+               + CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                   [strpos('0123456789abcdef', ch)::BIGINT - 1
+                    for ch in string_split(substr(md5(d.doc_id::VARCHAR
+                      || ':epoch:' || e.epoch::VARCHAR), 1, 13), '')]),
+                   (a, x) -> a * 16 + x) / 4503599627370496.0
+                 < mu.multiplier - floor(mu.multiplier)
+                 THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN mult mu USING (lang) CROSS JOIN es e)
+         SELECT epoch, lang, min(multiplier) AS multiplier,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies,
+           CAST(sum(n_copies * nt) AS BIGINT) AS epoch_tokens,
+           CAST(sum(nt) AS BIGINT) AS base_tokens,
+           round(sum(n_copies * nt) / CAST(sum(nt) AS DOUBLE), 6)
+             AS realized_multiplier
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q224_epoch_mix_audit" ->
       s"""WITH $epochPackedCtes,

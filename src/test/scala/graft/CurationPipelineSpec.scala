@@ -301,6 +301,53 @@ class CurationPipelineSpec extends TestSpark {
       181L -> "admit"), s"crafted verdicts: $cv")
   }
 
+  test("q227 curated datasheet: reconciles with q221 verdict counts per cell") {
+    val cards = CurationPipeline.queries("q227_curated_datasheet")(
+      spark, sf0001).collect()
+    val byDoc = prov.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("source"), r.getAs[String]("lang"),
+      r.getAs[String]("verdict")))
+    cards.foreach { c =>
+      val cell = byDoc.filter(x =>
+        x._2 == c.getAs[String]("source") && x._3 == c.getAs[String]("lang"))
+      assert(c.getAs[Long]("n_raw") == cell.length.toLong, s"$c")
+      def n(v: String) = cell.count(_._4 == v).toLong
+      assert(c.getAs[Long]("n_kept") == n("keep"), s"$c")
+      assert(c.getAs[Long]("n_url_dup") == n("url_dup"), s"$c")
+      assert(c.getAs[Long]("n_repetition") == n("repetition"), s"$c")
+      assert(c.getAs[Long]("n_quality") == n("quality"), s"$c")
+      assert(c.getAs[Long]("n_cluster_dup") == n("cluster_dup"), s"$c")
+      assert(c.getAs[Long]("n_contaminated") == n("contaminated"), s"$c")
+      // every verdict is one of the six, so the gate columns partition n_raw
+      assert(c.getAs[Long]("n_kept") + c.getAs[Long]("n_url_dup") +
+        c.getAs[Long]("n_repetition") + c.getAs[Long]("n_quality") +
+        c.getAs[Long]("n_cluster_dup") + c.getAs[Long]("n_contaminated") ==
+        c.getAs[Long]("n_raw"), s"$c")
+    }
+    assert(cards.map(_.getAs[Long]("n_raw")).sum == prov.length.toLong)
+  }
+
+  test("q228 epoch schedule: independent deterministic draws, mass conserved per epoch") {
+    val rows = CurationPipeline.queries("q228_epoch_schedule")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("epoch")).toSet == Set(1, 2, 3))
+    rows.foreach { r =>
+      val m = r.getAs[Double]("multiplier")
+      val real = r.getAs[Double]("realized_multiplier")
+      // the deterministic stochastic-rounding bound, per epoch
+      assert(math.floor(m) <= real && real <= math.floor(m) + 1, s"$r")
+      assert(math.abs(real - m) < 0.35, s"epoch mass should track target: $r")
+    }
+    // epochs draw DIFFERENT samples: for a fractional multiplier, the
+    // per-lang copy totals should not all coincide across the 3 epochs
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val fractional = byLang.filter { case (_, rs) =>
+      val m = rs.head.getAs[Double]("multiplier"); m != math.floor(m) }
+    assert(fractional.exists { case (_, rs) =>
+      rs.map(_.getAs[Long]("n_copies")).distinct.size > 1 },
+      "at least one language's epoch draws must differ across epochs")
+  }
+
   override def afterAll(): Unit = {
     CurationPipeline.releaseCaches(spark)
     super.afterAll()
