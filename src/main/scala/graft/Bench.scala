@@ -166,8 +166,10 @@ object Bench {
     // incremental delta form (today's batch through all five gates
     // against frozen base state)
     "q225_curated_epoch_export", "q226_delta_curation",
-    // the post-curation release data card and the multi-epoch schedule
-    "q227_curated_datasheet", "q228_epoch_schedule")
+    // the post-curation release data card, the multi-epoch schedule,
+    // and the packed-sequence composition audit
+    "q227_curated_datasheet", "q228_epoch_schedule",
+    "q229_pack_mix_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -394,7 +396,7 @@ object Bench {
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_",
-        "q223_"),
+        "q223_", "q229_"),
       "graph" -> Seq("q152_", "q157_", "q169_", "q175_", "q182_", "q202_"),
       "stream" -> Seq("q33_", "q107_"))
     val famJson = families.map { case (f, prefixes) =>

@@ -129,7 +129,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by gate, kept token mass, kept share, off one join of the cached
   * provenance relation, q228 the multi-epoch schedule — each epoch an
   * independent deterministic draw keyed on (doc, epoch), conserving
-  * per-language expected mass while resampling different tail docs),
+  * per-language expected mass while resampling different tail docs,
+  * q229 the packed-sequence composition audit — languages-per-sequence
+  * histogram of the exported epoch, the cross-document attention-
+  * contamination number a packing policy is chosen on),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

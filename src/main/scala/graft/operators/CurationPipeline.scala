@@ -514,6 +514,33 @@ object CurationPipeline {
         .orderBy(col("epoch"), col("lang"))
     }),
 
+    // PACKED-SEQUENCE COMPOSITION AUDIT — the export-quality number the
+    // manifest (q223) cannot show: concat-then-chunk packing in
+    // content-hash order makes each training sequence a RANDOM mix of
+    // documents, and a sequence spanning many languages/documents costs
+    // cross-document attention contamination (the reason production
+    // packers consider doc-boundary masks or homogeneous packing).
+    // Per languages-per-sequence bucket: how many sequences, how many
+    // tokens, and the token share — read before choosing a packing
+    // policy. One rollup of the q223 derivation to (shard, seq) grain,
+    // then a ≤|langs|-row histogram; Catalyst prunes nothing extra —
+    // the seq_id window is exactly q223's one exchange.
+    "q229_pack_mix_audit" -> ((s, d) => {
+      val packed = epochPacked(s, d, nShards = 8, budget = 512L)
+      val perSeq = packed.groupBy(col("shard"), col("seq_id"))
+        .agg(countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tok")).as("seq_tok"))
+      val tot = perSeq.agg(sum(col("seq_tok")).as("t"))
+      perSeq.groupBy(col("n_langs"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("seq_tok")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_langs"), col("n_seqs"), col("n_tokens"),
+          round(col("n_tokens") / col("t").cast("double"), 6)
+            .as("token_share"))
+        .orderBy(col("n_langs"))
+    }),
+
     // the mix audit: per language, the epoch's realized token
     // multiplier against q206's target, with the deterministic
     // stochastic-rounding bound asserted in-query (each doc contributes
@@ -890,6 +917,19 @@ object CurationPipeline {
            round(sum(n_copies * nt) / CAST(sum(nt) AS DOUBLE), 6)
              AS realized_multiplier
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q229_pack_mix_audit" ->
+      s"""WITH $epochPackedCtes,
+         ps AS (
+           SELECT shard, seq_id, count(DISTINCT lang) AS n_langs,
+             CAST(sum(n_tok) AS BIGINT) AS seq_tok
+           FROM packed GROUP BY 1, 2),
+         tt AS (SELECT CAST(sum(seq_tok) AS BIGINT) AS t FROM ps)
+         SELECT n_langs, count(*) AS n_seqs,
+           CAST(sum(seq_tok) AS BIGINT) AS n_tokens,
+           round(sum(seq_tok) / CAST((SELECT t FROM tt) AS DOUBLE), 6)
+             AS token_share
+         FROM ps GROUP BY n_langs ORDER BY n_langs""",
 
     "q224_epoch_mix_audit" ->
       s"""WITH $epochPackedCtes,

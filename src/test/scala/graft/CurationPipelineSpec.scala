@@ -348,6 +348,47 @@ class CurationPipelineSpec extends TestSpark {
       "at least one language's epoch draws must differ across epochs")
   }
 
+  test("q229 pack-mix audit: buckets recount from the packed relation") {
+    val rows = CurationPipeline.queries("q229_pack_mix_audit")(spark, sf0001)
+      .collect()
+    val packed = CurationPipeline.epochPacked(spark, sf0001, 8, 512L)
+      .collect()
+    val perSeq = packed.groupBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")))
+      .toSeq // BEFORE mapping: Map.map would collapse same-keyed tuples
+      .map { case (_, rs) =>
+        (rs.map(_.getAs[String]("lang")).distinct.size,
+          rs.map(_.getAs[Int]("n_tok").toLong).sum) }
+    val expected = perSeq.groupBy(_._1).map { case (nl, xs) =>
+      nl -> (xs.size.toLong, xs.map(_._2).sum) }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (ns, nt) = expected(r.getAs[Long]("n_langs").toInt)
+      assert(r.getAs[Long]("n_seqs") == ns, s"$r")
+      assert(r.getAs[Long]("n_tokens") == nt, s"$r")
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0)
+      < 1e-4)
+  }
+
+  test("repCounts kernel: matches a brute-force recount on pseudo-random token streams") {
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val vocab = Array("aa", "bb", "cc", "dd")
+      val t = Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val (nn, mx, nd) = graft.operators.CorpusCleaning.repCounts(t)
+      assert(nn == n)
+      val bigrams = t.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val expMx = if (bigrams.isEmpty) 0
+        else bigrams.groupBy(identity).values.map(_.size).max
+      assert(mx == expMx, s"modal bigram over ${t.toSeq}")
+      val g5 = t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+      assert(nd == g5.distinct.size, s"distinct 5-grams over ${t.toSeq}")
+    }
+  }
+
   override def afterAll(): Unit = {
     CurationPipeline.releaseCaches(spark)
     super.afterAll()
