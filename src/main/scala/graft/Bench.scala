@@ -169,7 +169,10 @@ object Bench {
     // the post-curation release data card, the multi-epoch schedule,
     // and the packed-sequence composition audit
     "q227_curated_datasheet", "q228_epoch_schedule",
-    "q229_pack_mix_audit")
+    "q229_pack_mix_audit",
+    // the learned-gate calibration table (thresholds x keep-share x
+    // rule-teacher agreement)
+    "q230_gate_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -392,7 +395,7 @@ object Bench {
       "pipeline" -> Seq("q79_", "q95_", "q125_", "q136_", "q140_", "q141_",
         "q144_", "q160_", "q162_", "q184_", "q185_", "q186_", "q187_",
         "q188_", "q191_", "q192_", "q208_", "q210_", "q212_", "q213_",
-        "q221_", "q225_", "q226_", "q227_"),
+        "q221_", "q225_", "q226_", "q227_", "q230_"),
       "sketch" -> Seq("q110_", "q153_", "q154_", "q166_", "q183_", "q194_",
         "q195_", "q196_", "q197_", "q198_", "q205_", "q207_"),
       "storage" -> Seq("q124_", "q128_", "q167_", "q171_", "q180_", "q209_",

@@ -132,7 +132,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-language expected mass while resampling different tail docs,
   * q229 the packed-sequence composition audit — languages-per-sequence
   * histogram of the exported epoch, the cross-document attention-
-  * contamination number a packing policy is chosen on),
+  * contamination number a packing policy is chosen on, q230 the
+  * learned-gate calibration audit — per logit threshold the keep share
+  * and rule-teacher agreement, the table a classifier deployment's
+  * operating point is tuned on),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

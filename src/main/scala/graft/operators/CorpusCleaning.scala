@@ -494,6 +494,37 @@ object CorpusCleaning {
     // (n_docs DESC, prefix) cut runs as TakeOrderedAndProject — a heap,
     // never a global sort, so the output stays ≤100 rows at any corpus
     // size.
+    // LEARNED-GATE CALIBRATION AUDIT — the table a quality-classifier
+    // deployment is tuned on: for each candidate logit threshold, the
+    // corpus keep share and the agreement with the RULE verdict (q79's
+    // chain — the teacher q208's weights were trained against). This is
+    // how the gate's operating point moves from the default logit-0 to
+    // a corpus-size-vs-precision trade (CCNet keeps roughly its best
+    // third), measured instead of guessed. Plan: the logit pass is
+    // map-side codegen, the rule verdict pays its one md5-window
+    // exchange, the doc_id join is hash-keyed and slim, the 5-row
+    // threshold grid broadcasts, output is grid-sized.
+    "q230_gate_calibration" -> ((s, d) => {
+      import s.implicits._
+      val perDoc = qualityLogit(s, d).select(col("doc_id"), col("score"))
+        .join(cleanVerdict(s, d).select(col("doc_id"),
+          (col("reason") === "keep").as("rule_keep")), "doc_id")
+      val grid = Seq(-2.0, -1.0, 0.0, 1.0, 2.0).toDF("threshold")
+      perDoc.crossJoin(broadcast(grid))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_keep"),
+          sum(when((col("score") >= col("threshold")) === col("rule_keep"),
+            1L).otherwise(0L)).as("n_agree"))
+        .select(col("threshold"), col("n_keep"),
+          round(col("n_keep") / col("n_docs").cast("double"), 6)
+            .as("keep_share"),
+          round(col("n_agree") / col("n_docs").cast("double"), 6)
+            .as("agreement"))
+        .orderBy(col("threshold"))
+    }),
+
     "q213_template_prefixes" -> ((s, d) => {
       val p = graft.Thresholds.TemplatePrefixTokens
       val base = documents(s, d)
@@ -945,6 +976,26 @@ object CorpusCleaning {
          SELECT doc_id, cluster_id, n_members, score,
            CAST(rk = 1 AS INT) AS keep
          FROM r ORDER BY doc_id""",
+
+    // both shared fragments composed (their CTE name sets are disjoint);
+    // the grid is cast to DOUBLE so the threshold column's type matches
+    // Spark's (a bare -2.0 literal list would be DECIMAL in DuckDB)
+    "q230_gate_calibration" ->
+      s"""WITH $qualityScoreCtes,
+         $cleanVerdictCtes,
+         g AS (SELECT unnest(CAST([-2.0, -1.0, 0.0, 1.0, 2.0]
+           AS DOUBLE[])) AS threshold),
+         pd AS (
+           SELECT q.doc_id, q.score, (v.reason = 'keep') AS rule_keep
+           FROM qscore q JOIN verdict v ON q.doc_id = v.doc_id)
+         SELECT threshold,
+           CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_keep,
+           round(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_share,
+           round(sum(CASE WHEN (score >= threshold) = rule_keep
+             THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS agreement
+         FROM pd CROSS JOIN g GROUP BY threshold ORDER BY threshold""",
 
     "q213_template_prefixes" ->
       s"""WITH t AS (

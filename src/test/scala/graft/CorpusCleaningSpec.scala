@@ -650,6 +650,35 @@ class CorpusCleaningSpec extends TestSpark {
       rows.head.getAs[Long]("n_new") == 0L)
   }
 
+  test("q230 gate calibration: keep share monotone in the threshold, agreement recounts and peaks at the trained operating point") {
+    val rows = CorpusCleaning.queries("q230_gate_calibration")(spark, sf0001)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+    // raising the bar can only shrink the kept set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_keep") >= b.getAs[Long]("n_keep"), s"$a -> $b")
+    }
+    // independent recount at the trained threshold: q208's gate vs the
+    // q79 rule verdict
+    val gate = CorpusCleaning.queries("q208_quality_classifier")(
+      spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("keep") == 1)).toMap
+    val rule = CorpusCleaning.cleanVerdict(spark, sf0001)
+      .select(col("doc_id"), col("reason")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason") == "keep")).toMap
+    val agree0 = gate.count { case (id, k) => k == rule(id) }.toDouble /
+      gate.size
+    val at0 = rows.find(_.getAs[Double]("threshold") == 0.0).get
+    assert(math.abs(at0.getAs[Double]("agreement") - agree0) < 1e-6, s"$at0")
+    assert(at0.getAs[Long]("n_keep") == gate.count(_._2).toLong)
+    // the weights were trained at logit 0 — the grid maximum sits there
+    assert(rows.forall(_.getAs[Double]("agreement") <=
+      at0.getAs[Double]("agreement")),
+      s"agreement must peak at the trained threshold: ${rows.toSeq}")
+  }
+
   test("q208 quality classifier: gate is the logit sign, teacher agreement holds out, map-side plan") {
     val df = CorpusCleaning.queries("q208_quality_classifier")(spark, sf0001)
     val rows = df.collect()
