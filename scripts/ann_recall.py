@@ -18,7 +18,10 @@ TAG = sys.argv[1] if len(sys.argv) > 1 else "r13"
 
 def probe(tag, d, cells=None):
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": d, "SPARK_GRAFT_CPUS": "32"}
-    if cells:
+    # a caller-shell export of the dial var would silently turn the
+    # baseline legs into override runs recorded as default-k (r13 advice)
+    env.pop("SPARK_GRAFT_IVF_CELLS", None)
+    if cells is not None:
         env["SPARK_GRAFT_IVF_CELLS"] = str(cells)
     print(f"=== {tag} ({d}, cells={cells}) ===", flush=True)
     p = subprocess.run(["sbt", "-batch", "runMain graft.tools.RecallProbe"],

@@ -12,9 +12,16 @@ duplicate-blowup test instead of a growth test). Vocabulary scales with
 the corpus, which is exactly what the adaptive rules (df caps, sqrt(n)
 IVF centroids, LSH plane counts) are supposed to track.
 
-Replica k of `embeddings` adds a small deterministic per-vector shift so
-no two replicas are byte-identical vectors (LSH buckets/IVF cells fill
-linearly, not with stacked duplicates).
+Replica k of `embeddings` is a PLANTED NEAR NEIGHBOR of its original at
+a controlled cosine band (0.9 / 0.7 / 0.5 cycling with k): the replica
+is band*u_hat + sqrt(1-band^2)*w_hat for a deterministic pseudo-random
+direction w, so its true cosine to the original scatters tightly around
+the band. The round-13 rule (a tiny jitter) made every replica's true
+nearest neighbor share its IVF cell by construction, so the recall
+curve saturated at 1.0 and measured nothing (round-13 verdict wrong
+item #3); banded planting puts true neighbors at real angular margins
+that cross cell boundaries, so recall@k reads strictly inside (0, 1)
+and the sqrt(n) ivf_k rule's recall cost is measured, not vacuous.
 
 All other tables copy through unchanged so any query the sweep touches
 finds its inputs.
@@ -58,10 +65,21 @@ for scale in (3, 10):
         if k == 0:
             vec_parts.append(f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'")
         else:
+            band = [0.9, 0.7, 0.5][(k - 1) % 3]
+            sb = (1.0 - band * band) ** 0.5
+            # w: deterministic pseudo-random direction per (vec_id, k, dim)
+            # — near-orthogonal to u in 64-d, so cos(new, u) ~ band
             vec_parts.append(
                 f"SELECT vec_id + {k * vec_span} AS vec_id, "
-                f"list_transform(embedding, x -> (x + 0.0009 * (((vec_id * 31 + {k} * 13) % 17) - 8))::FLOAT) AS embedding, "
-                f"label FROM '{SRC}/embeddings.parquet'")
+                f"[ ({band} * embedding[i] / nu + {sb} * "
+                f"   ((((vec_id * 31 + {k} * 13 + i * 7) % 1009) / 1009.0 - 0.5)) / nw)::FLOAT "
+                f"  for i in generate_series(1, 64) ] AS embedding, "
+                f"label FROM ("
+                f"  SELECT vec_id, embedding, label, "
+                f"    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nu, "
+                f"    sqrt(list_sum([ power(((vec_id * 31 + {k} * 13 + i * 7) % 1009) / 1009.0 - 0.5, 2) "
+                f"      for i in generate_series(1, 64) ])) AS nw "
+                f"  FROM '{SRC}/embeddings.parquet')")
     con.execute(
         f"COPY ({' UNION ALL '.join(vec_parts)}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
     # Relational tables scale as DISJOINT key-space replicas (round-11

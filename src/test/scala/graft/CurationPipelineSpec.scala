@@ -389,6 +389,21 @@ class CurationPipelineSpec extends TestSpark {
     }
   }
 
+  test("benchGramSet fail-fast: an oversized benchmark slice raises, naming the q74 fallback") {
+    // the sf0.001 slice holds ~500 distinct 8-grams — far under the real
+    // 2M cap; driving the cap below it simulates a corpus-sized slice
+    // hitting the guard (the q106/kmvPartitionMins fail-fast discipline)
+    val ex = intercept[IllegalArgumentException] {
+      CurationPipeline.benchGramSet(spark, sf0001, cap = 10)
+    }
+    assert(ex.getMessage.contains("q74"), "error must name the exact-join fallback")
+    assert(ex.getMessage.contains("cap 10"))
+    // and the default cap admits the fixture slice (the happy path)
+    val bc = CurationPipeline.benchGramSet(spark, sf0001)
+    assert(bc.value.size() > 0 && bc.value.size() <= CurationPipeline.BenchGramCap)
+    bc.destroy()
+  }
+
   override def afterAll(): Unit = {
     CurationPipeline.releaseCaches(spark)
     super.afterAll()

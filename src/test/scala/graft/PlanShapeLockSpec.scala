@@ -84,6 +84,12 @@ class PlanShapeLockSpec extends TestSpark {
       assert(missing.isEmpty,
         s"headline queries missing from $lockPath (regenerate with " +
           s"GRAFT_REGEN_PLAN_LOCK=1): $missing")
+      // the symmetric direction (r13 advice): a query REMOVED from the
+      // headline must leave the table too, or the lock silently rots
+      val stale = expected.keySet -- names.toSet -- excluded
+      assert(stale.isEmpty,
+        s"stale lock entries in $lockPath for queries no longer in the " +
+          s"headline (regenerate with GRAFT_REGEN_PLAN_LOCK=1): $stale")
       val diffs = observed.collect {
         case (n, got @ (gs, gb)) if {
           val (es, eb) = expected(n)
