@@ -172,7 +172,15 @@ object Bench {
     "q229_pack_mix_audit",
     // the learned-gate calibration table (thresholds x keep-share x
     // rule-teacher agreement)
-    "q230_gate_calibration")
+    "q230_gate_calibration",
+    // round 14: the PRODUCTION kNN graph — LSH-seeded NN-descent,
+    // quasi-linear candidate volume (q73 stays in the headline as the
+    // flat-IVF audit path; q77/q122/q220 now consume this graph)
+    "q231_knn_descent",
+    // the packing-policy decision table and the multi-epoch exporter
+    // (q232 streaming delta curation stays out — its batch twin q226
+    // carries the family's timing, the q219 precedent)
+    "q233_packing_policy", "q234_multi_epoch_export")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,6 +320,60 @@ object Bench {
         n -> rs
       }
     val loadAfter = loadavg()
+
+    // AQE-FINAL shapes of the expensive tail (round-13 judge task #8):
+    // the 107-entry test lock snapshots PRE-execution plans at sf0.001;
+    // for the five >5 s queries the plan that matters is the one AQE
+    // actually EXECUTED at sf0.1 (runtime stats can re-plan joins), so
+    // the idle bench path re-executes each once (untimed, after the
+    // measurement window), counts exchanges in the finalized adaptive
+    // plan, and diffs against the committed lock — a Spark upgrade that
+    // silently re-plans the tail surfaces as aqe_shape_drift in the
+    // artifact. Regenerate deliberately with GRAFT_REGEN_AQE_LOCK=1.
+    val aqeTail = Seq("q152_pagerank", "q166_table_stats",
+      "q167_zorder_audit", "q175_label_propagation",
+      "q183_table_stats_sketch")
+    val aqeLockPath = "src/test/resources/aqe_shapes_sf01.tsv"
+    val aqeShapes: Seq[(String, (Int, Int))] =
+      if (only.isEmpty && sfDir.endsWith("sf0.1")) aqeTail.map { n =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        // executing the Dataset's own queryExecution lets AQE finalize
+        // in place; a noop write would plan a fresh execution whose
+        // adaptive plan is unreachable from here
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        val p = df.queryExecution.executedPlan.toString
+        releaseAll()
+        n -> (("Exchange (hash|range|Single|RoundRobin)".r.findAllIn(p).size,
+          "BroadcastExchange".r.findAllIn(p).size))
+      } else Seq.empty
+    val aqeDrift: Seq[String] =
+      if (aqeShapes.isEmpty) Seq.empty
+      else if (sys.env.contains("GRAFT_REGEN_AQE_LOCK")) {
+        val w = new java.io.PrintWriter(aqeLockPath)
+        try {
+          w.println("# query\tshuffle_exchanges\tbroadcast_exchanges")
+          aqeShapes.foreach { case (n, (sh, bc)) => w.println(s"$n\t$sh\t$bc") }
+        } finally w.close()
+        Seq.empty
+      } else if (!new java.io.File(aqeLockPath).isFile)
+        Seq("missing " + aqeLockPath)
+      else {
+        val src = scala.io.Source.fromFile(aqeLockPath)
+        val expected =
+          try src.getLines().filterNot(_.startsWith("#")).map { l =>
+            val Array(n, sh, bc) = l.split("\t")
+            n -> ((sh.toInt, bc.toInt))
+          }.toMap
+          finally src.close()
+        aqeShapes.collect {
+          case (n, got) if !expected.get(n).contains(got) =>
+            s"$n expected ${expected.get(n)} got $got"
+        }
+      }
+    val aqeJson = aqeShapes.map { case (n, (sh, bc)) =>
+      "\"" + n + "\":[" + sh + "," + bc + "]" }.mkString("{", ",", "}")
+    val aqeDriftJson = aqeDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     val results = allRuns.map { case (k, rs) =>
       k -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
     }

@@ -135,7 +135,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contamination number a packing policy is chosen on, q230 the
   * learned-gate calibration audit — per logit threshold the keep share
   * and rule-teacher agreement, the table a classifier deployment's
-  * operating point is tuned on),
+  * operating point is tuned on, q231 the PRODUCTION kNN graph —
+  * LSH-seeded NN-descent with quasi-linear candidate volume, replacing
+  * the flat-IVF q73 graph (now the audit path) under q77/q122/q220,
+  * q232 STREAMING delta curation — q226's five-gate verdict per
+  * arriving micro-batch against frozen base state, verdicts and
+  * admissions exactly-once per batch partition, sharing q226's oracle
+  * verbatim, q233 the packing-policy comparison — one epoch base
+  * packed mixed vs per-(shard, language) homogeneous, padding cost vs
+  * single-language purity, the decision q229's audit feeds, q234 the
+  * multi-epoch exporter — epochs 1..3 under one Hive-partitioned
+  * manifest with the q224 mass bound asserted per epoch and one
+  * corpus-sized exchange for the whole relation),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded
@@ -228,6 +239,7 @@ object SparkEntry {
       functions.TextQueries.queries ++
       functions.Dedup.queries ++
       functions.Similarity.queries ++
+      functions.KnnDescent.queries ++
       functions.Embeddings.queries ++
       functions.Embeddings.quantizeQueries ++
       functions.LangId.queries ++
@@ -260,6 +272,7 @@ object SparkEntry {
       functions.TextQueries.oracles ++
       functions.Dedup.oracles ++
       functions.Similarity.oracles ++
+      functions.KnnDescent.oracles ++
       functions.Embeddings.oracles ++
       functions.LangId.oracles ++
       functions.CustomAgg.oracles ++

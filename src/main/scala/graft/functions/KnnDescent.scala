@@ -1,0 +1,255 @@
+package graft.functions
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NN-descent kNN graph — the sub-n^1.5 FULL-CORPUS neighbor path
+  * (round-13 judge task #1).
+  *
+  * The flat-IVF kNN graph (q73) is the right AUDIT shape but its
+  * candidate volume is Θ(nProbe·n^1.5) under the √n quantizer — the one
+  * measured-superlinear family in the library (α = 1.36/1.40 at 10×,
+  * scale_sweep_r13knn.json), and the ivf_k dial provably cannot change
+  * the exponent. This module replaces it as the PRODUCTION graph path
+  * (the q166-exact / q207-sketch precedent): q77/q122/q220 consume this
+  * graph; q73 stands as the IVF-path audit.
+  *
+  * Algorithm (Dong, Moses & Li 2011, "Efficient k-nearest neighbor
+  * graph construction for generic similarity measures", WWW'11 — made
+  * fully deterministic so the DuckDB oracle replays it bit-for-bit):
+  *
+  *  1. SEED from the q102 LSH geometry: every vector's sign bucket
+  *     under [[Similarity.lshNPlanes]](n) fixed Gaussian hyperplanes,
+  *     multi-probed to its own bucket plus all Hamming-1 flips. Bucket
+  *     count tracks n/8, so seed candidate volume is ~8·(p+1) per
+  *     vector — O(n·log n) total, never all-pairs. Each candidate pair
+  *     matches through exactly ONE probed bucket (the probed set is
+  *     distinct), so no dedup is needed on the join output.
+  *  2. Cut to the top-[[K]] per vector by (rounded cosine desc, id asc)
+  *     — the q73 ranking convention — through the heap operator.
+  *  3. DESCEND for [[Iters]] rounds: candidates(t) = current edges ∪
+  *     neighbors-of-neighbors through the UNDIRECTED graph (a true
+  *     neighbor of x is, with high probability, also near x's current
+  *     neighbors), re-scored and re-cut to top-K. Each round touches
+  *     ≤ (2K)² = 36 candidates per vector — O(n·K²·Iters) total, and
+  *     the graph improves monotonically because current edges are
+  *     always in the candidate set.
+  *
+  * Scale shape: every stage is a keyed, linear-size shuffle — the seed
+  * join keys on the bucket (expected occupancy ~8 by the plane-count
+  * rule; pair with exact dedup (q26) upstream so verbatim-duplicate
+  * floods can't concentrate one bucket), the descent self-join keys on
+  * the mid vector id, embeddings attach by id-keyed joins, and the
+  * per-round cut shuffles ≤ K rows per vector per input partition
+  * (the heap's partial pre-cut). Total work O(n·(occupancy·log n +
+  * K²·Iters)) vs the flat graph's Θ(nProbe·n^1.5) — at 100 TB that is
+  * the difference between a nightly job and an impossible one. Each
+  * round's graph is persisted (the q152 PageRank discipline): the
+  * undirected relation is consumed twice per round, and without the
+  * persist the recomputation tree doubles per level.
+  *
+  * Everything is deterministic — fixed plane literals, rounded
+  * cosines, total-order tie-breaks, set-semantics candidate unions —
+  * so the oracle replays seed, every descent round, and the final
+  * ranking exactly.
+  */
+object KnnDescent {
+
+  /** Graph degree: top-3 neighbors per vector — q73's k, so the two
+    * graph paths stay comparable edge-for-edge. */
+  val K = 3
+
+  /** Descent rounds. Two rounds reach neighbors-of-neighbors-of-
+    * neighbors of the seed — on the banded planted-neighbor fixture
+    * that lifts recall well above the 0.3 floor while keeping the
+    * unrolled oracle replay tractable; the cost of another round is
+    * linear (O(n·K²)) if a corpus needs it. */
+  val Iters = 2
+
+  /** Rounded-cosine column — the family-wide scoring convention. */
+  private def cosC(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(Similarity.dot(a, b) / (Similarity.l2norm(a) * Similarity.l2norm(b)), 6)
+
+  /** Exact top-K cut per src by (cos desc, nbr asc) through the heap
+    * operator (partial pre-cut under the exchange). */
+  private def cut(scored: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup.topK(scored, Seq("src"),
+      Seq("cos" -> false, "nbr" -> true), K)
+
+  private val graphCache = scala.collection.mutable.Map
+    .empty[(String, String), DataFrame]
+
+  def releaseCaches(s: SparkSession): Unit = {
+    graphCache.synchronized {
+      val id = sessionKey(s)
+      graphCache.filterInPlace { case ((sid, _), _) => sid != id }
+    }
+    graft.PersistTracker.release("knnd", s)
+  }
+
+  /** The NN-descent graph for a corpus, cached per (session, dataset)
+    * so q231/q77/q122/q220 in one session build it once. Columns:
+    * (src, nbr, cos) — ≤ K edges per src, unranked. */
+  private[graft] def graph(s: SparkSession, emb: DataFrame,
+      cacheKey: String): DataFrame =
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate((sessionKey(s), cacheKey),
+        build(s, emb, cacheKey))
+    }
+
+  /** The multi-probed seed candidate relation (src, nbr, cos), with the
+    * candidate-volume observe() metric riding it (the ivf_candidates
+    * discipline: DedupSimilaritySpec pins ~n·log n growth on it). */
+  private[graft] def seedScored(s: SparkSession, emb: DataFrame,
+      cacheKey: String): DataFrame = {
+    val n = Similarity.corpusCount(emb, cacheKey)
+    val planes = Similarity.lshPool.take(Similarity.lshNPlanes(n))
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+    // own bucket + all Hamming-1 flips — q102's multi-probe, with the
+    // whole corpus as probes (NOT broadcast: the join keys both sides
+    // on the bucket)
+    val probeBuckets = array(col("bucket") +:
+      planes.indices.map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+    val probes = bucketed.select(col("vec_id").as("src"),
+      col("embedding").as("p_emb"), explode(probeBuckets).as("bucket"))
+    bucketed.join(probes, Seq("bucket"))
+      .filter(col("src") =!= col("vec_id"))
+      .select(col("src"), col("vec_id").as("nbr"),
+        cosC(col("p_emb"), col("embedding")).as("cos"))
+      .observe("nnd_seed_candidates", count(lit(1)).as("n_candidates"))
+  }
+
+  /** Every stage of the build — g0 (seed cut) through g[[Iters]] — each
+    * persisted; exposed so the spec can pin the per-round monotonic-
+    * improvement invariant. [[build]] is stages(...).last. */
+  private[graft] def stages(s: SparkSession, emb: DataFrame,
+      cacheKey: String): IndexedSeq[DataFrame] = {
+    var g = graft.PersistTracker.tracked("knnd",
+      cut(seedScored(s, emb, cacheKey)))
+    val out = scala.collection.mutable.ArrayBuffer(g)
+    val e1 = emb.select(col("vec_id").as("src"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("nbr"), col("embedding").as("e2"))
+    for (_ <- 1 to Iters) {
+      val und = g.select(col("src"), col("nbr"))
+        .union(g.select(col("nbr").as("src"), col("src").as("nbr")))
+        .distinct()
+      val cand = und.as("a").join(und.as("b"), col("a.nbr") === col("b.src"))
+        .filter(col("b.nbr") =!= col("a.src"))
+        .select(col("a.src").as("src"), col("b.nbr").as("nbr"))
+        .union(g.select(col("src"), col("nbr")))
+        .distinct()
+      val scored = cand.join(e1, "src").join(e2, "nbr")
+        .select(col("src"), col("nbr"), cosC(col("e1"), col("e2")).as("cos"))
+      g = graft.PersistTracker.tracked("knnd", cut(scored))
+      out += g
+    }
+    out.toIndexedSeq
+  }
+
+  private def build(s: SparkSession, emb: DataFrame,
+      cacheKey: String): DataFrame = stages(s, emb, cacheKey).last
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The production kNN graph: same shape as q73 (3 ranked neighbors
+    // per vector) built by LSH-seeded NN-descent — quasi-linear
+    // candidate volume instead of the flat-IVF n^1.5.
+    "q231_knn_descent" -> ((s, d) => {
+      graph(s, embeddings(s, d), d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))))
+        .select(col("src").as("src_id"), col("rk"), col("nbr").as("nbr_id"),
+          col("cos"))
+        .orderBy(col("src_id"), col("rk"))
+    })
+  )
+
+  /** The full oracle replay of the graph build, as a CTE chain ending in
+    * `g$Iters` (src, nbr, cos): q102's plane/bucket CTEs, the multi-probe
+    * seed join, then each descent round unrolled — undirected edge set
+    * (UNION = Spark's union().distinct()), neighbors-of-neighbors ∪
+    * current edges, re-score, top-K re-cut. Shared by the q231 oracle
+    * and the q77/q122/q220 consumers. */
+  private[graft] def nndCtes: String = {
+    def cosSql(a: String, b: String): String =
+      s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[])
+               / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))
+                * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"""
+    val sb = new StringBuilder
+    sb ++= s"""np AS (
+           SELECT least(24, greatest(4,
+             1 + (SELECT count(*) FROM range(1, 25) t(p)
+                  WHERE (8::BIGINT << CAST(t.p AS INT)) <
+                    (SELECT count(*) FROM embeddings)))) AS p),
+         planes(pid, pv) AS (VALUES ${Similarity.lshPlanesSql}),
+         buck AS (
+           SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                 pl.pv::DOUBLE[]) >= 0
+               THEN (1::BIGINT << CAST(pl.pid AS INT)) ELSE 0 END) AS BIGINT)
+               AS bucket
+           FROM embeddings e CROSS JOIN np JOIN planes pl ON pl.pid < np.p
+           GROUP BY e.vec_id, e.embedding),
+         pb AS (
+           SELECT vec_id, embedding, bucket FROM buck
+           UNION ALL
+           SELECT b.vec_id, b.embedding,
+             CAST(xor(b.bucket, (1::BIGINT << CAST(t.i AS INT))) AS BIGINT)
+           FROM buck b CROSS JOIN np CROSS JOIN range(0, 24) t(i)
+           WHERE t.i < np.p),
+         s0 AS (
+           SELECT p.vec_id AS src, c.vec_id AS nbr,
+             ${cosSql("p.embedding", "c.embedding")} AS cos
+           FROM pb p JOIN buck c ON p.bucket = c.bucket
+           WHERE p.vec_id <> c.vec_id),
+         g0 AS (
+           SELECT src, nbr, cos FROM (
+             SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr) AS rk
+             FROM s0) WHERE rk <= $K)"""
+    for (i <- 1 to Iters) {
+      // set semantics via explicit DISTINCT over UNION ALL, never bare
+      // UNION: inside a WITH RECURSIVE block (the q77/q122 closure),
+      // DuckDB gives UNION-bearing CTEs recursive-union treatment even
+      // without a self-reference, silently dropping the dedup — the
+      // duplicate candidate rows then eat top-K slots (found at sf0.1:
+      // u1 7974 rows plain vs 12000 recursive)
+      sb ++= s""",
+         u$i AS (SELECT DISTINCT src, nbr FROM (
+           SELECT src, nbr FROM g${i - 1}
+           UNION ALL SELECT nbr, src FROM g${i - 1})),
+         c$i AS (SELECT DISTINCT src, nbr FROM (
+           SELECT a.src AS src, b.nbr AS nbr FROM u$i a
+           JOIN u$i b ON a.nbr = b.src
+           WHERE b.nbr <> a.src
+           UNION ALL SELECT src, nbr FROM g${i - 1})),
+         s$i AS (
+           SELECT c.src, c.nbr,
+             ${cosSql("ea.embedding", "eb.embedding")} AS cos
+           FROM c$i c JOIN embeddings ea ON ea.vec_id = c.src
+           JOIN embeddings eb ON eb.vec_id = c.nbr),
+         g$i AS (
+           SELECT src, nbr, cos FROM (
+             SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr) AS rk
+             FROM s$i) WHERE rk <= $K)"""
+    }
+    sb.toString
+  }
+
+  /** Name of the final graph CTE inside [[nndCtes]]. */
+  private[graft] def finalCte: String = s"g$Iters"
+
+  val oracles: Map[String, String] = Map(
+    "q231_knn_descent" ->
+      s"""WITH $nndCtes
+         SELECT src AS src_id, rk, nbr AS nbr_id, cos FROM (
+           SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
+             ORDER BY cos DESC, nbr) AS rk
+           FROM $finalCte)
+         ORDER BY src_id, rk"""
+  )
+}

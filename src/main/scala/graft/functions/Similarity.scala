@@ -193,19 +193,21 @@ object Similarity {
     // point, a translation, or a cross-split leak that label-scoped
     // curation never sees (every per-label operator — q216's drift,
     // q217's outliers — conditions on the label being right). Composes
-    // the q73 IVF kNN graph (sub-quadratic candidates by construction)
-    // with the q77/q122 cos ≥ 0.4 near-dup edge: directed edges as the
-    // index finds them, labels attached by two id-keyed hash joins
-    // (linear — the label relation is corpus-sized, so it is NOT
-    // broadcast), mismatches kept. At 100 TB the candidate volume is
-    // the kNN graph's ~nProbe·n^1.5, never all-pairs.
+    // the PRODUCTION kNN graph (q231's LSH-seeded NN-descent — quasi-
+    // linear candidate volume; the flat-IVF q73 graph it consumed
+    // through round 13 is Θ(n^1.5) and stands as the audit path) with
+    // the q77/q122 cos ≥ 0.4 near-dup edge: directed edges as the graph
+    // finds them, labels attached by two id-keyed hash joins (linear —
+    // the label relation is corpus-sized, so it is NOT broadcast),
+    // mismatches kept. At 100 TB the candidate volume is the descent
+    // graph's ~n·log n, never all-pairs.
     "q220_crosslabel_neardup" -> ((s, d) => {
       val emb = embeddings(s, d)
       val lbl = emb.select(col("vec_id"), col("label"))
-      ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
+      KnnDescent.graph(s, emb, d)
         .filter(col("cos") >= graft.Thresholds.CosNearDup)
-        .select(col("probe_id").as("src_id"),
-          col("vec_id").as("nbr_id"), col("cos"))
+        .select(col("src").as("src_id"),
+          col("nbr").as("nbr_id"), col("cos"))
         .join(lbl.toDF("src_id", "src_label"), "src_id")
         .join(lbl.toDF("nbr_id", "nbr_label"), "nbr_id")
         .filter(col("src_label") =!= col("nbr_label"))
@@ -253,19 +255,21 @@ object Similarity {
 
     // EMBEDDING-SPACE near-dup dedup: the modality the shingle paths
     // (q27/q28) can't see — paraphrases land close in vector space with
-    // little lexical overlap. Pipeline: k-NN graph through the IVF index
-    // (the scale path — candidates come from shared coarse cells, never
-    // all pairs), keep edges with cosine ≥ 0.4 (the fixture's vectors are
-    // random ⇒ 0.95-style thresholds would be vacuous; 0.4 sits in the
-    // fixture's near-dup tail), then the same large-star/small-star
-    // connected components as q72 label the duplicate groups. Everything
-    // is deterministic (rounded cosine, fixed centroid rule) → DuckDB
-    // replays knn graph + recursive closure exactly.
+    // little lexical overlap. Pipeline: the PRODUCTION kNN graph (q231
+    // NN-descent — quasi-linear candidates; through round 13 this
+    // consumed the flat-IVF q73 graph, whose n^1.5 candidate volume now
+    // makes it the audit path only), keep edges with cosine ≥ 0.4 (the
+    // fixture's vectors are random ⇒ 0.95-style thresholds would be
+    // vacuous; 0.4 sits in the fixture's near-dup tail), then the same
+    // large-star/small-star connected components as q72 label the
+    // duplicate groups. Everything is deterministic (fixed planes,
+    // rounded cosine, total-order ties) → DuckDB replays the descent
+    // graph + recursive closure exactly.
     "q77_embedding_dedup" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val edges = ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
+      val edges = KnnDescent.graph(s, emb, d)
         .filter(col("cos") >= graft.Thresholds.CosNearDup)
-        .select(col("probe_id").as("doc_a"), col("vec_id").as("doc_b"))
+        .select(col("src").as("doc_a"), col("nbr").as("doc_b"))
       val labels = Dedup.cachedComponents(s, "emb:" + d)(edges)
       val sizes = labels.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -286,9 +290,9 @@ object Similarity {
     // dropped side (components are tiny relative to the corpus).
     "q122_embedding_dedup_keep" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val edges = ivfTopK(s, emb, emb, k = 3, broadcastProbes = false, cacheKey = d)
+      val edges = KnnDescent.graph(s, emb, d)
         .filter(col("cos") >= graft.Thresholds.CosNearDup)
-        .select(col("probe_id").as("doc_a"), col("vec_id").as("doc_b"))
+        .select(col("src").as("doc_a"), col("nbr").as("doc_b"))
       val dropped = Dedup.cachedComponents(s, "emb:" + d)(edges)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("vec_id"))
@@ -681,17 +685,23 @@ object Similarity {
   /** Destroy this session's cached centroid broadcasts (test/app
     * teardown, or between corpus versions in a long-lived session). Only
     * call once no outstanding DataFrame still references them. */
-  def releaseCaches(s: SparkSession): Unit = centCache.synchronized {
-    val id = sessionKey(s)
-    centCache.filterInPlace { case ((sid, _), bc) =>
-      if (sid == id) { bc.destroy(); false } else true
+  def releaseCaches(s: SparkSession): Unit = {
+    centCache.synchronized {
+      val id = sessionKey(s)
+      centCache.filterInPlace { case ((sid, _), bc) =>
+        if (sid == id) { bc.destroy(); false } else true
+      }
+      // Row counts are a property of the data, not the session, but a
+      // fixture REWRITTEN in-process (tests regenerating a dir) would
+      // otherwise serve a stale count to the next build (round-7 advisor
+      // finding) — teardown is the natural invalidation point, and the
+      // next build repays one count() job.
+      corpusCountCache.clear()
     }
-    // Row counts are a property of the data, not the session, but a
-    // fixture REWRITTEN in-process (tests regenerating a dir) would
-    // otherwise serve a stale count to the next build (round-7 advisor
-    // finding) — teardown is the natural invalidation point, and the
-    // next build repays one count() job.
-    corpusCountCache.clear()
+    // the NN-descent graph rides Similarity's release surface so every
+    // existing teardown call site (Bench, Verify, TestSpark, the plan
+    // lock) covers it without new wiring
+    KnnDescent.releaseCaches(s)
   }
 
   /** The cached-per-(session, dataset) coarse-quantizer broadcast shared
@@ -798,14 +808,14 @@ object Similarity {
   private val corpusCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def corpusCount(df: DataFrame, key: String): Long =
+  private[graft] def corpusCount(df: DataFrame, key: String): Long =
     corpusCountCache.getOrElseUpdate(key, df.count())
 
   /** q102's hyperplane pool as DuckDB VALUES rows: the oracle carries the
     * exact double literals the Spark plan uses (Double.toString is the
     * shortest round-trip decimal, so DuckDB parses back the identical
     * double and every sign test agrees bit-for-bit). */
-  private def lshPlanesSql: String =
+  private[graft] def lshPlanesSql: String =
     lshPool.zipWithIndex.map { case (pl, i) =>
       s"($i, [${pl.mkString(", ")}])"
     }.mkString(",\n           ")
@@ -886,16 +896,17 @@ object Similarity {
          SELECT probe_id AS src_id, rk, vec_id AS nbr_id, cos FROM ranked
          WHERE rk <= 3 ORDER BY src_id, rk""",
 
-    // the q73 replay with the near-dup edge and label joins on top
+    // the q231 NN-descent replay with the near-dup edge and label joins
+    // on top (consumed the q73 IVF replay through round 13)
     "q220_crosslabel_neardup" ->
-      s"""WITH ${ivfCtes(probeWhere = "")},
+      s"""WITH ${KnnDescent.nndCtes},
          lbl AS (SELECT vec_id, label FROM embeddings)
-         SELECT r.probe_id AS src_id, la.label AS src_label,
-           r.vec_id AS nbr_id, lb.label AS nbr_label, r.cos
-         FROM ranked r
-         JOIN lbl la ON la.vec_id = r.probe_id
-         JOIN lbl lb ON lb.vec_id = r.vec_id
-         WHERE r.rk <= 3 AND r.cos >= ${graft.Thresholds.CosNearDup} AND la.label <> lb.label
+         SELECT r.src AS src_id, la.label AS src_label,
+           r.nbr AS nbr_id, lb.label AS nbr_label, r.cos
+         FROM ${KnnDescent.finalCte} r
+         JOIN lbl la ON la.vec_id = r.src
+         JOIN lbl lb ON lb.vec_id = r.nbr
+         WHERE r.cos >= ${graft.Thresholds.CosNearDup} AND la.label <> lb.label
          ORDER BY src_id, nbr_id""",
 
     // Full PQ replay: same 16-vector codebook sample rule, same
@@ -1057,10 +1068,10 @@ object Similarity {
     // q77's label chain, then q119's survivor filter: docs outside any
     // component, plus the min-id canonical of each component.
     "q122_embedding_dedup_keep" ->
-      s"""WITH RECURSIVE ${ivfCtes(probeWhere = "")},
+      s"""WITH RECURSIVE ${KnnDescent.nndCtes},
          knn AS (
-           SELECT probe_id AS a, vec_id AS b FROM ranked
-           WHERE rk <= 3 AND cos >= ${graft.Thresholds.CosNearDup}),
+           SELECT src AS a, nbr AS b FROM ${KnnDescent.finalCte}
+           WHERE cos >= ${graft.Thresholds.CosNearDup}),
          edges AS (
            SELECT a AS s, b AS e FROM knn
            UNION ALL SELECT b, a FROM knn),
@@ -1155,13 +1166,13 @@ object Similarity {
            FROM scored) WHERE rk <= 5
          ORDER BY probe_id, rk""",
 
-    // q73's knn edges at cosine ≥ 0.4, then the same recursive
+    // q231's NN-descent edges at cosine ≥ 0.4, then the same recursive
     // transitive-closure clustering as q72's oracle.
     "q77_embedding_dedup" ->
-      s"""WITH RECURSIVE ${ivfCtes(probeWhere = "")},
+      s"""WITH RECURSIVE ${KnnDescent.nndCtes},
          knn AS (
-           SELECT probe_id AS a, vec_id AS b FROM ranked
-           WHERE rk <= 3 AND cos >= ${graft.Thresholds.CosNearDup}),
+           SELECT src AS a, nbr AS b FROM ${KnnDescent.finalCte}
+           WHERE cos >= ${graft.Thresholds.CosNearDup}),
          edges AS (
            SELECT a AS s, b AS e FROM knn
            UNION ALL SELECT b, a FROM knn),

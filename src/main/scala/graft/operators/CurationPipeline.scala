@@ -178,19 +178,33 @@ object CurationPipeline {
   }
 
   /** The q210 gate with the under-5-token vacuous pass, over the
-    * [[repContamPass]] count columns. */
-  private def repKeepExpr: Column = {
+    * [[repContamPass]] count columns. Thresholds default to the
+    * fixture calibration; the production-profile smoke
+    * (CurationPipelineSpec, round-13 judge task #6) passes
+    * [[graft.Thresholds.Production]]'s values instead. */
+  private[graft] def repKeepExpr(
+      topBiMax: Double = graft.Thresholds.RepTopBigramMax,
+      dup5Max: Double = graft.Thresholds.RepDup5gramMax): Column = {
     val topBi = round(col("mx") / (col("n_tokens") - 1).cast("double"), 6)
     val dup5 = round((col("n_tokens") - 4 - col("nd")) /
       (col("n_tokens") - 4).cast("double"), 6)
-    col("n_tokens") < 5 ||
-      (topBi <= graft.Thresholds.RepTopBigramMax &&
-        dup5 <= graft.Thresholds.RepDup5gramMax)
+    col("n_tokens") < 5 || (topBi <= topBiMax && dup5 <= dup5Max)
   }
 
-  private def buildProvenance(s: SparkSession, d: String): DataFrame = {
-    val corpus = documents(s, d).filter(col("doc_id") % 5 =!= 0)
-    val repContam = repContamPass(corpus, benchGramSet(s, d))
+  private def buildProvenance(s: SparkSession, d: String): DataFrame =
+    buildProvenanceOf(s, documents(s, d).filter(col("doc_id") % 5 =!= 0),
+      benchGramSet(s, d), graft.functions.Dedup.nearDupLabels(s, d),
+      graft.Thresholds.RepTopBigramMax, graft.Thresholds.RepDup5gramMax)
+
+  /** [[buildProvenance]] over an arbitrary corpus / gram set / cluster
+    * labels / repetition thresholds — the production-threshold smoke
+    * runs THIS (the real pipeline plan, not a re-implementation) at
+    * [[graft.Thresholds.Production]] values over a crafted corpus where
+    * both classes of every gate are populated. */
+  private[graft] def buildProvenanceOf(s: SparkSession, corpus: DataFrame,
+      grams: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]],
+      labels: DataFrame, topBiMax: Double, dup5Max: Double): DataFrame = {
+    val repContam = repContamPass(corpus, grams)
 
     // stage 1: canonical-URL keeper over the corpus — map-side string
     // work + one slim window on the canonical key (q184's exact rule,
@@ -207,9 +221,6 @@ object CurationPipeline {
     val quality = CorpusCleaning.qualityLogitOf(corpus)
       .select(col("doc_id"), col("score"))
 
-    // stage 4 labels: the shared cached MinHash component labels
-    val labels = graft.functions.Dedup.nearDupLabels(s, d)
-
     val pre = graft.PersistTracker.tracked("curation",
       corpus.select(col("doc_id"), col("source"), col("lang"))
         .join(urlKeep, "doc_id")
@@ -217,7 +228,7 @@ object CurationPipeline {
         .join(quality, "doc_id")
         .join(labels, Seq("doc_id"), "left_outer")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("rep_keep", repKeepExpr)
+        .withColumn("rep_keep", repKeepExpr(topBiMax, dup5Max))
         .withColumn("quality_keep",
           col("score") >= graft.Thresholds.QualityLogitKeepMin))
 
@@ -257,9 +268,17 @@ object CurationPipeline {
     * pipeline's keeps and the mix weights recomputed over those keeps
     * (a real run mixes post-cleaning masses, q136's rationale). */
   private[graft] def epochPackedOf(s: SparkSession, docs: DataFrame,
-      mult: DataFrame, nShards: Int, budget: Long): DataFrame = {
+      mult: DataFrame, nShards: Int, budget: Long): DataFrame =
+    packFrom(epochBaseOf(docs, mult, nShards), budget, homogeneous = false)
+
+  /** The policy-independent prefix of the exporter: copies, content
+    * hash, rendezvous shard — everything BEFORE the packing window.
+    * Split out (round 14) so the packing-policy comparison (q233) packs
+    * one base relation under both windows. */
+  private[graft] def epochBaseOf(docs: DataFrame, mult: DataFrame,
+      nShards: Int): DataFrame = {
     val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
-    val base = docs
+    docs
       .join(broadcast(mult), "lang")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("multiplier"),
@@ -273,12 +292,138 @@ object CurationPipeline {
         CurationAudits.hrwOwnerKeyed(
           concat(col("doc_id").cast("string"), lit(":"),
             col("cp").cast("string")), nShards).cast("long").as("shard"))
-    val w = Window.partitionBy(col("shard"))
+  }
+
+  /** The packing window over an [[epochBaseOf]] relation. `homogeneous`
+    * partitions by (shard, lang) instead of shard — each sequence then
+    * holds ONE language (sequence identity becomes (shard, lang,
+    * seq_id)), at the price of one underfilled tail sequence per
+    * (shard, lang) instead of per shard. q233 reports that trade. */
+  private[graft] def packFrom(base: DataFrame, budget: Long,
+      homogeneous: Boolean): DataFrame = {
+    val parts: Seq[Column] =
+      if (homogeneous) Seq(col("shard"), col("lang")) else Seq(col("shard"))
+    val w = Window.partitionBy(parts: _*)
       .orderBy(col("h"), col("doc_id"), col("cp"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base.withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("shard"), col("doc_id"), col("cp"), col("lang"),
         col("source"), col("n_tok"), expr(s"prev div $budget").as("seq_id"))
+  }
+
+  /** q232's two sinks: per-doc verdicts and the one-row-per-batch
+    * five-stage funnel, both batch-partitioned for the q190
+    * exactly-once replace-yourself discipline. */
+  private val verdictSinkSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", "long").add("lang", "string").add("verdict", "string")
+    .add("batch_id", "long")
+  private val funnelSinkSchema = new org.apache.spark.sql.types.StructType()
+    .add("n_seen", "long").add("n_url_dup", "long")
+    .add("n_repetition", "long").add("n_quality", "long")
+    .add("n_near_dup", "long").add("n_contaminated", "long")
+    .add("n_admit", "long").add("batch_id", "long")
+
+  /** Hard-reset a batch-partitioned scratch table to empty (static
+    * overwrite drops ALL partitions — a re-invocation in the same
+    * session must not admit against a previous run's sink). */
+  private def resetBatchTable(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String): Unit =
+    s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** One micro-batch of the streaming delta curation (q232): the q226
+    * five-gate verdict with the BATCH as the delta. Batch-side
+    * relations (shingles, signatures, bands, all three per-doc gate
+    * passes) derive from the arriving batch's text; base state — the
+    * canonical-URL set, the base bands, the base shingles for exact
+    * verification — is FROZEN, read from the corpus at `d` (the q127
+    * delta discipline: batch bands broadcast against the base, the
+    * base never shuffles for candidates). Verdicts and the funnel row
+    * land under the batch's own partition (dynamic overwrite ⇒ a
+    * replayed batch replaces exactly itself). */
+  private[graft] def streamDeltaBatch(s: SparkSession, d: String,
+      batch: DataFrame, id: Long, sinkDir: String, statsDir: String): Unit = {
+    val base = documents(s, d).filter(col("source") =!= "src1" &&
+      col("doc_id") % 5 =!= 0)
+    val curlOf = CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl)
+    // stage 1: frozen URL store + within-batch keeper
+    val baseCurls = base.select(curlOf.as("curl")).distinct()
+      .withColumn("in_base", lit(true))
+    val urlFlags = batch.select(col("doc_id"), curlOf.as("curl"))
+      .join(baseCurls, Seq("curl"), "left_outer")
+      .withColumn("url_keep",
+        coalesce(col("in_base"), lit(false)) === false &&
+          col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy(col("curl"))))
+      .select(col("doc_id"), col("url_keep"))
+    // stages 2+5 (shared typed pass) and 3 (codegen pass) on batch text
+    val repContam = repContamPass(batch, benchGramSet(s, d))
+    val quality = CorpusCleaning.qualityLogitOf(batch)
+      .select(col("doc_id"), col("score"))
+    // stage 4: batch signatures from the batch itself; candidates vs
+    // the frozen base bands plus within-batch pairs; exact-Jaccard
+    // verify with each side's own shingle relation
+    val shDelta = graft.functions.Dedup.trackedShingles(s, batch)
+    val deltaBands = graft.functions.Dedup.bandedBuckets(
+      graft.functions.Dedup.signaturesFromShingles(s, shDelta))
+    val baseIds = base.select(col("doc_id"))
+    val shBase = graft.functions.Dedup.sharedShingles(s, d)
+      .join(baseIds, "doc_id")
+    val baseBands = graft.functions.Dedup.bandedBuckets(
+      graft.functions.Dedup.signaturesFromShingles(s,
+        graft.functions.Dedup.sharedShingles(s, d)))
+      .join(baseIds, "doc_id")
+    val vsBase = baseBands.alias("b")
+      .join(broadcast(deltaBands.alias("dl")),
+        col("b.band") === col("dl.band") &&
+          col("b.bucket") === col("dl.bucket"))
+      .select(col("dl.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val within = deltaBands.alias("x")
+      .join(broadcast(deltaBands.alias("y")),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val dupIds = graft.functions.Dedup
+      .verifyJaccardSides(shDelta, shBase, vsBase)
+      .unionByName(graft.functions.Dedup
+        .verifyJaccardSides(shDelta, shDelta, within))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    val verdictExpr = when(!col("url_keep"), "url_dup")
+      .when(!repKeepExpr(), "repetition")
+      .when(col("score") < graft.Thresholds.QualityLogitKeepMin, "quality")
+      .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+      .when(col("contaminated"), "contaminated")
+      .otherwise("admit")
+    val verdicts = batch.select(col("doc_id"), col("lang"))
+      .join(urlFlags, "doc_id")
+      .join(repContam, "doc_id")
+      .join(quality, "doc_id")
+      .join(dupIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), verdictExpr.as("verdict"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      verdicts.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(sinkDir)
+      def cnt(v: String) =
+        sum((col("verdict") === v).cast("long")).as("n_" + v)
+      verdicts.agg(count(lit(1)).as("n_seen"), cnt("url_dup"),
+          cnt("repetition"), cnt("quality"), cnt("near_dup"),
+          cnt("contaminated"), cnt("admit"))
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(statsDir)
+    } finally { verdicts.unpersist(); () }
+    ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -450,7 +595,7 @@ object CurationPipeline {
         .select(col("doc_a").as("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
       val verdict = when(!col("url_keep"), "url_dup")
-        .when(!repKeepExpr, "repetition")
+        .when(!repKeepExpr(), "repetition")
         .when(col("score") < graft.Thresholds.QualityLogitKeepMin,
           "quality")
         .when(coalesce(col("near_dup"), lit(false)), "near_dup")
@@ -585,6 +730,171 @@ object CurationPipeline {
             realized <= floor(col("multiplier")) + 1)
             .cast("int").as("within_bound"))
         .orderBy(col("lang"))
+    }),
+
+    // STREAMING DELTA CURATION (round-13 judge task #3) — q226 composed
+    // into the streaming-admission family (q130/q139/q190/q219's
+    // pattern): the crawler's batches ARRIVE as a stream, each
+    // micro-batch passes the full five-gate verdict against FROZEN base
+    // state, per-doc verdicts and the admitted set land exactly-once
+    // under their batch partition (dynamic overwrite: a replayed batch
+    // replaces exactly itself), and a one-row funnel accumulates per
+    // batch. Unlike q226, every batch-side relation derives from the
+    // BATCH ITSELF (shingles, signatures, gate passes over the arriving
+    // text — a crawler batch isn't in any table); base state is read
+    // once per batch from the frozen corpus. Bounded single-file replay
+    // = one batch ≡ q226 on the same delta — the q139 batch-twin
+    // discipline, enforced by sharing q226's oracle verbatim;
+    // sequential multi-batch semantics and restart idempotence are
+    // pinned by CurationPipelineSpec on a checkpointed two-file stream.
+    "q232_stream_delta_curation" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val sinkDir = graft.Tables.scratchDir(s, "q232_sink_" + tag)
+      val statsDir = graft.Tables.scratchDir(s, "q232_funnel_" + tag)
+      resetBatchTable(s, verdictSinkSchema, sinkDir)
+      resetBatchTable(s, funnelSinkSchema, statsDir)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
+        .filter(col("source") === "src1" && col("doc_id") % 5 =!= 0)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            streamDeltaBatch(s, d, batch, id, sinkDir, statsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.schema(verdictSinkSchema).parquet(sinkDir)
+        .select(col("doc_id"), col("lang"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PACKING-POLICY COMPARISON (round-13 judge task #5) — the decision
+    // table q229's audit exists to feed: the SAME epoch base (copies,
+    // content hash, rendezvous shard — one persisted relation, packed
+    // under both windows) chunked MIXED (per shard — q223's policy) vs
+    // HOMOGENEOUS (per (shard, language) — every sequence holds one
+    // language, so cross-document attention never crosses a language
+    // boundary). One row per policy: sequence count, padding tokens
+    // (budget minus tokens for each underfilled sequence — the
+    // homogeneous policy pays one tail per (shard, lang) instead of per
+    // shard), padding share, worst languages-per-sequence, and the
+    // share of single-language sequences. Scale shape: both packings
+    // are ONE window exchange over the shared base; the audits are
+    // sequence-grain rollups.
+    "q233_packing_policy" -> ((s, d) => {
+      val base = graft.PersistTracker.tracked("curation",
+        epochBaseOf(documents(s, d),
+          graft.functions.TextQueries.epochMultipliers(s, d), 8))
+      def audit(packed: DataFrame, grp: Seq[Column], policy: String) =
+        packed.groupBy(grp: _*)
+          .agg(sum(col("n_tok")).as("seq_tok"),
+            countDistinct(col("lang")).as("n_langs"))
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(col("seq_tok")).as("n_tokens"),
+            sum(greatest(lit(0L), lit(512L) - col("seq_tok")))
+              .as("n_pad_tokens"),
+            max(col("n_langs")).as("max_langs_per_seq"),
+            sum((col("n_langs") === 1).cast("long")).as("n_pure"))
+          .select(lit(policy).as("policy"), col("n_seqs"), col("n_tokens"),
+            col("n_pad_tokens"),
+            round(col("n_pad_tokens")
+              / (col("n_seqs") * 512).cast("double"), 6).as("pad_share"),
+            col("max_langs_per_seq"),
+            round(col("n_pure") / col("n_seqs").cast("double"), 6)
+              .as("pure_seq_share"))
+      audit(packFrom(base, 512L, homogeneous = false),
+          Seq(col("shard"), col("seq_id")), "mixed")
+        .unionByName(audit(packFrom(base, 512L, homogeneous = true),
+          Seq(col("shard"), col("lang"), col("seq_id")), "homogeneous"))
+        .orderBy(col("policy"))
+    }),
+
+    // MULTI-EPOCH EXPORT (round-13 judge task #7) — q228 schedules,
+    // q223 exports; this composes them: epochs 1..3 written under ONE
+    // Hive-partitioned manifest (epoch/shard), each epoch's copies
+    // drawn by the (doc_id, epoch)-keyed coin so epochs differ, and the
+    // q224 stochastic-rounding mass bound asserted PER EPOCH in-query
+    // (n_langs_out_of_bound must read 0 on every row). The packing
+    // window partitions by (epoch, shard) — the whole multi-epoch
+    // relation still pays exactly ONE corpus-sized exchange, not one
+    // per epoch. Copies of one (doc, cp) land on the same rendezvous
+    // shard in every epoch (the locality a resumable data loader
+    // wants); the manifest is re-read from the files it wrote.
+    "q234_multi_epoch_export" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.Tables.scratchDir(s,
+        "q234_epochs_" + graft.Tables.datasetTag(d))
+      val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+      val epochs = Seq(1L, 2L, 3L).toDF("epoch")
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":epoch:"), col("epoch").cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0)
+      val copies = floor(col("multiplier")).cast("long") +
+        (u < col("multiplier") - floor(col("multiplier"))).cast("long")
+      val mult = graft.functions.TextQueries.epochMultipliers(s, d)
+      val base = documents(s, d)
+        .join(broadcast(mult), "lang")
+        .crossJoin(broadcast(epochs))
+        .select(col("epoch"), col("doc_id"), col("lang"), col("text"),
+          col("multiplier"), copies.as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("epoch"), col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(1L), col("n_copies"))).as("cp"))
+        .select(col("epoch"), col("doc_id"), col("cp"), col("lang"),
+          nTok.as("n_tok"),
+          md5(concat(col("text"), lit(":"), col("cp").cast("string")))
+            .as("h"),
+          CurationAudits.hrwOwnerKeyed(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("cp").cast("string")), 8).cast("long").as("shard"))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"), col("cp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = base
+        .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("epoch"), col("shard"), col("doc_id"), col("cp"),
+          col("lang"), col("n_tok"), expr("prev div 512").as("seq_id"))
+      packed.write.mode("overwrite").partitionBy("epoch", "shard")
+        .parquet(dir)
+      val reread = s.read.parquet(dir)
+        .select(col("epoch").cast("long").as("epoch"),
+          col("shard").cast("long").as("shard"), col("doc_id"), col("cp"),
+          col("lang"), col("n_tok"), col("seq_id"))
+      // per-epoch mass bound (q224's, per epoch): realized multiplier
+      // per (epoch, lang) must land in [floor(m), floor(m)+1]
+      val baseTok = documents(s, d).select(col("lang"), nTok.as("nt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nt").cast("long")).as("base_tokens"))
+      val realized = round(
+        col("etok") / col("base_tokens").cast("double"), 6)
+      val bound = reread.groupBy(col("epoch"), col("lang"))
+        .agg(sum(col("n_tok")).as("etok"))
+        .join(baseTok, "lang")
+        .join(broadcast(mult), "lang")
+        .select(col("epoch"),
+          when(floor(col("multiplier")) <= realized &&
+            realized <= floor(col("multiplier")) + 1, 0L).otherwise(1L)
+            .as("oob"))
+        .groupBy(col("epoch"))
+        .agg(sum(col("oob")).as("n_langs_out_of_bound"))
+      val perSeq = reread.groupBy(col("epoch"), col("shard"), col("seq_id"))
+        .agg(sum(col("n_tok")).as("seq_tok"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          max(col("seq_tok")).as("max_seq_tokens"))
+      reread.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_doc_copies"),
+          sum(col("n_tok")).as("n_tokens"))
+        .join(perSeq, Seq("epoch", "shard"))
+        .join(broadcast(bound), "epoch")
+        .select(col("epoch"), col("shard"), col("n_doc_copies"),
+          col("n_seqs"), col("n_tokens"), col("max_seq_tokens"),
+          col("n_langs_out_of_bound"))
+        .orderBy(col("epoch"), col("shard"))
     })
   )
 
@@ -740,77 +1050,11 @@ object CurationPipeline {
                AS BIGINT) // $budget AS seq_id
            FROM pk)"""
 
-  val oracles: Map[String, String] = Map(
-    "q221_curation_provenance" ->
-      s"""WITH RECURSIVE $provenanceCtes
-         SELECT doc_id, source, lang, verdict FROM verdicts
-         ORDER BY doc_id""",
-
-    "q222_curation_funnel" ->
-      s"""WITH RECURSIVE $provenanceCtes,
-         vc AS (SELECT verdict, count(*) AS n FROM verdicts
-           GROUP BY verdict),
-         tt AS (SELECT count(*) AS n_total FROM verdicts),
-         st(stage_ord, stage, v) AS (SELECT * FROM (VALUES
-           (1, 'url_dedup', 'url_dup'), (2, 'repetition', 'repetition'),
-           (3, 'quality', 'quality'), (4, 'cluster_dedup', 'cluster_dup'),
-           (5, 'decontam', 'contaminated')) s(o, n, v2)),
-         fd AS (SELECT st.stage_ord, st.stage,
-             CAST(coalesce(vc.n, 0) AS BIGINT) AS n_dropped
-           FROM st LEFT JOIN vc ON st.v = vc.verdict)
-         SELECT stage_ord, stage,
-           CAST(n_total - coalesce(sum(n_dropped) OVER (ORDER BY stage_ord
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS n_in,
-           n_dropped,
-           CAST(n_total - sum(n_dropped) OVER (ORDER BY stage_ord
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS n_out
-         FROM fd CROSS JOIN tt ORDER BY stage_ord""",
-
-    "q223_epoch_export" ->
-      s"""WITH $epochPackedCtes,
-         seqs AS (
-           SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
-           FROM packed GROUP BY 1, 2),
-         m1 AS (
-           SELECT shard, count(*) AS n_doc_copies,
-             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             count(DISTINCT lang) AS n_langs
-           FROM packed GROUP BY shard),
-         m2 AS (
-           SELECT shard, count(*) AS n_seqs, max(seq_tok) AS max_seq_tokens
-           FROM seqs GROUP BY shard)
-         SELECT shard, n_doc_copies, n_seqs, n_tokens, n_langs,
-           max_seq_tokens
-         FROM m1 JOIN m2 USING (shard) ORDER BY shard""",
-
-    "q225_curated_epoch_export" ->
-      s"""WITH RECURSIVE $provenanceCtes,
-         keeps AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
-         kdocs AS (SELECT d.* FROM documents d JOIN keeps USING (doc_id)),
-         ${epochPackedCtesFrom("kdocs")},
-         seqs AS (
-           SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
-           FROM packed GROUP BY 1, 2),
-         m1 AS (
-           SELECT shard, count(*) AS n_doc_copies,
-             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             count(DISTINCT lang) AS n_langs
-           FROM packed GROUP BY shard),
-         m2 AS (
-           SELECT shard, count(*) AS n_seqs, max(seq_tok) AS max_seq_tokens
-           FROM seqs GROUP BY shard)
-         SELECT shard, n_doc_copies, n_seqs, n_tokens, n_langs,
-           max_seq_tokens
-         FROM m1 JOIN m2 USING (shard) ORDER BY shard""",
-
-    // the delta form: same shared fragments (shingles for the exact
-    // near-dup ground truth, the qscore chain, the URL synth/canon
-    // pair, the rep gate), populations split per the q127 delta and
-    // decontamination-family conventions
-    "q226_delta_curation" ->
-      s"""WITH ${graft.functions.Dedup.shingleCtes},
+  /** The delta five-gate verdict replay shared verbatim by q226
+    * (batch) and q232 (streamed single-batch replay) — one string,
+    * so the two paths cannot drift. */
+  private def deltaCurationOracle: String =
+    s"""WITH ${graft.functions.Dedup.shingleCtes},
          ${CorpusCleaning.qualityScoreCtes},
          ddocs AS (SELECT doc_id, lang, source, text FROM documents
            WHERE source = 'src1' AND doc_id % 5 <> 0),
@@ -885,7 +1129,84 @@ object CurationPipeline {
          JOIN duk ON dd.doc_id = duk.doc_id
          JOIN drg ON dd.doc_id = drg.doc_id
          JOIN qscore q ON dd.doc_id = q.doc_id
-         ORDER BY dd.doc_id""",
+         ORDER BY dd.doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q221_curation_provenance" ->
+      s"""WITH RECURSIVE $provenanceCtes
+         SELECT doc_id, source, lang, verdict FROM verdicts
+         ORDER BY doc_id""",
+
+    "q222_curation_funnel" ->
+      s"""WITH RECURSIVE $provenanceCtes,
+         vc AS (SELECT verdict, count(*) AS n FROM verdicts
+           GROUP BY verdict),
+         tt AS (SELECT count(*) AS n_total FROM verdicts),
+         st(stage_ord, stage, v) AS (SELECT * FROM (VALUES
+           (1, 'url_dedup', 'url_dup'), (2, 'repetition', 'repetition'),
+           (3, 'quality', 'quality'), (4, 'cluster_dedup', 'cluster_dup'),
+           (5, 'decontam', 'contaminated')) s(o, n, v2)),
+         fd AS (SELECT st.stage_ord, st.stage,
+             CAST(coalesce(vc.n, 0) AS BIGINT) AS n_dropped
+           FROM st LEFT JOIN vc ON st.v = vc.verdict)
+         SELECT stage_ord, stage,
+           CAST(n_total - coalesce(sum(n_dropped) OVER (ORDER BY stage_ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_in,
+           n_dropped,
+           CAST(n_total - sum(n_dropped) OVER (ORDER BY stage_ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_out
+         FROM fd CROSS JOIN tt ORDER BY stage_ord""",
+
+    "q223_epoch_export" ->
+      s"""WITH $epochPackedCtes,
+         seqs AS (
+           SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+           FROM packed GROUP BY 1, 2),
+         m1 AS (
+           SELECT shard, count(*) AS n_doc_copies,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             count(DISTINCT lang) AS n_langs
+           FROM packed GROUP BY shard),
+         m2 AS (
+           SELECT shard, count(*) AS n_seqs, max(seq_tok) AS max_seq_tokens
+           FROM seqs GROUP BY shard)
+         SELECT shard, n_doc_copies, n_seqs, n_tokens, n_langs,
+           max_seq_tokens
+         FROM m1 JOIN m2 USING (shard) ORDER BY shard""",
+
+    "q225_curated_epoch_export" ->
+      s"""WITH RECURSIVE $provenanceCtes,
+         keeps AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
+         kdocs AS (SELECT d.* FROM documents d JOIN keeps USING (doc_id)),
+         ${epochPackedCtesFrom("kdocs")},
+         seqs AS (
+           SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+           FROM packed GROUP BY 1, 2),
+         m1 AS (
+           SELECT shard, count(*) AS n_doc_copies,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             count(DISTINCT lang) AS n_langs
+           FROM packed GROUP BY shard),
+         m2 AS (
+           SELECT shard, count(*) AS n_seqs, max(seq_tok) AS max_seq_tokens
+           FROM seqs GROUP BY shard)
+         SELECT shard, n_doc_copies, n_seqs, n_tokens, n_langs,
+           max_seq_tokens
+         FROM m1 JOIN m2 USING (shard) ORDER BY shard""",
+
+    // the delta form: same shared fragments (shingles for the exact
+    // near-dup ground truth, the qscore chain, the URL synth/canon
+    // pair, the rep gate), populations split per the q127 delta and
+    // decontamination-family conventions
+    "q226_delta_curation" -> deltaCurationOracle,
+
+    // the streamed form IS the batch twin: a bounded single-file replay
+    // is one micro-batch over exactly q226's delta, so the SAME oracle
+    // applies verbatim — sharing the string is what makes engine drift
+    // between the batch and streamed paths impossible to hide
+    "q232_stream_delta_curation" -> deltaCurationOracle,
 
     "q227_curated_datasheet" ->
       s"""WITH RECURSIVE $provenanceCtes,
@@ -973,6 +1294,128 @@ object CurationPipeline {
              AND round(e.n_tokens / CAST(b.base_tokens AS DOUBLE), 6)
                <= floor(mu.multiplier) + 1 AS INT) AS within_bound
          FROM ep e JOIN bt b USING (lang) JOIN mult mu USING (lang)
-         ORDER BY e.lang"""
+         ORDER BY e.lang""",
+
+    // both policies replayed from the ONE shared pk relation: the mixed
+    // window is epochPackedCtes' own `packed`; the homogeneous window
+    // re-partitions the identical rows by (shard, lang)
+    "q233_packing_policy" ->
+      s"""WITH $epochPackedCtes,
+         packed_h AS (
+           SELECT shard, lang, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard, lang
+               ORDER BY ch, doc_id, cp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) // 512 AS seq_id
+           FROM pk),
+         pm AS (SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS st,
+             count(DISTINCT lang) AS nl
+           FROM packed GROUP BY 1, 2),
+         ph AS (SELECT shard, lang, seq_id, CAST(sum(n_tok) AS BIGINT) AS st,
+             count(DISTINCT lang) AS nl
+           FROM packed_h GROUP BY 1, 2, 3),
+         am AS (SELECT 'mixed' AS policy, count(*) AS n_seqs,
+             CAST(sum(st) AS BIGINT) AS n_tokens,
+             CAST(sum(greatest(0, 512 - st)) AS BIGINT) AS n_pad_tokens,
+             max(nl) AS max_langs_per_seq,
+             CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pure
+           FROM pm),
+         ah AS (SELECT 'homogeneous' AS policy, count(*) AS n_seqs,
+             CAST(sum(st) AS BIGINT) AS n_tokens,
+             CAST(sum(greatest(0, 512 - st)) AS BIGINT) AS n_pad_tokens,
+             max(nl) AS max_langs_per_seq,
+             CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pure
+           FROM ph)
+         SELECT policy, n_seqs, n_tokens, n_pad_tokens,
+           round(n_pad_tokens / CAST(n_seqs * 512 AS DOUBLE), 6)
+             AS pad_share,
+           max_langs_per_seq,
+           round(n_pure / CAST(n_seqs AS DOUBLE), 6) AS pure_seq_share
+         FROM (SELECT * FROM am UNION ALL SELECT * FROM ah)
+         ORDER BY policy""",
+
+    // full multi-epoch replay: q228's per-(doc, epoch) coin, the shared
+    // rendezvous shard per (doc, cp), the (epoch, shard) packing
+    // window, manifest rollups, and the per-epoch q224 bound
+    "q234_multi_epoch_export" ->
+      s"""WITH ${graft.functions.TextQueries.targetMixCtes},
+         mult AS (SELECT lang, round(cw * zf, 6) AS multiplier
+           FROM w CROSS JOIN z),
+         eps AS (SELECT CAST(e AS BIGINT) AS epoch FROM range(1, 4) t(e)),
+         cps AS (
+           SELECT ep.epoch, d.doc_id, d.lang, d.text,
+             CAST(floor(mu.multiplier) AS BIGINT)
+               + CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                   [strpos('0123456789abcdef', c)::BIGINT - 1
+                    for c in string_split(substr(md5(d.doc_id::VARCHAR
+                      || ':epoch:' || ep.epoch::VARCHAR), 1, 13), '')]),
+                   (a, x) -> a * 16 + x) / 4503599627370496.0
+                 < mu.multiplier - floor(mu.multiplier)
+                 THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN mult mu USING (lang) CROSS JOIN eps ep),
+         erep AS (
+           SELECT epoch, doc_id, lang, text,
+             unnest(range(1, n_copies + 1)) AS cp
+           FROM cps WHERE n_copies > 0),
+         ehh AS (
+           SELECT p.doc_id, p.cp, r.i AS s,
+             md5(p.doc_id::VARCHAR || ':' || p.cp::VARCHAR
+               || ':' || r.i::VARCHAR) AS hv
+           FROM (SELECT DISTINCT doc_id, cp FROM erep) p, range(8) r(i)),
+         eown AS (
+           SELECT doc_id, cp, s AS shard FROM (
+             SELECT doc_id, cp, s, row_number()
+               OVER (PARTITION BY doc_id, cp ORDER BY hv DESC, s DESC) AS rk
+             FROM ehh) WHERE rk = 1),
+         epk AS (
+           SELECT r.epoch, o.shard, r.doc_id, r.cp, r.lang,
+             len(list_filter(string_split_regex(r.text, '[^\\p{L}]+'),
+               x -> x <> '')) AS n_tok,
+             md5(r.text || ':' || r.cp::VARCHAR) AS ch
+           FROM erep r JOIN eown o ON r.doc_id = o.doc_id AND r.cp = o.cp),
+         epacked AS (
+           SELECT epoch, shard, doc_id, cp, lang, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY epoch, shard
+               ORDER BY ch, doc_id, cp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) // 512 AS seq_id
+           FROM epk),
+         eseqs AS (
+           SELECT epoch, shard, seq_id, CAST(sum(n_tok) AS BIGINT)
+             AS seq_tok
+           FROM epacked GROUP BY 1, 2, 3),
+         m1 AS (
+           SELECT epoch, shard, count(*) AS n_doc_copies,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM epacked GROUP BY 1, 2),
+         m2 AS (
+           SELECT epoch, shard, count(*) AS n_seqs,
+             max(seq_tok) AS max_seq_tokens
+           FROM eseqs GROUP BY 1, 2),
+         bt AS (
+           SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(text,
+               '[^\\p{L}]+'), x -> x <> ''))) AS BIGINT) AS base_tokens
+           FROM documents GROUP BY lang),
+         el AS (
+           SELECT epoch, lang, CAST(sum(n_tok) AS BIGINT) AS etok
+           FROM epacked GROUP BY 1, 2),
+         bnd AS (
+           SELECT el.epoch,
+             CAST(sum(CASE WHEN
+                 floor(mu.multiplier)
+                   <= round(el.etok / CAST(b.base_tokens AS DOUBLE), 6)
+                 AND round(el.etok / CAST(b.base_tokens AS DOUBLE), 6)
+                   <= floor(mu.multiplier) + 1
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_langs_out_of_bound
+           FROM el JOIN bt b USING (lang) JOIN mult mu USING (lang)
+           GROUP BY 1)
+         SELECT m1.epoch, m1.shard, m1.n_doc_copies, m2.n_seqs,
+           m1.n_tokens, m2.max_seq_tokens, bnd.n_langs_out_of_bound
+         FROM m1 JOIN m2 ON m1.epoch = m2.epoch AND m1.shard = m2.shard
+         JOIN bnd ON bnd.epoch = m1.epoch
+         ORDER BY m1.epoch, m1.shard"""
   )
 }

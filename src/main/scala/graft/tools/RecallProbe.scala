@@ -67,13 +67,27 @@ object RecallProbe {
     val hit3 = graphEdges.join(exact3, Seq("probe_id", "vec_id"), "left_semi")
       .count()
 
+    // q231 NN-descent — the PRODUCTION graph path since round 14: same
+    // recall@3 readout, its build timed the same way as the IVF graph
+    // so the sub-n^1.5 claim and its recall price come from one run
+    val t2 = System.nanoTime()
+    val nndAll = graft.functions.KnnDescent
+      .graph(spark, emb, sfDir + "#nnd")
+      .select(col("src").as("probe_id"), col("nbr").as("vec_id"))
+    val nEdgesNnd = nndAll.count()
+    val nndSecs = (System.nanoTime() - t2) / 1e9
+    val hitNnd = nndAll.filter(col("probe_id") % step === 0)
+      .join(exact3, Seq("probe_id", "vec_id"), "left_semi").count()
+
     def r4(x: Double) = math.round(x * 10000).toDouble / 10000
     println(
       s"""{"metric":"ann_recall","sf":"$sfDir","n_vecs":$n,""" +
       s""""ivf_k":$kUsed,"n_probes":$nProbes,""" +
       s""""recall_q31_at5":${r4(hit5.toDouble / nExact5)},""" +
       s""""recall_q73_at3":${r4(hit3.toDouble / nExact3)},""" +
-      s""""knn_graph_secs":${r4(graphSecs)},"n_edges":$nEdges}""")
+      s""""knn_graph_secs":${r4(graphSecs)},"n_edges":$nEdges,""" +
+      s""""recall_nnd_at3":${r4(hitNnd.toDouble / nExact3)},""" +
+      s""""nnd_graph_secs":${r4(nndSecs)},"n_edges_nnd":$nEdgesNnd}""")
     graft.functions.Similarity.releaseCaches(spark)
     spark.stop()
   }

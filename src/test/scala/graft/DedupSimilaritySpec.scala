@@ -136,7 +136,8 @@ class DedupSimilaritySpec extends TestSpark {
   }
 
   test("q77 embedding dedup: clusters honor the thresholded knn edges") {
-    val edges = Similarity.queries("q73_knn_graph")(spark, sf0001)
+    // q77 consumes the PRODUCTION graph (q231 NN-descent) since round 14
+    val edges = graft.functions.KnnDescent.queries("q231_knn_descent")(spark, sf0001)
       .filter(col("cos") >= 0.4)
       .select("src_id", "nbr_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -795,7 +796,7 @@ class DedupSimilaritySpec extends TestSpark {
       s"bit-array join is not broadcast:\n${p18.take(600)}")
   }
 
-  test("q220 cross-label near-dups: exactly the q73 edges above the near-dup threshold with mismatched labels") {
+  test("q220 cross-label near-dups: exactly the q231 edges above the near-dup threshold with mismatched labels") {
     val rows = graft.functions.Similarity.queries("q220_crosslabel_neardup")(
       spark, sf0001).collect()
       .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id")) ->
@@ -805,20 +806,91 @@ class DedupSimilaritySpec extends TestSpark {
     val labels = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label")).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
-    // compose recount: the q73 kNN edges, thresholded and label-filtered
-    val want = graft.functions.Similarity.queries("q73_knn_graph")(
+    // compose recount: the q231 NN-descent edges (the production graph
+    // since round 14), thresholded and label-filtered
+    val want = graft.functions.KnnDescent.queries("q231_knn_descent")(
       spark, sf0001).collect()
       .filter(_.getAs[Double]("cos") >= 0.4)
       .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id")) ->
         r.getAs[Double]("cos"))
       .filter { case ((a, b), _) => labels(a) != labels(b) }.toMap
     assert(rows.keySet == want.keySet,
-      s"edge set diverges from the q73 composition: ${rows.keySet.size} vs ${want.keySet.size}")
+      s"edge set diverges from the q231 composition: ${rows.keySet.size} vs ${want.keySet.size}")
     rows.foreach { case ((a, b), (la, lb, c)) =>
       assert(la == labels(a) && lb == labels(b), s"($a,$b) labels wrong")
       assert(la != lb, s"($a,$b) labels agree — must have been filtered")
       assert(c == want((a, b)), s"($a,$b) cos drifted")
       assert(c >= 0.4, s"($a,$b) below the near-dup edge")
     }
+  }
+
+  test("q231 nn-descent graph: contiguous ranks, no self-edges, exact cos on edges") {
+    val rows = graft.functions.KnnDescent.queries("q231_knn_descent")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.groupBy(_.getAs[Long]("src_id")).foreach { case (src, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rk"))
+      // ranks contiguous from 1, at most K (a vector whose probed
+      // buckets and descent frontier hold fewer than K others
+      // legitimately has fewer edges)
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.length <= graft.functions.KnnDescent.K)
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      sorted.foreach { r =>
+        val nbr = r.getAs[Long]("nbr_id")
+        assert(nbr != src)
+        assert(r.getAs[Double]("cos") ==
+          Similarity.roundedCosine(emb(src), emb(nbr)))
+      }
+    }
+  }
+
+  test("q231 descent rounds dominate pointwise: no src loses edges or cosine mass") {
+    // candidates(t) always contain the current edges, so each round's
+    // top-K per src is a pointwise >= replacement of the last round's —
+    // the monotone-improvement invariant NN-descent's convergence
+    // argument rests on (Dong et al. 2011 §2)
+    val st = graft.functions.KnnDescent.stages(spark,
+      Tables.embeddings(spark, sf0001), sf0001 + "#stages")
+    val per: IndexedSeq[Map[Long, Seq[Double]]] = st.map(_.collect()
+      .groupBy(_.getAs[Long]("src"))
+      .map { case (s, es) =>
+        s -> es.map(_.getAs[Double]("cos")).sortBy(-_).toSeq })
+    assert(per.head.nonEmpty)
+    for (t <- 1 until per.length; (src, prev) <- per(t - 1)) {
+      val cur = per(t).getOrElse(src, Seq.empty)
+      assert(cur.length >= prev.length, s"round $t dropped edges of $src")
+      prev.indices.foreach { i =>
+        assert(cur(i) >= prev(i),
+          s"round $t worsened rank-${i + 1} cos of $src: ${prev(i)} -> ${cur(i)}")
+      }
+    }
+  }
+
+  test("NN-descent seed candidate volume grows quasi-linearly across scales") {
+    // the whole point of the LSH seed: candidate volume ~n·occ·(p+1) =
+    // O(n log n), vs the flat-IVF graph's nProbe·n^1.5 (q73's bound,
+    // measured alpha=1.36 at 10x in round 13)
+    def run(d: String): (Long, Long) = {
+      val df = graft.functions.KnnDescent.seedScored(spark,
+        Tables.embeddings(spark, d), d + "#seedgrowth")
+      df.collect()
+      val m = df.queryExecution.observedMetrics("nnd_seed_candidates")
+      (Tables.embeddings(spark, d).count(), m.getAs[Long]("n_candidates"))
+    }
+    val (n1, c1) = run(sf0001)
+    val (n2, c2) = run("/root/testdata/sf0.1")
+    assert(c1 > 0 && c2 > 0)
+    val nRatio = n2.toDouble / n1
+    val cRatio = c2.toDouble / c1
+    info(f"n: $n1 -> $n2 (×$nRatio%.1f); seed candidates: $c1 -> $c2 " +
+      f"(×$cRatio%.1f); n^1.5 would be ×${math.pow(nRatio, 1.5)}%.1f")
+    assert(cRatio < math.pow(nRatio, 1.5) * 0.85,
+      f"seed candidate growth ×$cRatio%.1f is not meaningfully below " +
+        f"the flat-IVF n^1.5 bound (×${math.pow(nRatio, 1.5)}%.1f)")
   }
 }
