@@ -414,6 +414,7 @@ object Bench {
       s""""runs":$runsJson,"query_loadavg":$qLoadJson,""" +
       s""""stream_events_per_sec":$streamEps,""" +
       s""""stream_eps":$epsJson,""" +
+      s""""aqe_final_shapes":$aqeJson,"aqe_shape_drift":$aqeDriftJson,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""sf":"$sfDir"}""")
     // COMPACT metric line (round-8 judge ask #1): totals + per-query
@@ -489,6 +490,7 @@ object Bench {
           s""""subtotal_comparable11":${subtotal(comparable11)},""" +
           s""""stream_events_per_sec":$streamEps,"stream_eps":$epsJson,""" +
           s""""derived_constants":$constsJson,""" +
+          s""""aqe_final_shapes":$aqeJson,"aqe_shape_drift":$aqeDriftJson,""" +
           s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
           s""""sf":"$sfDir"}""")
         finally w.close()

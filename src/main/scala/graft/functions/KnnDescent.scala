@@ -54,6 +54,17 @@ import org.apache.spark.sql.functions._
   * cosines, total-order tie-breaks, set-semantics candidate unions —
   * so the oracle replays seed, every descent round, and the final
   * ranking exactly.
+  *
+  * Recall posture (measured, ann_recall_r14.json): on corpora WITH
+  * neighbor structure (the banded planted fixtures — the shape real
+  * embedding corpora have) the graph reads within 0.07 recall@3 of
+  * the flat-IVF audit path while building 2.4× faster at 10× and
+  * growing at α 0.52 vs 1.27; on PURE-RANDOM vectors (the x1 leg, no
+  * structure for the seed to find) it reads 0.18 vs IVF's 0.32 —
+  * the price of dropping the n^1.5 candidate volume. The recall
+  * dials, in preference order: more [[Iters]] (linear cost), a
+  * Hamming-2 probe radius on the seed (≈p/2× more seed candidates —
+  * still O(n·log²n)), and only then a wider [[K]].
   */
 object KnnDescent {
 
