@@ -177,10 +177,12 @@ object Bench {
     // quasi-linear candidate volume (q73 stays in the headline as the
     // flat-IVF audit path; q77/q122/q220 now consume this graph)
     "q231_knn_descent",
-    // the packing-policy decision table and the multi-epoch exporter
-    // (q232 streaming delta curation stays out — its batch twin q226
-    // carries the family's timing, the q219 precedent)
-    "q233_packing_policy", "q234_multi_epoch_export")
+    // the packing-policy decision table, the multi-epoch exporter, and
+    // the attention-purity audit (q232 streaming delta curation stays
+    // out — its batch twin q226 carries the family's timing, the q219
+    // precedent)
+    "q233_packing_policy", "q234_multi_epoch_export",
+    "q235_attention_purity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

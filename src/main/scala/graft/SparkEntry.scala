@@ -146,7 +146,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single-language purity, the decision q229's audit feeds, q234 the
   * multi-epoch exporter — epochs 1..3 under one Hive-partitioned
   * manifest with the q224 mass bound asserted per epoch and one
-  * corpus-sized exchange for the whole relation),
+  * corpus-sized exchange for the whole relation, q235 the
+  * attention-purity audit — per-policy cross-document attention-pair
+  * share, the doc-boundary-mask decision number),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

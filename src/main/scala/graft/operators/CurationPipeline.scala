@@ -92,6 +92,12 @@ object CurationPipeline {
       val id = graft.Tables.sessionKey(s)
       provCache.filterInPlace { case ((sid, _), _) => sid != id }
     }
+    gramCache.synchronized {
+      val id = graft.Tables.sessionKey(s)
+      gramCache.filterInPlace { case ((sid, _), bc) =>
+        if (sid == id) { bc.destroy(); false } else true
+      }
+    }
     graft.PersistTracker.release("curation", s)
   }
 
@@ -111,8 +117,25 @@ object CurationPipeline {
     * adjudication) — so collect + broadcast is the production plan: the
     * corpus probes it map-side and the gram-keyed shuffle of the exact
     * join (q74) never happens at any corpus scale. */
+  /** Memo for [[benchGramSet]], keyed like [[provCache]]: the streaming
+    * form (q232) probes the same frozen gram set on EVERY micro-batch,
+    * and re-collecting an unchanged eval suite per batch is pure driver
+    * churn. Only default-cap builds are cached (the fail-fast spec
+    * drives non-default caps). */
+  private val gramCache = scala.collection.mutable.Map.empty[(String, String),
+    org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]]]
+
   private[graft] def benchGramSet(s: SparkSession, d: String,
       cap: Int = BenchGramCap)
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] =
+    if (cap == BenchGramCap)
+      gramCache.synchronized {
+        gramCache.getOrElseUpdate((graft.Tables.sessionKey(s), d),
+          buildBenchGramSet(s, d, cap))
+      }
+    else buildBenchGramSet(s, d, cap)
+
+  private def buildBenchGramSet(s: SparkSession, d: String, cap: Int)
       : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
     import s.implicits._
     val grams = documents(s, d).filter(col("doc_id") % 5 === 0)
@@ -813,6 +836,47 @@ object CurationPipeline {
         .orderBy(col("policy"))
     }),
 
+    // ATTENTION-PURITY AUDIT — the DOC-level number behind the
+    // doc-boundary-mask decision, complementing q229/q233's
+    // LANGUAGE-level view: in a concat-then-chunk sequence, a token
+    // can attend tokens of OTHER documents; per sequence the cross-
+    // document share of attention pairs is 1 − Σ_doc n_tok² / seq_tok²
+    // (self-pairs included — pure integer arithmetic, replayed
+    // exactly). Reported per packing policy over the SAME epoch base:
+    // the homogeneous policy fixes languages-per-sequence (q233's
+    // axis) but NOT doc-level contamination — sequences still hold
+    // many same-language documents — which is precisely why masks are
+    // a separate decision from packing policy, and this table is what
+    // shows it. Columns: total attention pairs, cross-document pairs,
+    // their share, and the worst single sequence. Same scale shape as
+    // q233: one window exchange per policy over the shared persisted
+    // base, then sequence-grain rollups.
+    "q235_attention_purity" -> ((s, d) => {
+      val base = graft.PersistTracker.tracked("curation",
+        epochBaseOf(documents(s, d),
+          graft.functions.TextQueries.epochMultipliers(s, d), 8))
+      val nt = col("n_tok").cast("long")
+      def audit(packed: DataFrame, grp: Seq[Column], policy: String) =
+        packed.groupBy(grp: _*)
+          .agg(sum(nt).as("st"), sum(nt * nt).as("wi"))
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(col("st") * col("st")).as("attn_pairs"),
+            sum(col("st") * col("st") - col("wi")).as("cross_doc_pairs"),
+            max(round((col("st") * col("st") - col("wi"))
+              / (col("st") * col("st")).cast("double"), 6))
+              .as("max_seq_cross_frac"))
+          .select(lit(policy).as("policy"), col("n_seqs"),
+            col("attn_pairs"), col("cross_doc_pairs"),
+            round(col("cross_doc_pairs")
+              / col("attn_pairs").cast("double"), 6).as("cross_share"),
+            col("max_seq_cross_frac"))
+      audit(packFrom(base, 512L, homogeneous = false),
+          Seq(col("shard"), col("seq_id")), "mixed")
+        .unionByName(audit(packFrom(base, 512L, homogeneous = true),
+          Seq(col("shard"), col("lang"), col("seq_id")), "homogeneous"))
+        .orderBy(col("policy"))
+    }),
+
     // MULTI-EPOCH EXPORT (round-13 judge task #7) — q228 schedules,
     // q223 exports; this composes them: epochs 1..3 written under ONE
     // Hive-partitioned manifest (epoch/shard), each epoch's copies
@@ -1333,6 +1397,43 @@ object CurationPipeline {
              AS pad_share,
            max_langs_per_seq,
            round(n_pure / CAST(n_seqs AS DOUBLE), 6) AS pure_seq_share
+         FROM (SELECT * FROM am UNION ALL SELECT * FROM ah)
+         ORDER BY policy""",
+
+    // the same two packings, rolled to attention-pair arithmetic:
+    // within-doc pairs Σ n_tok², totals seq_tok², integer-exact
+    "q235_attention_purity" ->
+      s"""WITH $epochPackedCtes,
+         packed_h AS (
+           SELECT shard, lang, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard, lang
+               ORDER BY ch, doc_id, cp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) // 512 AS seq_id
+           FROM pk),
+         pm AS (SELECT shard, seq_id, CAST(sum(n_tok) AS BIGINT) AS st,
+             CAST(sum(n_tok * n_tok) AS BIGINT) AS wi
+           FROM packed GROUP BY 1, 2),
+         ph AS (SELECT shard, lang, seq_id,
+             CAST(sum(n_tok) AS BIGINT) AS st,
+             CAST(sum(n_tok * n_tok) AS BIGINT) AS wi
+           FROM packed_h GROUP BY 1, 2, 3),
+         am AS (SELECT 'mixed' AS policy, count(*) AS n_seqs,
+             CAST(sum(st * st) AS BIGINT) AS attn_pairs,
+             CAST(sum(st * st - wi) AS BIGINT) AS cross_doc_pairs,
+             max(round((st * st - wi) / CAST(st * st AS DOUBLE), 6))
+               AS max_seq_cross_frac
+           FROM pm),
+         ah AS (SELECT 'homogeneous' AS policy, count(*) AS n_seqs,
+             CAST(sum(st * st) AS BIGINT) AS attn_pairs,
+             CAST(sum(st * st - wi) AS BIGINT) AS cross_doc_pairs,
+             max(round((st * st - wi) / CAST(st * st AS DOUBLE), 6))
+               AS max_seq_cross_frac
+           FROM ph)
+         SELECT policy, n_seqs, attn_pairs, cross_doc_pairs,
+           round(cross_doc_pairs / CAST(attn_pairs AS DOUBLE), 6)
+             AS cross_share,
+           max_seq_cross_frac
          FROM (SELECT * FROM am UNION ALL SELECT * FROM ah)
          ORDER BY policy""",
 

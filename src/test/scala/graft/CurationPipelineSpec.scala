@@ -505,6 +505,40 @@ class CurationPipelineSpec extends TestSpark {
       math.round(pure229.toDouble / mixed.getAs[Long]("n_seqs") * 1e6) / 1e6)
   }
 
+  test("q235 attention purity: pair arithmetic recounts brute-force, language homogeneity does not fix doc-level contamination") {
+    val rows = CurationPipeline.queries("q235_attention_purity")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("mixed", "homogeneous"))
+    // brute-force recount of the mixed row from the packed relation
+    val packed = CurationPipeline.epochPacked(spark, sf0001,
+        nShards = 8, budget = 512L)
+      .select(col("shard"), col("seq_id"), col("n_tok")).collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .toSeq // BEFORE map: tuple results re-key a Map and collapse
+      .map { case (_, rs) =>
+        val toks = rs.map(_.getAs[Int]("n_tok").toLong)
+        val st = toks.sum
+        (st * st, st * st - toks.map(t => t * t).sum)
+      }
+    val mixed = rows("mixed")
+    assert(mixed.getAs[Long]("n_seqs") == packed.size.toLong)
+    assert(mixed.getAs[Long]("attn_pairs") == packed.map(_._1).sum)
+    assert(mixed.getAs[Long]("cross_doc_pairs") == packed.map(_._2).sum)
+    // shares well-formed, worst sequence bounded by 1
+    rows.values.foreach { r =>
+      val share = r.getAs[Double]("cross_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("max_seq_cross_frac") <= 1.0)
+      assert(r.getAs[Long]("cross_doc_pairs") <= r.getAs[Long]("attn_pairs"))
+    }
+    // THE point of the table: language-homogeneous packing leaves
+    // doc-level contamination substantially intact (sequences still
+    // hold many same-language docs) — masks are a separate decision
+    val hom = rows("homogeneous")
+    assert(hom.getAs[Double]("cross_share") > 0.5 * mixed.getAs[Double]("cross_share"),
+      "homogeneous packing should NOT look like a doc-level fix")
+  }
+
   test("q234 multi-epoch export: per-epoch mass bound holds, totals reconcile with q228's schedule") {
     val rows = CurationPipeline.queries("q234_multi_epoch_export")(
       spark, sf0001).collect()
@@ -623,10 +657,11 @@ class CurationPipelineSpec extends TestSpark {
     }
     assert(ex.getMessage.contains("q74"), "error must name the exact-join fallback")
     assert(ex.getMessage.contains("cap 10"))
-    // and the default cap admits the fixture slice (the happy path)
+    // and the default cap admits the fixture slice (the happy path);
+    // default-cap builds are session-cached, so do NOT destroy — later
+    // tests share this broadcast (releaseCaches owns its teardown)
     val bc = CurationPipeline.benchGramSet(spark, sf0001)
     assert(bc.value.size() > 0 && bc.value.size() <= CurationPipeline.BenchGramCap)
-    bc.destroy()
   }
 
   override def afterAll(): Unit = {
