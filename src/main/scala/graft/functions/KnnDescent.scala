@@ -61,10 +61,13 @@ import org.apache.spark.sql.functions._
   * the flat-IVF audit path while building 2.4× faster at 10× and
   * growing at α 0.52 vs 1.27; on PURE-RANDOM vectors (the x1 leg, no
   * structure for the seed to find) it reads 0.18 vs IVF's 0.32 —
-  * the price of dropping the n^1.5 candidate volume. The recall
-  * dials, in preference order: more [[Iters]] (linear cost), a
-  * Hamming-2 probe radius on the seed (≈p/2× more seed candidates —
-  * still O(n·log²n)), and only then a wider [[K]].
+  * the price of dropping the n^1.5 candidate volume. The recall dial
+  * that works is the EXECUTABLE seed probe radius ([[seedScored]]'s
+  * probeRadius — Hamming-2 adds the two-bit flips, ≈p/2× more seed
+  * candidates, still O(n·log²n); RecallProbe measures both radii).
+  * More [[Iters]] is NOT the dial: per-stage measurement on the
+  * random-vector leg shows descent converged by round 3 (seed 0.145 →
+  * 0.168 → 0.180 → 0.1833 flat), with Iters = 2 at 98% of converged.
   */
 object KnnDescent {
 
@@ -113,18 +116,35 @@ object KnnDescent {
 
   /** The multi-probed seed candidate relation (src, nbr, cos), with the
     * candidate-volume observe() metric riding it (the ivf_candidates
-    * discipline: DedupSimilaritySpec pins ~n·log n growth on it). */
+    * discipline: DedupSimilaritySpec pins ~n·log n growth on it).
+    *
+    * `probeRadius` is THE measured recall dial (iteration count is
+    * not — descent converges by round 3, COVERAGE.md x1 measurement):
+    * radius 1 probes own bucket + p one-bit flips (the production
+    * default every query path uses — O(n·occ·p) seed candidates);
+    * radius 2 adds the p(p−1)/2 two-bit flips — ~p/2× more seed
+    * candidates, still O(n·log²n), for corpora whose neighbors sit at
+    * weak cosine margins. RecallProbe measures both. */
   private[graft] def seedScored(s: SparkSession, emb: DataFrame,
-      cacheKey: String): DataFrame = {
+      cacheKey: String, probeRadius: Int = 1): DataFrame = {
     val n = Similarity.corpusCount(emb, cacheKey)
     val planes = Similarity.lshPool.take(Similarity.lshNPlanes(n))
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       Similarity.lshBucket(col("embedding"), planes).as("bucket"))
-    // own bucket + all Hamming-1 flips — q102's multi-probe, with the
-    // whole corpus as probes (NOT broadcast: the join keys both sides
-    // on the bucket)
-    val probeBuckets = array(col("bucket") +:
-      planes.indices.map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+    // own bucket + all Hamming-1 flips (+ Hamming-2 at radius 2) —
+    // q102's multi-probe, with the whole corpus as probes (NOT
+    // broadcast: the join keys both sides on the bucket). The probed
+    // set is distinct, so each candidate pair still matches through
+    // exactly one bucket.
+    val flips1 = planes.indices.map(i =>
+      col("bucket").bitwiseXOR(lit(1 << i)))
+    val flips2: Seq[org.apache.spark.sql.Column] =
+      if (probeRadius >= 2)
+        planes.indices.combinations(2).map { ij =>
+          col("bucket").bitwiseXOR(lit((1 << ij(0)) | (1 << ij(1))))
+        }.toSeq
+      else Seq.empty
+    val probeBuckets = array(col("bucket") +: (flips1 ++ flips2): _*)
     val probes = bucketed.select(col("vec_id").as("src"),
       col("embedding").as("p_emb"), explode(probeBuckets).as("bucket"))
     bucketed.join(probes, Seq("bucket"))
@@ -138,9 +158,9 @@ object KnnDescent {
     * persisted; exposed so the spec can pin the per-round monotonic-
     * improvement invariant. [[build]] is stages(...).last. */
   private[graft] def stages(s: SparkSession, emb: DataFrame,
-      cacheKey: String): IndexedSeq[DataFrame] = {
+      cacheKey: String, probeRadius: Int = 1): IndexedSeq[DataFrame] = {
     var g = graft.PersistTracker.tracked("knnd",
-      cut(seedScored(s, emb, cacheKey)))
+      cut(seedScored(s, emb, cacheKey, probeRadius)))
     val out = scala.collection.mutable.ArrayBuffer(g)
     val e1 = emb.select(col("vec_id").as("src"), col("embedding").as("e1"))
     val e2 = emb.select(col("vec_id").as("nbr"), col("embedding").as("e2"))

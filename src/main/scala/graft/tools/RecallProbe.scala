@@ -79,6 +79,18 @@ object RecallProbe {
     val hitNnd = nndAll.filter(col("probe_id") % step === 0)
       .join(exact3, Seq("probe_id", "vec_id"), "left_semi").count()
 
+    // the EXECUTABLE recall dial: the same descent from a Hamming-2
+    // seed (probeRadius = 2 — every query path stays radius 1), so the
+    // dial's recall gain and its cost are measured, not just documented
+    val t3 = System.nanoTime()
+    val nnd2All = graft.functions.KnnDescent
+      .stages(spark, emb, sfDir + "#nnd2", probeRadius = 2).last
+      .select(col("src").as("probe_id"), col("nbr").as("vec_id"))
+    val nEdgesNnd2 = nnd2All.count()
+    val nnd2Secs = (System.nanoTime() - t3) / 1e9
+    val hitNnd2 = nnd2All.filter(col("probe_id") % step === 0)
+      .join(exact3, Seq("probe_id", "vec_id"), "left_semi").count()
+
     def r4(x: Double) = math.round(x * 10000).toDouble / 10000
     println(
       s"""{"metric":"ann_recall","sf":"$sfDir","n_vecs":$n,""" +
@@ -87,7 +99,9 @@ object RecallProbe {
       s""""recall_q73_at3":${r4(hit3.toDouble / nExact3)},""" +
       s""""knn_graph_secs":${r4(graphSecs)},"n_edges":$nEdges,""" +
       s""""recall_nnd_at3":${r4(hitNnd.toDouble / nExact3)},""" +
-      s""""nnd_graph_secs":${r4(nndSecs)},"n_edges_nnd":$nEdgesNnd}""")
+      s""""nnd_graph_secs":${r4(nndSecs)},"n_edges_nnd":$nEdgesNnd,""" +
+      s""""recall_nnd_r2_at3":${r4(hitNnd2.toDouble / nExact3)},""" +
+      s""""nnd_r2_graph_secs":${r4(nnd2Secs)},"n_edges_nnd_r2":$nEdgesNnd2}""")
     graft.functions.Similarity.releaseCaches(spark)
     spark.stop()
   }

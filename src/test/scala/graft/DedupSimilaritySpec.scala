@@ -871,6 +871,37 @@ class DedupSimilaritySpec extends TestSpark {
     }
   }
 
+  test("NN-descent Hamming-2 probe radius: seed pairs a strict superset, seed cut pointwise dominates") {
+    // the executable recall dial (probeRadius = 2): probed buckets at
+    // radius 1 are a subset, so candidate PAIRS must be a superset and
+    // the resulting top-K per src pointwise >= the radius-1 graph
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairs(radius: Int) = graft.functions.KnnDescent
+      .seedScored(spark, emb, sf0001 + "#radius", radius)
+      .select("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1); val p2 = pairs(2)
+    assert(p1.subsetOf(p2), "radius-2 seed must contain every radius-1 pair")
+    assert(p2.size > p1.size, "radius-2 must actually widen the seed")
+    // pointwise dominance holds at the SEED CUT (stage 0: top-K over a
+    // superset of scored pairs) — NOT at the final graph, where the two
+    // descent trajectories explore different neighbors-of-neighbors
+    // and greedy local search can land elsewhere on individual srcs
+    // (observed: radius 2 worsened one src's rank-2 at sf0.001)
+    def seedTop(radius: Int): Map[Long, Seq[Double]] = graft.functions
+      .KnnDescent.stages(spark, emb, sf0001 + "#radius", radius).head
+      .collect().groupBy(_.getAs[Long]("src"))
+      .map { case (s, es) =>
+        s -> es.map(_.getAs[Double]("cos")).sortBy(-_).toSeq }
+    val g1 = seedTop(1); val g2 = seedTop(2)
+    g1.foreach { case (src, cs1) =>
+      val cs2 = g2.getOrElse(src, Seq.empty)
+      assert(cs2.length >= cs1.length)
+      cs1.indices.foreach(i => assert(cs2(i) >= cs1(i),
+        s"radius 2 worsened seed rank-${i + 1} of $src"))
+    }
+  }
+
   test("NN-descent seed candidate volume grows quasi-linearly across scales") {
     // the whole point of the LSH seed: candidate volume ~n·occ·(p+1) =
     // O(n log n), vs the flat-IVF graph's nProbe·n^1.5 (q73's bound,
