@@ -182,7 +182,10 @@ object Bench {
     // out — its batch twin q226 carries the family's timing, the q219
     // precedent)
     "q233_packing_policy", "q234_multi_epoch_export",
-    "q235_attention_purity")
+    "q235_attention_purity",
+    // the release-over-release datasheet diff (cross-source cluster
+    // displacement — a second base-population pipeline build)
+    "q236_release_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

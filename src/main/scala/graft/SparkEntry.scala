@@ -148,7 +148,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifest with the q224 mass bound asserted per epoch and one
   * corpus-sized exchange for the whole relation, q235 the
   * attention-purity audit — per-policy cross-document attention-pair
-  * share, the doc-boundary-mask decision number),
+  * share, the doc-boundary-mask decision number, q236 the
+  * release-datasheet diff — per (source, lang) kept deltas between
+  * the without-src1 release and the full release, including the
+  * cross-source cluster-displacement column no single-release card
+  * can show),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -795,6 +795,48 @@ object CurationPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // RELEASE-DATASHEET DIFF — what ingesting a new source CHANGED in
+    // the released corpus, which the per-release card (q227) cannot
+    // show: release PREV re-curates the corpus WITHOUT src1, release
+    // NEXT is the standard full-slice curation (q221's cached
+    // provenance), and the diff reports per (source, lang) kept counts
+    // plus the two interesting deltas — n_new_kept (the ingested
+    // source's survivors) and n_displaced (docs another source LOST:
+    // a new doc joined their near-dup cluster and outranked them —
+    // cross-source displacement, invisible to any single-release
+    // view). Correctness rests on a provable invariance: the URL
+    // keeper groups are per-source (the source is in the canonical
+    // host), every other gate is per-doc, and cluster labels follow
+    // the full-corpus convention on both sides — so between the two
+    // populations ONLY the best-of-cluster rank can flip a shared
+    // doc's verdict, and only keep → cluster_dup (a larger survivor
+    // pool never improves a rank); CurationPipelineSpec pins exactly
+    // that. Cost: one extra base-population pipeline build sharing
+    // the cached labels, gram broadcast, and shingle relation, plus a
+    // slim doc_id-keyed join of two verdict relations.
+    "q236_release_diff" -> ((s, d) => {
+      val base = documents(s, d).filter(col("source") =!= "src1" &&
+        col("doc_id") % 5 =!= 0)
+      val provA = buildProvenanceOf(s, base, benchGramSet(s, d),
+        graft.functions.Dedup.nearDupLabels(s, d),
+        graft.Thresholds.RepTopBigramMax, graft.Thresholds.RepDup5gramMax)
+      val provB = provenance(s, d)
+      val a = provA.select(col("doc_id"),
+        (col("verdict") === "keep").as("keep_a"), lit(true).as("in_prev"))
+      provB.select(col("doc_id"), col("source"), col("lang"),
+          (col("verdict") === "keep").as("keep_b"))
+        .join(a, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(coalesce(col("keep_a"), lit(false)).cast("long"))
+            .as("n_kept_prev"),
+          sum(col("keep_b").cast("long")).as("n_kept_next"),
+          sum((col("keep_b") && col("in_prev").isNull).cast("long"))
+            .as("n_new_kept"),
+          sum((coalesce(col("keep_a"), lit(false)) && !col("keep_b"))
+            .cast("long")).as("n_displaced"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // PACKING-POLICY COMPARISON (round-13 judge task #5) — the decision
     // table q229's audit exists to feed: the SAME epoch base (copies,
     // content hash, rendezvous shard — one persisted relation, packed
@@ -1399,6 +1441,43 @@ object CurationPipeline {
            round(n_pure / CAST(n_seqs AS DOUBLE), 6) AS pure_seq_share
          FROM (SELECT * FROM am UNION ALL SELECT * FROM ah)
          ORDER BY policy""",
+
+    // PREV release = the SAME pre relation restricted to the base
+    // population, with ONLY the cluster rank recomputed — licensed by
+    // the invariance the spec pins (per-source URL groups, per-doc
+    // gates, full-corpus labels on both sides), so the diff needs one
+    // provenance chain, not two renamed copies of it
+    "q236_release_diff" ->
+      s"""WITH RECURSIVE $provenanceCtes,
+         pre_a AS (SELECT * FROM pre WHERE source <> 'src1'),
+         alive_a AS (
+           SELECT doc_id, cluster_id, score FROM pre_a
+           WHERE url_keep AND rep_keep
+             AND score >= ${graft.Thresholds.QualityLogitKeepMin}),
+         ranked_a AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY score DESC, doc_id) AS crk FROM alive_a),
+         verdicts_a AS (
+           SELECT p.doc_id,
+             CASE WHEN NOT p.url_keep THEN 'url_dup'
+                  WHEN NOT p.rep_keep THEN 'repetition'
+                  WHEN p.score < ${graft.Thresholds.QualityLogitKeepMin}
+                    THEN 'quality'
+                  WHEN r.crk <> 1 THEN 'cluster_dup'
+                  WHEN p.contaminated THEN 'contaminated'
+                  ELSE 'keep' END AS verdict
+           FROM pre_a p LEFT JOIN ranked_a r ON p.doc_id = r.doc_id)
+         SELECT b.source, b.lang,
+           CAST(sum(CASE WHEN a.verdict = 'keep' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept_prev,
+           CAST(sum(CASE WHEN b.verdict = 'keep' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept_next,
+           CAST(sum(CASE WHEN b.verdict = 'keep' AND a.doc_id IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_new_kept,
+           CAST(sum(CASE WHEN a.verdict = 'keep' AND b.verdict <> 'keep'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_displaced
+         FROM verdicts b LEFT JOIN verdicts_a a ON a.doc_id = b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the same two packings, rolled to attention-pair arithmetic:
     // within-doc pairs Σ n_tok², totals seq_tok², integer-exact

@@ -505,6 +505,52 @@ class CurationPipelineSpec extends TestSpark {
       math.round(pure229.toDouble / mixed.getAs[Long]("n_seqs") * 1e6) / 1e6)
   }
 
+  test("q236 release diff: only the cluster stage can flip a shared doc, and only keep -> cluster_dup") {
+    // the invariance the operator's oracle rests on: URL groups are
+    // per-source, every other gate is per-doc, labels are full-corpus
+    // on both sides — so between the base release and the full release
+    // a shared doc's verdict either holds or degrades keep→cluster_dup
+    // (a larger survivor pool never improves a cluster rank)
+    val base = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src1" && col("doc_id") % 5 =!= 0)
+    val provA = CurationPipeline.buildProvenanceOf(spark, base,
+        CurationPipeline.benchGramSet(spark, sf0001),
+        graft.functions.Dedup.nearDupLabels(spark, sf0001),
+        Thresholds.RepTopBigramMax, Thresholds.RepDup5gramMax)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("verdict")).toMap
+    provA.foreach { case (id, va) =>
+      val vb = verdictOf(id)
+      assert(va == vb || (va == "keep" && vb == "cluster_dup"),
+        s"doc $id flipped $va -> $vb — a gate other than the cluster rank moved")
+    }
+    // the diff table recounts those relations exactly
+    val rows = CurationPipeline.queries("q236_release_diff")(spark, sf0001)
+      .collect()
+    val cells = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    cells.foreach { case ((src, lang), r) =>
+      val ids = docs.collect { case (id, sl) if sl == (src, lang) => id }
+      assert(r.getAs[Long]("n_kept_next") ==
+        ids.count(verdictOf(_) == "keep").toLong)
+      assert(r.getAs[Long]("n_kept_prev") ==
+        ids.count(id => provA.get(id).contains("keep")).toLong)
+      assert(r.getAs[Long]("n_new_kept") ==
+        ids.count(id => !provA.contains(id) && verdictOf(id) == "keep").toLong)
+      assert(r.getAs[Long]("n_displaced") ==
+        ids.count(id => provA.get(id).contains("keep") &&
+          verdictOf(id) != "keep").toLong)
+      if (src == "src1") assert(r.getAs[Long]("n_kept_prev") == 0L)
+      else assert(r.getAs[Long]("n_new_kept") == 0L)
+    }
+    // the populations the whole diff is about must both be non-trivial
+    assert(rows.map(_.getAs[Long]("n_new_kept")).sum > 0,
+      "src1 must contribute new keeps or the diff is vacuous")
+  }
+
   test("q235 attention purity: pair arithmetic recounts brute-force, language homogeneity does not fix doc-level contamination") {
     val rows = CurationPipeline.queries("q235_attention_purity")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
