@@ -338,9 +338,22 @@ object Bench {
     val aqeTail = Seq("q152_pagerank", "q166_table_stats",
       "q167_zorder_audit", "q175_label_propagation",
       "q183_table_stats_sketch")
-    val aqeLockPath = "src/test/resources/aqe_shapes_sf01.tsv"
+    // resolve against a repo-root anchor and fail loudly when the
+    // resources dir is absent (round-14 advisor: a bench launched from
+    // outside the repo root reported spurious 'missing' drift, and a
+    // GRAFT_REGEN_AQE_LOCK run wrote the lock to the wrong directory)
+    val aqeResDir = new java.io.File(
+      sys.env.getOrElse("GRAFT_REPO_ROOT", "."), "src/test/resources")
+    val aqeLockPath =
+      new java.io.File(aqeResDir, "aqe_shapes_sf01.tsv").getPath
     val aqeShapes: Seq[(String, (Int, Int))] =
-      if (only.isEmpty && sfDir.endsWith("sf0.1")) aqeTail.map { n =>
+      if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+        require(aqeResDir.isDirectory,
+          s"$aqeResDir not found: run bench from the repo root or set " +
+            "GRAFT_REPO_ROOT — recording aqe_shape_drift from the wrong " +
+            "directory would be a false alarm")
+        aqeTail
+      }.map { n =>
         val df = SparkEntry.queries(n)(spark, sfDir)
         // executing the Dataset's own queryExecution lets AQE finalize
         // in place; a noop write would plan a fresh execution whose
@@ -402,11 +415,16 @@ object Bench {
     // stale constants with no signal). Metadata-scale counts.
     val nDocs = Tables.documents(spark, sfDir).count()
     val nVecs = Tables.embeddings(spark, sfDir).count()
+    // nnd_probe_radius: the round-15 auto-dial's MEASURED pick for this
+    // corpus (the seed-margin policy), recorded so every bench artifact
+    // names the radius its q231/q77/q122/q220 numbers were built at
     val constsJson =
       s"""{"n_docs":$nDocs,"n_vecs":$nVecs,""" +
       s""""df_cap":${functions.Dedup.dfCap(nDocs)},""" +
       s""""ivf_k":${functions.Similarity.ivfK(nVecs)},""" +
-      s""""lsh_planes":${functions.Similarity.lshNPlanes(nVecs)}}"""
+      s""""lsh_planes":${functions.Similarity.lshNPlanes(nVecs)},""" +
+      s""""nnd_probe_radius":${functions.KnnDescent.autoRadius(spark,
+        Tables.embeddings(spark, sfDir), sfDir)}}"""
     val streamEps = results.toMap.get("q33_stream_tumbling")
       .filter(_ > 0).map(t => math.round(nEvents / t)).getOrElse(-1L)
     val statefulEps = statefulRuns.map { case (n, rs) =>

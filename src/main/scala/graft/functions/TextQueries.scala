@@ -143,9 +143,24 @@ object TextQueries {
     * the deterministic md5(doc_id ":epoch") 52-bit coin. Column-level
     * so the exporter can apply it while retaining `text` in the same
     * map-side projection (no second join for the content hash). */
-  private[graft] def epochCopiesExpr: org.apache.spark.sql.Column = {
+  private[graft] def epochCopiesExpr: org.apache.spark.sql.Column =
+    epochCoinExpr(lit(":epoch"))
+
+  /** The multi-epoch form: the coin keys on (doc_id, epoch) — epoch 2
+    * upsamples DIFFERENT tail docs than epoch 1 (q228's convention) —
+    * shared by the schedule (q228) and the multi-epoch exporters
+    * (q234/q238) so there is ONE definition of the per-epoch coin
+    * (round-14 advisor: q234 re-implemented it inline). */
+  private[graft] def epochCopiesExprAt(
+      epoch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    epochCoinExpr(concat(lit(":epoch:"), epoch.cast("string")))
+
+  /** floor(m) + [md5(doc_id · salt) 52-bit coin < frac(m)] — the one
+    * stochastic-rounding definition behind every copy count. */
+  private def epochCoinExpr(
+      salt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":epoch"))), 1, 13), 16, 10)
+      salt)), 1, 13), 16, 10)
       .cast("long").cast("double") / lit(4503599627370496.0)
     floor(col("multiplier")).cast("long") +
       (u < col("multiplier") - floor(col("multiplier"))).cast("long")

@@ -92,6 +92,10 @@ object CurationPipeline {
       val id = graft.Tables.sessionKey(s)
       provCache.filterInPlace { case ((sid, _), _) => sid != id }
     }
+    epochBaseCache.synchronized {
+      val id = graft.Tables.sessionKey(s)
+      epochBaseCache.filterInPlace { case ((sid, _), _) => sid != id }
+    }
     gramCache.synchronized {
       val id = graft.Tables.sessionKey(s)
       gramCache.filterInPlace { case ((sid, _), bc) =>
@@ -138,12 +142,16 @@ object CurationPipeline {
   private def buildBenchGramSet(s: SparkSession, d: String, cap: Int)
       : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
     import s.implicits._
+    // bound BEFORE materializing (round-14 advisor): limit(cap + 1) keeps
+    // the driver from ever holding more than cap+1 grams — a require()
+    // after a full collect() would OOM before the guard fired on a
+    // genuinely corpus-sized slice
     val grams = documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("text")).as[String]
       .flatMap(t => graft.functions.Dedup.ngramSet(t, 8))
-      .distinct().collect()
+      .distinct().limit(cap + 1).collect()
     require(grams.length <= cap,
-      s"benchmark slice has ${grams.length} distinct 8-grams (cap $cap): " +
+      s"benchmark slice has more than $cap distinct 8-grams (cap $cap): " +
         "an eval suite is a small fixed artifact, so a slice this large " +
         "means the slice rule is misconfigured (corpus-sized?) — fix the " +
         "slice, or decontaminate through the gram-keyed exact join (q74) " +
@@ -294,6 +302,22 @@ object CurationPipeline {
       mult: DataFrame, nShards: Int, budget: Long): DataFrame =
     packFrom(epochBaseOf(docs, mult, nShards), budget, homogeneous = false)
 
+  /** Per-session memoized TRACKED epoch base at the q223 geometry —
+    * q233 and q235 both pack this one persisted relation (round-14
+    * advisor: each built and persisted its own identical copy, paying
+    * the corpus-sized copies/hash/rendezvous computation and cache
+    * footprint twice in a session running both audits). */
+  private val epochBaseCache =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+
+  private def sharedEpochBase(s: SparkSession, d: String): DataFrame =
+    epochBaseCache.synchronized {
+      epochBaseCache.getOrElseUpdate((graft.Tables.sessionKey(s), d),
+        graft.PersistTracker.tracked("curation",
+          epochBaseOf(documents(s, d),
+            graft.functions.TextQueries.epochMultipliers(s, d), 8)))
+    }
+
   /** The policy-independent prefix of the exporter: copies, content
     * hash, rendezvous shard — everything BEFORE the packing window.
     * Split out (round 14) so the packing-policy comparison (q233) packs
@@ -317,6 +341,34 @@ object CurationPipeline {
             col("cp").cast("string")), nShards).cast("long").as("shard"))
   }
 
+  /** [[epochBaseOf]] replicated across an `epochs` relation with the
+    * (doc_id, epoch)-keyed coin ([[graft.functions.TextQueries
+    * .epochCopiesExprAt]] — ONE definition shared with q228's schedule,
+    * round-14 advisor: q234 re-implemented it inline) — the common
+    * prefix of the multi-epoch exporters (q234 raw, q238 curated).
+    * Copies of one (doc, cp) land on the same rendezvous shard in
+    * every epoch (the locality a resumable data loader wants). */
+  private[graft] def multiEpochBaseOf(docs: DataFrame, mult: DataFrame,
+      epochs: DataFrame, nShards: Int): DataFrame = {
+    val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+    docs
+      .join(broadcast(mult), "lang")
+      .crossJoin(broadcast(epochs))
+      .select(col("epoch"), col("doc_id"), col("lang"), col("source"),
+        col("text"), col("multiplier"),
+        graft.functions.TextQueries.epochCopiesExprAt(col("epoch"))
+          .as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("epoch"), col("doc_id"), col("lang"), col("source"),
+        col("text"), explode(sequence(lit(1L), col("n_copies"))).as("cp"))
+      .select(col("epoch"), col("doc_id"), col("cp"), col("lang"),
+        col("source"), nTok.as("n_tok"),
+        md5(concat(col("text"), lit(":"), col("cp").cast("string"))).as("h"),
+        CurationAudits.hrwOwnerKeyed(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("cp").cast("string")), nShards).cast("long").as("shard"))
+  }
+
   /** The packing window over an [[epochBaseOf]] relation. `homogeneous`
     * partitions by (shard, lang) instead of shard — each sequence then
     * holds ONE language (sequence identity becomes (shard, lang,
@@ -332,6 +384,19 @@ object CurationPipeline {
     base.withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("shard"), col("doc_id"), col("cp"), col("lang"),
         col("source"), col("n_tok"), expr(s"prev div $budget").as("seq_id"))
+  }
+
+  /** The multi-epoch packing window: ONE corpus-sized exchange for the
+    * whole (epoch, shard)-partitioned relation — never one per epoch. */
+  private[graft] def packMultiEpoch(base: DataFrame,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"), col("cp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("cp"),
+        col("lang"), col("source"), col("n_tok"),
+        expr(s"prev div $budget").as("seq_id"))
   }
 
   /** q232's two sinks: per-doc verdicts and the one-row-per-batch
@@ -676,11 +741,7 @@ object CurationPipeline {
       import s.implicits._
       val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
       val epochs = Seq(1, 2, 3).toDF("epoch")
-      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":epoch:"), col("epoch").cast("string"))), 1, 13), 16, 10)
-        .cast("long").cast("double") / lit(4503599627370496.0)
-      val copies = floor(col("multiplier")).cast("long") +
-        (u < col("multiplier") - floor(col("multiplier"))).cast("long")
+      val copies = graft.functions.TextQueries.epochCopiesExprAt(col("epoch"))
       documents(s, d)
         .select(col("doc_id"), col("lang"), nTok.as("nt"))
         .join(broadcast(graft.functions.TextQueries.epochMultipliers(s, d)),
@@ -851,9 +912,7 @@ object CurationPipeline {
     // are ONE window exchange over the shared base; the audits are
     // sequence-grain rollups.
     "q233_packing_policy" -> ((s, d) => {
-      val base = graft.PersistTracker.tracked("curation",
-        epochBaseOf(documents(s, d),
-          graft.functions.TextQueries.epochMultipliers(s, d), 8))
+      val base = sharedEpochBase(s, d)
       def audit(packed: DataFrame, grp: Seq[Column], policy: String) =
         packed.groupBy(grp: _*)
           .agg(sum(col("n_tok")).as("seq_tok"),
@@ -894,9 +953,7 @@ object CurationPipeline {
     // q233: one window exchange per policy over the shared persisted
     // base, then sequence-grain rollups.
     "q235_attention_purity" -> ((s, d) => {
-      val base = graft.PersistTracker.tracked("curation",
-        epochBaseOf(documents(s, d),
-          graft.functions.TextQueries.epochMultipliers(s, d), 8))
+      val base = sharedEpochBase(s, d)
       val nt = col("n_tok").cast("long")
       def audit(packed: DataFrame, grp: Seq[Column], policy: String) =
         packed.groupBy(grp: _*)
@@ -936,34 +993,10 @@ object CurationPipeline {
         "q234_epochs_" + graft.Tables.datasetTag(d))
       val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
       val epochs = Seq(1L, 2L, 3L).toDF("epoch")
-      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":epoch:"), col("epoch").cast("string"))), 1, 13), 16, 10)
-        .cast("long").cast("double") / lit(4503599627370496.0)
-      val copies = floor(col("multiplier")).cast("long") +
-        (u < col("multiplier") - floor(col("multiplier"))).cast("long")
       val mult = graft.functions.TextQueries.epochMultipliers(s, d)
-      val base = documents(s, d)
-        .join(broadcast(mult), "lang")
-        .crossJoin(broadcast(epochs))
-        .select(col("epoch"), col("doc_id"), col("lang"), col("text"),
-          col("multiplier"), copies.as("n_copies"))
-        .filter(col("n_copies") > 0)
-        .select(col("epoch"), col("doc_id"), col("lang"), col("text"),
-          explode(sequence(lit(1L), col("n_copies"))).as("cp"))
-        .select(col("epoch"), col("doc_id"), col("cp"), col("lang"),
-          nTok.as("n_tok"),
-          md5(concat(col("text"), lit(":"), col("cp").cast("string")))
-            .as("h"),
-          CurationAudits.hrwOwnerKeyed(
-            concat(col("doc_id").cast("string"), lit(":"),
-              col("cp").cast("string")), 8).cast("long").as("shard"))
-      val w = Window.partitionBy(col("epoch"), col("shard"))
-        .orderBy(col("h"), col("doc_id"), col("cp"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val packed = base
-        .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .select(col("epoch"), col("shard"), col("doc_id"), col("cp"),
-          col("lang"), col("n_tok"), expr("prev div 512").as("seq_id"))
+      val packed = packMultiEpoch(
+        multiEpochBaseOf(documents(s, d), mult, epochs, nShards = 8),
+        budget = 512L)
       packed.write.mode("overwrite").partitionBy("epoch", "shard")
         .parquet(dir)
       val reread = s.read.parquet(dir)
