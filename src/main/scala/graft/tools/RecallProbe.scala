@@ -67,12 +67,16 @@ object RecallProbe {
     val hit3 = graphEdges.join(exact3, Seq("probe_id", "vec_id"), "left_semi")
       .count()
 
-    // q231 NN-descent — the PRODUCTION graph path since round 14: same
-    // recall@3 readout, its build timed the same way as the IVF graph
-    // so the sub-n^1.5 claim and its recall price come from one run
+    // q231 NN-descent — the PRODUCTION graph path since round 14: both
+    // radii measured explicitly (recall AND build cost), plus the
+    // radius the round-15 auto-dial POLICY picks for this corpus.
+    // graph() IS stages(autoRadius).last, so the auto row's numbers are
+    // the matching explicit leg's — no duplicated build.
+    val autoR = graft.functions.KnnDescent.autoRadius(spark, emb,
+      sfDir + "#nnd")
     val t2 = System.nanoTime()
     val nndAll = graft.functions.KnnDescent
-      .graph(spark, emb, sfDir + "#nnd")
+      .stages(spark, emb, sfDir + "#nnd", probeRadius = 1).last
       .select(col("src").as("probe_id"), col("nbr").as("vec_id"))
     val nEdgesNnd = nndAll.count()
     val nndSecs = (System.nanoTime() - t2) / 1e9
@@ -80,8 +84,7 @@ object RecallProbe {
       .join(exact3, Seq("probe_id", "vec_id"), "left_semi").count()
 
     // the EXECUTABLE recall dial: the same descent from a Hamming-2
-    // seed (probeRadius = 2 — every query path stays radius 1), so the
-    // dial's recall gain and its cost are measured, not just documented
+    // seed, so the dial's recall gain and its cost are measured
     val t3 = System.nanoTime()
     val nnd2All = graft.functions.KnnDescent
       .stages(spark, emb, sfDir + "#nnd2", probeRadius = 2).last
@@ -92,6 +95,8 @@ object RecallProbe {
       .join(exact3, Seq("probe_id", "vec_id"), "left_semi").count()
 
     def r4(x: Double) = math.round(x * 10000).toDouble / 10000
+    val (hitAuto, nAuto) =
+      if (autoR >= 2) (hitNnd2, nExact3) else (hitNnd, nExact3)
     println(
       s"""{"metric":"ann_recall","sf":"$sfDir","n_vecs":$n,""" +
       s""""ivf_k":$kUsed,"n_probes":$nProbes,""" +
@@ -101,7 +106,9 @@ object RecallProbe {
       s""""recall_nnd_at3":${r4(hitNnd.toDouble / nExact3)},""" +
       s""""nnd_graph_secs":${r4(nndSecs)},"n_edges_nnd":$nEdgesNnd,""" +
       s""""recall_nnd_r2_at3":${r4(hitNnd2.toDouble / nExact3)},""" +
-      s""""nnd_r2_graph_secs":${r4(nnd2Secs)},"n_edges_nnd_r2":$nEdgesNnd2}""")
+      s""""nnd_r2_graph_secs":${r4(nnd2Secs)},"n_edges_nnd_r2":$nEdgesNnd2,""" +
+      s""""nnd_auto_radius":$autoR,""" +
+      s""""recall_nnd_auto_at3":${r4(hitAuto.toDouble / nAuto)}}""")
     graft.functions.Similarity.releaseCaches(spark)
     spark.stop()
   }

@@ -924,4 +924,23 @@ class DedupSimilaritySpec extends TestSpark {
       f"seed candidate growth ×$cRatio%.1f is not meaningfully below " +
         f"the flat-IVF n^1.5 bound (×${math.pow(nRatio, 1.5)}%.1f)")
   }
+
+  test("NN-descent auto-dial: weak margins escalate to radius 2, a duplicated corpus stays at radius 1") {
+    // the unstructured fixture's mean top-1 seed cosine measures ~0.32
+    // (round-15 margin probe) — under the 0.5 floor, so the policy must
+    // pick the Hamming-2 seed, exactly the corpus class where radius 1
+    // read recall 0.18 (below the family's 0.3 floor, round-14 verdict)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    assert(graft.functions.KnnDescent.autoRadius(spark, emb,
+      sf0001 + "#dial_weak") == 2)
+    // a corpus where every vector has an exact duplicate: identical
+    // vectors share a bucket, so every sampled vector's top-1 seed
+    // cosine is 1.0 — far over the floor, and the cheaper radius-1
+    // seed is already sufficient
+    val strong = emb.unionByName(
+      emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    assert(graft.functions.KnnDescent.autoRadius(spark, strong,
+      sf0001 + "#dial_strong") == 1)
+  }
 }
