@@ -186,6 +186,10 @@ object Bench {
     // the release-over-release datasheet diff (cross-source cluster
     // displacement — a second base-population pipeline build)
     "q236_release_diff")
+    // round 15: q237 advancing-state streaming ingest stays out of the
+    // headline — its per-batch verdict cost is q226's, already tracked,
+    // and the rest is streaming micro-batch/checkpoint constants (the
+    // q232/q130/q219 precedent)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -152,7 +152,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * release-datasheet diff — per (source, lang) kept deltas between
   * the without-src1 release and the full release, including the
   * cross-source cluster-displacement column no single-release card
-  * can show),
+  * can show, q237 ADVANCING-STATE streaming ingest — the production
+  * form of q232: each batch's admissions fold into the URL and
+  * signature stores so cross-batch near-dup/URL twins are caught,
+  * verdicts and state appends exactly-once per batch partition, with
+  * a full sequential-replay oracle over the ordered batch list),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

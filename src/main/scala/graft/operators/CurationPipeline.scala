@@ -514,6 +514,155 @@ object CurationPipeline {
     ()
   }
 
+  /** q237's batch count and split rule: the src1 delta arrives as
+    * [[AdvanceBatches]] files, batch b = docs with (doc_id div 20) %
+    * [[AdvanceBatches]] = b (src1 ids are ≡ 1 mod 20, so doc_id div 20
+    * steps by 1 across the delta and the batches interleave evenly —
+    * near-dup twins land in different batches, which is exactly what
+    * the advancing state must catch). */
+  private[graft] val AdvanceBatches = 3
+
+  /** Seed q237's ADVANCING state from the frozen base corpus: the
+    * MinHash signature store (seed partition -1 — [[SignatureStore
+    * .build]]) and the canonical-URL store (same partition layout).
+    * Static overwrite: a re-invocation starts from a clean seed. */
+  private[graft] def seedAdvancingState(s: SparkSession, d: String,
+      storeDir: String, urlDir: String): Unit = {
+    val base = documents(s, d).filter(col("source") =!= "src1" &&
+      col("doc_id") % 5 =!= 0)
+    SignatureStore.build(s, base, storeDir)
+    val curlOf = CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl)
+    base.select(curlOf.as("curl")).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id").parquet(urlDir)
+  }
+
+  /** Stage the src1 delta as [[AdvanceBatches]] single-file parquet
+    * batches with strictly increasing mtimes — the file stream source
+    * orders pending files by timestamp, so under maxFilesPerTrigger=1
+    * they arrive as micro-batches 0..B-1 in exactly the order the
+    * sequential-replay oracle unrolls. */
+  private def stageAdvancingBatches(s: SparkSession, d: String): String = {
+    val tag = graft.Tables.datasetTag(d)
+    val inDir = graft.Tables.scratchDir(s, "q237_in_" + tag)
+    val stage = graft.Tables.scratchDir(s, "q237_stage_" + tag)
+    val delta = documents(s, d).filter(col("source") === "src1" &&
+      col("doc_id") % 5 =!= 0)
+    val t0 = System.currentTimeMillis()
+    for (b <- 0 until AdvanceBatches) {
+      delta.filter(expr("doc_id div 20") % AdvanceBatches === b)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, s"b$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(t0 - (AdvanceBatches - 1 - b) * 60000L)
+      ()
+    }
+    inDir
+  }
+
+  /** One batch's five-gate verdict against the ADVANCING state (q237):
+    * exactly q232's gate chain, except the URL store and the near-dup
+    * probe read the seed PLUS every earlier batch's admissions
+    * (partition pruning on batch_id < id — the [[SignatureStore]]
+    * replay discipline, which also keeps a REPLAYED batch from seeing
+    * its own earlier append, so restart is idempotent). Scale shape per
+    * batch: the batch's bands/candidates broadcast against the store
+    * (the store side never shuffles for candidates), the URL check is
+    * one hash join against the slim curl store, the per-doc gates are
+    * the shared map-side passes. */
+  private[graft] def advancingVerdicts(s: SparkSession, d: String,
+      batch: DataFrame, deltaSh: DataFrame, id: Long,
+      storeDir: String, urlDir: String): DataFrame = {
+    val curlOf = CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl)
+    val stateCurls = s.read.parquet(urlDir)
+      .filter(col("batch_id") < id)
+      .select(col("curl")).distinct().withColumn("in_state", lit(true))
+    val urlFlags = batch.select(col("doc_id"), curlOf.as("curl"))
+      .join(stateCurls, Seq("curl"), "left_outer")
+      .withColumn("url_keep",
+        coalesce(col("in_state"), lit(false)) === false &&
+          col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy(col("curl"))))
+      .select(col("doc_id"), col("url_keep"))
+    val repContam = repContamPass(batch, benchGramSet(s, d))
+    val quality = CorpusCleaning.qualityLogitOf(batch)
+      .select(col("doc_id"), col("score"))
+    // near-dup: the store admission (seed + admitted batches < id) plus
+    // the within-batch min-id rule, both exact-Jaccard verified
+    val vsStore = SignatureStore
+      .admitShingles(s, deltaSh, storeDir, beforeBatch = id)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val deltaBands = graft.functions.Dedup.bandedBuckets(
+      graft.functions.Dedup.signaturesFromShingles(s, deltaSh))
+    val within = deltaBands.alias("x")
+      .join(broadcast(deltaBands.alias("y")),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withinDup = graft.functions.Dedup
+      .verifyJaccardSides(deltaSh, deltaSh, within)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val dupIds = vsStore.unionByName(withinDup).distinct()
+      .withColumn("near_dup", lit(true))
+    val verdictExpr = when(!col("url_keep"), "url_dup")
+      .when(!repKeepExpr(), "repetition")
+      .when(col("score") < graft.Thresholds.QualityLogitKeepMin, "quality")
+      .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+      .when(col("contaminated"), "contaminated")
+      .otherwise("admit")
+    batch.select(col("doc_id"), col("lang"))
+      .join(urlFlags, "doc_id")
+      .join(repContam, "doc_id")
+      .join(quality, "doc_id")
+      .join(dupIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), verdictExpr.as("verdict"))
+  }
+
+  /** One micro-batch of q237: verdicts land under the batch's own
+    * partition, then the batch's ADMISSIONS advance the state — their
+    * bands/shingles append to the signature store and their canonical
+    * URLs to the URL store, both as partition `id` (dynamic overwrite ⇒
+    * a replayed batch replaces exactly its own contributions, and reads
+    * batch_id < id never see them). */
+  private[graft] def advancingIngestBatch(s: SparkSession, d: String,
+      batch: DataFrame, id: Long, sinkDir: String, storeDir: String,
+      urlDir: String): Unit = {
+    val deltaSh = graft.functions.Dedup.shinglesOfDocs(s, batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verdicts = advancingVerdicts(s, d, batch, deltaSh, id,
+          storeDir, urlDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        verdicts.withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sinkDir)
+        val curlOf = CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl)
+        val admitted = batch.join(
+            verdicts.filter(col("verdict") === "admit").select("doc_id"),
+            "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          SignatureStore.append(s, admitted, storeDir, id)
+          admitted.select(curlOf.as("curl")).distinct()
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(urlDir)
+        } finally { admitted.unpersist(); () }
+      } finally { verdicts.unpersist(); () }
+    } finally { deltaSh.unpersist(); () }
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_curation_provenance" -> ((s, d) =>
       provenance(s, d).orderBy(col("doc_id"))),
@@ -853,6 +1002,57 @@ object CurationPipeline {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.schema(verdictSinkSchema).parquet(sinkDir)
         .select(col("doc_id"), col("lang"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ADVANCING-STATE STREAMING INGEST (round-14 judge task #1) — the
+    // PRODUCTION form of q232: the crawler's delta arrives as THREE
+    // ordered micro-batches, and each batch's ADMISSIONS fold into the
+    // probe state (canonical-URL store + MinHash band/shingle store
+    // advance per batch — the q129/q133 store-backed-admission
+    // discipline composed with the five-gate verdict), so a near-dup
+    // or URL twin arriving batches after its admitted original is
+    // CAUGHT — the cross-batch duplicate q232's frozen-base contract
+    // admits by design (its spec-pinned counterexample reads near_dup
+    // here; CurationPipelineSpec pins the flip). Exactly-once: verdicts
+    // AND both state appends land under the batch's own partition
+    // (dynamic overwrite), and every state read prunes to batch_id <
+    // current, so a replayed batch never sees its own earlier append —
+    // restart is idempotent by construction, spec-pinned on a
+    // checkpointed stream. Scale shape per batch: batch ≪ corpus, so
+    // the batch's bands broadcast against the store (the store never
+    // shuffles for candidates), the URL check is one hash join against
+    // the slim curl store, the per-doc gates are the shared map-side
+    // passes; state grows by one slim partition per batch and is
+    // compactable via the q133 generation roll. The oracle is the full
+    // SEQUENTIAL REPLAY (the q139 ordered-batch discipline): batch b
+    // judged against base ∪ admissions of batches < b, unrolled per
+    // batch — bit-exact, including the within-batch min-id rule and
+    // the per-source URL keeper windows.
+    "q237_advancing_ingest" -> ((s, d) => {
+      val tag = graft.Tables.datasetTag(d)
+      val sinkDir = graft.Tables.scratchDir(s, "q237_sink_" + tag)
+      val storeDir = graft.Tables.scratchDir(s, "q237_store_" + tag)
+      val urlDir = graft.Tables.scratchDir(s, "q237_urls_" + tag)
+      resetBatchTable(s, verdictSinkSchema, sinkDir)
+      seedAdvancingState(s, d, storeDir, urlDir)
+      val inDir = stageAdvancingBatches(s, d)
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/b*.parquet")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            advancingIngestBatch(s, d, batch, id, sinkDir, storeDir, urlDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.schema(verdictSinkSchema).parquet(sinkDir)
+        .select(col("doc_id"), col("lang"), col("verdict"), col("batch_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1270,7 +1470,121 @@ object CurationPipeline {
          JOIN qscore q ON dd.doc_id = q.doc_id
          ORDER BY dd.doc_id"""
 
+  /** q237's SEQUENTIAL-REPLAY oracle (the q139 ordered-batch
+    * discipline): the delta's [[AdvanceBatches]] batches unrolled in
+    * arrival order, batch b's gates evaluated against base ∪ the
+    * ADMITTED sets of batches < b — URL state = base curls plus
+    * admitted curls, near-dup state = exact j ≥ 0.8 partners among
+    * base ∪ admitted(<b) plus the within-batch min-id rule. Shares the
+    * per-doc gate fragments (rep gate, qscore, 8-gram contamination)
+    * verbatim with [[deltaCurationOracle]]'s population, so the two
+    * ingest forms cannot drift on anything but the state contract. */
+  private def advancingIngestOracle: String = {
+    val B = AdvanceBatches
+    def admPrev(b: Int): String =
+      if (b == 0) "SELECT doc_id FROM ddocs WHERE FALSE"
+      else (0 until b).map(i => s"SELECT doc_id FROM adm$i")
+        .mkString(" UNION ALL ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${graft.functions.Dedup.shingleCtes},
+         ${CorpusCleaning.qualityScoreCtes},
+         ddocs AS (SELECT doc_id, lang, source, text,
+             CAST((doc_id // 20) % $B AS BIGINT) AS batch_id
+           FROM documents WHERE source = 'src1' AND doc_id % 5 <> 0),
+         bdocs AS (SELECT doc_id, source FROM documents
+           WHERE source <> 'src1' AND doc_id % 5 <> 0),
+         bu AS (SELECT doc_id, ${CorpusCleaning.UrlSynthSql} AS url
+           FROM bdocs),
+         bcurls AS (SELECT DISTINCT ${CorpusCleaning.UrlCanonSql} AS curl
+           FROM bu),
+         du AS (SELECT doc_id, ${CorpusCleaning.UrlSynthSql} AS url
+           FROM ddocs),
+         dcu AS (SELECT doc_id, ${CorpusCleaning.UrlCanonSql} AS curl
+           FROM du),
+         dt AS (SELECT doc_id, toks FROM t
+           WHERE doc_id IN (SELECT doc_id FROM ddocs)),
+         dbs AS (SELECT doc_id, max(c) AS top FROM (
+             SELECT doc_id, g, count(*) AS c FROM (
+               SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                 i -> toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM dt WHERE len(toks) >= 5) GROUP BY 1, 2) GROUP BY 1),
+         dfs AS (SELECT doc_id, count(DISTINCT g) AS nd FROM (
+             SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS g
+             FROM dt WHERE len(toks) >= 5) GROUP BY 1),
+         drg AS (
+           SELECT dt.doc_id,
+             CASE WHEN len(dt.toks) < 5 THEN TRUE
+                  ELSE ${CorpusCleaning.repGateSql(
+                    "dbs.top", "len(dt.toks)", "dfs.nd")} END AS rep_keep
+           FROM dt LEFT JOIN dbs ON dt.doc_id = dbs.doc_id
+                   LEFT JOIN dfs ON dt.doc_id = dfs.doc_id),
+         g8 AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+               i -> array_to_string(toks[i:i+7], ' '))) AS g
+           FROM t),
+         dcontam AS (
+           SELECT DISTINCT c.doc_id FROM g8 c
+           JOIN (SELECT DISTINCT g FROM g8 WHERE doc_id % 5 = 0) b
+             ON c.g = b.g
+           WHERE c.doc_id IN (SELECT doc_id FROM ddocs)),
+         jp AS (
+           SELECT doc_a, doc_b FROM common
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         sym AS (SELECT doc_a AS doc_id, doc_b AS partner FROM jp
+           UNION ALL SELECT doc_b, doc_a FROM jp)"""
+    for (b <- 0 until B) {
+      sb ++= s""",
+         prev$b AS (${admPrev(b)}),
+         scurl$b AS (SELECT curl FROM bcurls
+           UNION ALL SELECT c.curl FROM dcu c
+           JOIN prev$b p ON c.doc_id = p.doc_id),
+         uk$b AS (SELECT c.doc_id,
+             (c.curl NOT IN (SELECT curl FROM scurl$b)
+               AND c.doc_id = min(c.doc_id) OVER (PARTITION BY c.curl))
+               AS url_keep
+           FROM dcu c JOIN ddocs dd ON c.doc_id = dd.doc_id
+           WHERE dd.batch_id = $b),
+         nd$b AS (SELECT DISTINCT x.doc_id FROM sym x
+           JOIN ddocs da ON x.doc_id = da.doc_id AND da.batch_id = $b
+           WHERE x.partner IN (SELECT doc_id FROM bdocs)
+             OR x.partner IN (SELECT doc_id FROM prev$b)
+             OR (x.partner IN
+                 (SELECT doc_id FROM ddocs WHERE batch_id = $b)
+               AND x.partner < x.doc_id)),
+         v$b AS (
+           SELECT dd.doc_id, dd.lang, dd.batch_id,
+             CASE WHEN NOT uk.url_keep THEN 'url_dup'
+                  WHEN NOT drg.rep_keep THEN 'repetition'
+                  WHEN q.score < ${graft.Thresholds.QualityLogitKeepMin}
+                    THEN 'quality'
+                  WHEN dd.doc_id IN (SELECT doc_id FROM nd$b)
+                    THEN 'near_dup'
+                  WHEN dd.doc_id IN (SELECT doc_id FROM dcontam)
+                    THEN 'contaminated'
+                  ELSE 'admit' END AS verdict
+           FROM ddocs dd
+           JOIN uk$b uk ON dd.doc_id = uk.doc_id
+           JOIN drg ON dd.doc_id = drg.doc_id
+           JOIN qscore q ON dd.doc_id = q.doc_id
+           WHERE dd.batch_id = $b),
+         adm$b AS (SELECT doc_id FROM v$b WHERE verdict = 'admit')"""
+    }
+    sb ++= s"""
+         SELECT doc_id, lang, verdict, batch_id FROM (
+           ${(0 until B).map(b => s"SELECT * FROM v$b")
+             .mkString(" UNION ALL ")})
+         ORDER BY doc_id"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q237_advancing_ingest" -> advancingIngestOracle,
+
     "q221_curation_provenance" ->
       s"""WITH RECURSIVE $provenanceCtes
          SELECT doc_id, source, lang, verdict FROM verdicts

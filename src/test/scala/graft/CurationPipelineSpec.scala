@@ -371,6 +371,112 @@ class CurationPipelineSpec extends TestSpark {
       < 1e-4)
   }
 
+  test("q237 advancing ingest: admissions advance the state, cross-batch twins caught, replay idempotent") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("q237spec").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val (sinkDir, storeDir, urlDir, cp) =
+      (s"$root/sink", s"$root/store", s"$root/urls", s"$root/cp")
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "lang", "verdict", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(sinkDir)
+    CurationPipeline.seedAdvancingState(spark, sf0001, storeDir, urlDir)
+    def addFile(name: String, rows: Seq[(Long, String, String, String)]): Unit = {
+      val staged = s"$root/stage_$name"
+      rows.toDF("doc_id", "lang", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+      ()
+    }
+    val schema = Seq((0L, "en", "src1", "x"))
+      .toDF("doc_id", "lang", "source", "text").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$in/*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          CurationPipeline.advancingIngestBatch(spark, sf0001, batch, id,
+            sinkDir, storeDir, urlDir)
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sink(): Map[(Long, Long), String] = spark.read.parquet(sinkDir)
+      .select(col("batch_id").cast("long"), col("doc_id"), col("verdict"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // batch 0 = the FULL fixture delta in one file: state(<0) is the
+    // seed alone, so the advancing form must equal q226 exactly — the
+    // batch-twin contract the family shares
+    val delta = Tables.documents(spark, sf0001)
+      .filter(col("source") === "src1" && col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    addFile("a", delta)
+    runOnce()
+    val q226 = CurationPipeline.queries("q226_delta_curation")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b0 = sink()
+    assert(b0.keys.forall(_._1 == 0L))
+    assert(b0.map { case ((_, id), v) => id -> v } == q226,
+      "batch 0 against the seed state must equal q226 on the same delta")
+    // restart with no new input: a no-op
+    runOnce()
+    assert(sink() == b0, "restart with no input must be a no-op")
+    // batch 1: (a) a copy of a batch-0 ADMISSION — under q232's frozen
+    // base this was spec-pinned to ADMIT; with the state advancing it
+    // must now read near_dup (the round-14 verdict's counterexample
+    // flip); (b) a doc whose canonical URL collapses onto a batch-0
+    // admission's (same source, same div-80 page, same div-20 block) —
+    // the URL store advanced, so it must read url_dup
+    val admitted0 = b0.collect { case ((_, id), "admit") => id }.min
+    val twin = delta.find(_._1 == admitted0).get
+    addFile("b", Seq(
+      (800000L, twin._2, "src1", twin._4),
+      (admitted0 + 1, twin._2, "src1", "tiny unique page stub")))
+    runOnce()
+    val after = sink()
+    assert(after.filter(_._1._1 == 0L) == b0, "batch 0 rows untouched")
+    assert(after((1L, 800000L)) == "near_dup",
+      "advancing state: a copy of a batch-0 admission must be caught — " +
+        s"got ${after((1L, 800000L))}")
+    assert(after((1L, admitted0 + 1)) == "url_dup",
+      "advancing state: a URL twin of a batch-0 admission must be " +
+        s"caught — got ${after((1L, admitted0 + 1))}")
+    // REPLAY batch 1 directly (the retry case, stronger than restart):
+    // verdicts and both state stores must be byte-identical — reads
+    // prune to batch_id < 1, writes replace exactly partition 1
+    def stateCounts() = (
+      spark.read.parquet(urlDir).count(),
+      spark.read.parquet(
+        graft.operators.SignatureStore.bandsPath(storeDir)).count(),
+      spark.read.parquet(
+        graft.operators.SignatureStore.shinglesPath(storeDir)).count())
+    val stBefore = stateCounts()
+    val batch1 = Seq(
+      (800000L, twin._2, "src1", twin._4),
+      (admitted0 + 1, twin._2, "src1", "tiny unique page stub"))
+      .toDF("doc_id", "lang", "source", "text")
+    CurationPipeline.advancingIngestBatch(spark, sf0001, batch1, 1L,
+      sinkDir, storeDir, urlDir)
+    assert(sink() == after, "replaying batch 1 must not change verdicts")
+    assert(stateCounts() == stBefore,
+      "replaying batch 1 must not grow the state stores")
+    // the admission plan stays batch-broadcast: the batch's bands and
+    // candidate set broadcast against the store side
+    val sh = graft.functions.Dedup.shinglesOfDocs(spark, batch1)
+    val plan = CurationPipeline.advancingVerdicts(spark, sf0001, batch1,
+      sh, 1L, storeDir, urlDir).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch-side relations must broadcast against the store")
+  }
+
   test("repCounts kernel: matches a brute-force recount on pseudo-random token streams") {
     val rnd = new scala.util.Random(13)
     (1 to 300).foreach { _ =>
