@@ -185,11 +185,15 @@ object Bench {
     "q235_attention_purity",
     // the release-over-release datasheet diff (cross-source cluster
     // displacement — a second base-population pipeline build)
-    "q236_release_diff")
-    // round 15: q237 advancing-state streaming ingest stays out of the
-    // headline — its per-batch verdict cost is q226's, already tracked,
-    // and the rest is streaming micro-batch/checkpoint constants (the
-    // q232/q130/q219 precedent)
+    "q236_release_diff",
+    // round 15: the CURATED multi-epoch exporter (provenance keeps +
+    // survivor mix under the shared multi-epoch base — benched beside
+    // q234 so the curated-vs-raw export cost gap is visible in one
+    // artifact). q237 advancing-state streaming ingest stays out of
+    // the headline — its per-batch verdict cost is q226's, already
+    // tracked, and the rest is streaming micro-batch/checkpoint
+    // constants (the q232/q130/q219 precedent)
+    "q238_curated_multi_epoch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

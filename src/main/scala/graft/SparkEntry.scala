@@ -156,7 +156,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * form of q232: each batch's admissions fold into the URL and
   * signature stores so cross-batch near-dup/URL twins are caught,
   * verdicts and state appends exactly-once per batch partition, with
-  * a full sequential-replay oracle over the ordered batch list),
+  * a full sequential-replay oracle over the ordered batch list, q238
+  * the CURATED multi-epoch export — q234's manifest composed with the
+  * provenance keeps and the survivor-recomputed mix, per-epoch mass
+  * bound against the kept corpus, one shared base/pack definition
+  * with the raw exporter),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

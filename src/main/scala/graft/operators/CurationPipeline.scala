@@ -1234,6 +1234,69 @@ object CurationPipeline {
           col("n_seqs"), col("n_tokens"), col("max_seq_tokens"),
           col("n_langs_out_of_bound"))
         .orderBy(col("epoch"), col("shard"))
+    }),
+
+    // CURATED MULTI-EPOCH EXPORT (round-14 judge task #3) — the
+    // artifact a training run actually consumes across epochs: q234's
+    // multi-epoch manifest composed with the provenance keeps and the
+    // survivor-recomputed mix (q225's discipline — a real run mixes
+    // post-cleaning masses, and the per-epoch q224 mass bound compares
+    // against the KEPT corpus's token mass, not the raw one). Shares
+    // the ONE multi-epoch base/pack definition with q234
+    // (multiEpochBaseOf + packMultiEpoch), so the raw and curated
+    // exporters cannot drift on the coin, the rendezvous shard, or the
+    // packing prefix. Cost over q234: the doc_id-keyed keep join
+    // (corpus-sized at 100 TB, deliberately NOT broadcast) + the
+    // survivor-mass mix rollup; still exactly ONE corpus-sized
+    // exchange — the (epoch, shard) packing window.
+    "q238_curated_multi_epoch" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.Tables.scratchDir(s,
+        "q238_epochs_" + graft.Tables.datasetTag(d))
+      val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+      val keeps = provenance(s, d).filter(col("verdict") === "keep")
+        .select(col("doc_id"))
+      val docs = documents(s, d).join(keeps, "doc_id")
+      val mult = graft.functions.TextQueries.epochMultipliersOf(
+        graft.functions.TextQueries.targetMixWeightsOf(docs))
+      val epochs = Seq(1L, 2L, 3L).toDF("epoch")
+      val packed = packMultiEpoch(
+        multiEpochBaseOf(docs, mult, epochs, nShards = 8), budget = 512L)
+      packed.write.mode("overwrite").partitionBy("epoch", "shard")
+        .parquet(dir)
+      val reread = s.read.parquet(dir)
+        .select(col("epoch").cast("long").as("epoch"),
+          col("shard").cast("long").as("shard"), col("doc_id"), col("cp"),
+          col("lang"), col("n_tok"), col("seq_id"))
+      val baseTok = docs.select(col("lang"), nTok.as("nt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nt").cast("long")).as("base_tokens"))
+      val realized = round(
+        col("etok") / col("base_tokens").cast("double"), 6)
+      val bound = reread.groupBy(col("epoch"), col("lang"))
+        .agg(sum(col("n_tok")).as("etok"))
+        .join(baseTok, "lang")
+        .join(broadcast(mult), "lang")
+        .select(col("epoch"),
+          when(floor(col("multiplier")) <= realized &&
+            realized <= floor(col("multiplier")) + 1, 0L).otherwise(1L)
+            .as("oob"))
+        .groupBy(col("epoch"))
+        .agg(sum(col("oob")).as("n_langs_out_of_bound"))
+      val perSeq = reread.groupBy(col("epoch"), col("shard"), col("seq_id"))
+        .agg(sum(col("n_tok")).as("seq_tok"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          max(col("seq_tok")).as("max_seq_tokens"))
+      reread.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_doc_copies"),
+          sum(col("n_tok")).as("n_tokens"))
+        .join(perSeq, Seq("epoch", "shard"))
+        .join(broadcast(bound), "epoch")
+        .select(col("epoch"), col("shard"), col("n_doc_copies"),
+          col("n_seqs"), col("n_tokens"), col("max_seq_tokens"),
+          col("n_langs_out_of_bound"))
+        .orderBy(col("epoch"), col("shard"))
     })
   )
 
@@ -1867,7 +1930,33 @@ object CurationPipeline {
     // rendezvous shard per (doc, cp), the (epoch, shard) packing
     // window, manifest rollups, and the per-epoch q224 bound
     "q234_multi_epoch_export" ->
-      s"""WITH ${graft.functions.TextQueries.targetMixCtes},
+      s"""WITH ${multiEpochPackedCtesFrom("documents")},
+         $multiEpochManifestCtes
+         $multiEpochManifestSelect""",
+
+    // the CURATED form: ONE provenance chain supplies the keeps, the
+    // mix/coin/pack replay is the SAME shared multi-epoch CTE chain
+    // re-rooted on the survivors, and the per-epoch bound compares
+    // against the KEPT corpus's token mass (q225's discipline)
+    "q238_curated_multi_epoch" ->
+      s"""WITH RECURSIVE $provenanceCtes,
+         keeps AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
+         kdocs AS (SELECT d.* FROM documents d JOIN keeps USING (doc_id)),
+         ${multiEpochPackedCtesFrom("kdocs")},
+         $multiEpochManifestCtes
+         $multiEpochManifestSelect"""
+  )
+
+  /** The multi-epoch export replay over an arbitrary documents-shaped
+    * relation — q228's (doc, epoch) coin, the (doc, cp) rendezvous
+    * shard shared across epochs, the (epoch, shard) packing window —
+    * ending in `epacked` (+ `mult`, `bt` for the bound). ONE definition
+    * consumed by the raw (q234) and curated (q238) oracles, mirroring
+    * the Scala side's shared [[multiEpochBaseOf]]/[[packMultiEpoch]].
+    * Set semantics avoided entirely (no UNION), so the chain is safe
+    * under the WITH RECURSIVE context q238's provenance needs. */
+  private[graft] def multiEpochPackedCtesFrom(rel: String): String =
+    s"""${graft.functions.TextQueries.targetMixCtesFrom(rel)},
          mult AS (SELECT lang, round(cw * zf, 6) AS multiplier
            FROM w CROSS JOIN z),
          eps AS (SELECT CAST(e AS BIGINT) AS epoch FROM range(1, 4) t(e)),
@@ -1881,7 +1970,7 @@ object CurationPipeline {
                    (a, x) -> a * 16 + x) / 4503599627370496.0
                  < mu.multiplier - floor(mu.multiplier)
                  THEN 1 ELSE 0 END AS n_copies
-           FROM documents d JOIN mult mu USING (lang) CROSS JOIN eps ep),
+           FROM $rel d JOIN mult mu USING (lang) CROSS JOIN eps ep),
          erep AS (
            SELECT epoch, doc_id, lang, text,
              unnest(range(1, n_copies + 1)) AS cp
@@ -1909,7 +1998,16 @@ object CurationPipeline {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) // 512 AS seq_id
            FROM epk),
-         eseqs AS (
+         bt AS (
+           SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(text,
+               '[^\\p{L}]+'), x -> x <> ''))) AS BIGINT) AS base_tokens
+           FROM $rel GROUP BY lang)"""
+
+  /** The manifest rollups + per-epoch mass bound over `epacked`/`bt`/
+    * `mult` — the shared tail of the q234/q238 oracles. */
+  private lazy val multiEpochManifestCtes: String =
+    s"""eseqs AS (
            SELECT epoch, shard, seq_id, CAST(sum(n_tok) AS BIGINT)
              AS seq_tok
            FROM epacked GROUP BY 1, 2, 3),
@@ -1921,11 +2019,6 @@ object CurationPipeline {
            SELECT epoch, shard, count(*) AS n_seqs,
              max(seq_tok) AS max_seq_tokens
            FROM eseqs GROUP BY 1, 2),
-         bt AS (
-           SELECT lang,
-             CAST(sum(len(list_filter(string_split_regex(text,
-               '[^\\p{L}]+'), x -> x <> ''))) AS BIGINT) AS base_tokens
-           FROM documents GROUP BY lang),
          el AS (
            SELECT epoch, lang, CAST(sum(n_tok) AS BIGINT) AS etok
            FROM epacked GROUP BY 1, 2),
@@ -1938,11 +2031,12 @@ object CurationPipeline {
                    <= floor(mu.multiplier) + 1
                THEN 0 ELSE 1 END) AS BIGINT) AS n_langs_out_of_bound
            FROM el JOIN bt b USING (lang) JOIN mult mu USING (lang)
-           GROUP BY 1)
-         SELECT m1.epoch, m1.shard, m1.n_doc_copies, m2.n_seqs,
+           GROUP BY 1)"""
+
+  private lazy val multiEpochManifestSelect: String =
+    """SELECT m1.epoch, m1.shard, m1.n_doc_copies, m2.n_seqs,
            m1.n_tokens, m2.max_seq_tokens, bnd.n_langs_out_of_bound
          FROM m1 JOIN m2 ON m1.epoch = m2.epoch AND m1.shard = m2.shard
          JOIN bnd ON bnd.epoch = m1.epoch
          ORDER BY m1.epoch, m1.shard"""
-  )
 }

@@ -714,6 +714,67 @@ class CurationPipelineSpec extends TestSpark {
     }
   }
 
+  test("q238 curated multi-epoch export: keeps only, per-epoch bound, cross-epoch shard locality") {
+    val rows = CurationPipeline.queries("q238_curated_multi_epoch")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("epoch")).distinct.sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // the q224 stochastic-rounding mass bound holds per epoch AGAINST
+    // THE KEPT CORPUS (the in-query assert column must read 0)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_langs_out_of_bound") == 0L, s"$r"))
+    // doc-level checks off the written sink
+    val dir = Tables.scratchDir(spark,
+      "q238_epochs_" + Tables.datasetTag(sf0001))
+    val packed = spark.read.parquet(dir)
+      .select(col("epoch").cast("long"), col("shard").cast("long"),
+        col("doc_id"), col("cp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // only provenance keeps are exported — the curated contract
+    val keeps = CurationPipeline.queries("q221_curation_provenance")(
+      spark, sf0001).collect()
+      .filter(_.getAs[String]("verdict") == "keep")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val exported = packed.map(_._3).toSet
+    assert(exported.subsetOf(keeps),
+      s"non-keep docs exported: ${exported -- keeps}")
+    // cross-epoch shard locality: the rendezvous key is (doc_id, cp) —
+    // the same copy lands on the same shard in every epoch it exists
+    packed.groupBy(p => (p._3, p._4)).foreach { case (k, copies) =>
+      assert(copies.map(_._2).distinct.length == 1,
+        s"copy $k moved shards across epochs")
+    }
+    // epochs genuinely differ (the (doc, epoch)-keyed coin) — but ONLY
+    // when some multiplier has a fractional part for the coin to act
+    // on: the curated sf0.001 corpus keeps a single language whose
+    // survivor mix collapses to exactly 1.0, so there the correct
+    // behavior is identical epochs (every doc exactly once), which the
+    // copy-count recount below pins instead
+    val perEpochCounts = packed.groupBy(_._1).view
+      .mapValues(_.groupBy(_._3).view.mapValues(_.length).toMap).toMap
+    assert(Set(1L, 2L, 3L).subsetOf(perEpochCounts.keySet))
+    val mult = graft.functions.TextQueries.epochMultipliersOf(
+      graft.functions.TextQueries.targetMixWeightsOf(
+        Tables.documents(spark, sf0001).join(
+          CurationPipeline.queries("q221_curation_provenance")(spark, sf0001)
+            .filter(col("verdict") === "keep").select(col("doc_id")),
+          "doc_id")))
+      .collect().map(_.getAs[Double]("multiplier"))
+    if (mult.exists(m => m != math.floor(m)))
+      assert(perEpochCounts(1L) != perEpochCounts(2L) ||
+        perEpochCounts(2L) != perEpochCounts(3L),
+        "every epoch drew the identical sample — the epoch coin is dead")
+    else
+      // integral multipliers: the coin never fires, so every epoch
+      // must draw the IDENTICAL floor(m)-copy sample — the
+      // conservation side of the same contract
+      assert(perEpochCounts(1L) == perEpochCounts(2L) &&
+        perEpochCounts(2L) == perEpochCounts(3L),
+        "integral multipliers must draw identical epochs")
+  }
+
   test("production-threshold smoke: the q221 pipeline at Thresholds.Production populates both classes of every gate") {
     // Thresholds.scala documents production values next to the fixture
     // calibration, but nothing executed them (round-13 judge task #6).
