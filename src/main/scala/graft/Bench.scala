@@ -189,11 +189,14 @@ object Bench {
     // round 15: the CURATED multi-epoch exporter (provenance keeps +
     // survivor mix under the shared multi-epoch base — benched beside
     // q234 so the curated-vs-raw export cost gap is visible in one
-    // artifact). q237 advancing-state streaming ingest stays out of
-    // the headline — its per-batch verdict cost is q226's, already
-    // tracked, and the rest is streaming micro-batch/checkpoint
-    // constants (the q232/q130/q219 precedent)
-    "q238_curated_multi_epoch")
+    // artifact) and the cumulative release-lineage store (three
+    // provenance builds + slim diffs — benched beside q236 so the
+    // series-vs-single-diff cost is visible). q237 advancing-state
+    // streaming ingest stays out of the headline — its per-batch
+    // verdict cost is q226's, already tracked, and the rest is
+    // streaming micro-batch/checkpoint constants (the q232/q130/q219
+    // precedent)
+    "q238_curated_multi_epoch", "q239_release_series")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

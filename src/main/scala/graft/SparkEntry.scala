@@ -160,7 +160,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the CURATED multi-epoch export — q234's manifest composed with the
   * provenance keeps and the survivor-recomputed mix, per-epoch mass
   * bound against the kept corpus, one shared base/pack definition
-  * with the raw exporter),
+  * with the raw exporter, q239 the CUMULATIVE release-lineage store —
+  * q236's diff accrued across a three-release ingestion series into a
+  * release_id-partitioned SCD-style store, per-step n_new_kept and
+  * cross-source n_displaced queryable three releases later),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -1098,6 +1098,80 @@ object CurationPipeline {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // CUMULATIVE RELEASE LINEAGE (round-14 judge task #7) — q236
+    // generalized to the release SERIES a corpus actually accrues:
+    // three synthetic releases ingest sources cumulatively (R1 =
+    // without src1+src2, R2 ingests src2, R3 ingests src1), each
+    // release's per-(source, lang) manifest row — n_kept, n_new_kept
+    // (the ingested source's survivors), n_displaced (docs a PREVIOUS
+    // release kept that this release's larger near-dup clusters
+    // outranked — the cross-source displacement q236 surfaces for one
+    // step) — lands in a release_id-partitioned STORE (the q164 SCD2
+    // history discipline: dynamic overwrite per release ⇒ a re-run of
+    // release r replaces exactly its own row set), and the query
+    // returns the accumulated, queryable displacement history. Cost
+    // per release: one provenance build over its population (sharing
+    // the cached labels, gram broadcast, and shingle relation — the
+    // q236 sharing) + a slim doc_id join against the PREVIOUS
+    // release's verdicts; the store itself is scorecard-sized. The
+    // q236 invariance licenses the oracle's one-chain replay: per-
+    // source URL groups, per-doc gates, full-corpus cluster labels on
+    // both sides — only the best-of-cluster rank can differ between
+    // release populations.
+    "q239_release_series" -> ((s, d) => {
+      val dir = graft.Tables.scratchDir(s,
+        "q239_store_" + graft.Tables.datasetTag(d))
+      val all = documents(s, d)
+      val labels = graft.functions.Dedup.nearDupLabels(s, d)
+      val grams = benchGramSet(s, d)
+      def prov(excl: Seq[String]): DataFrame =
+        if (excl.isEmpty) provenance(s, d)
+        else buildProvenanceOf(s,
+          all.filter(col("doc_id") % 5 =!= 0 &&
+            !col("source").isin(excl: _*)),
+          grams, labels, graft.Thresholds.RepTopBigramMax,
+          graft.Thresholds.RepDup5gramMax)
+      val relSchema = new org.apache.spark.sql.types.StructType()
+        .add("source", "string").add("lang", "string")
+        .add("n_kept", "long").add("n_new_kept", "long")
+        .add("n_displaced", "long").add("release_id", "long")
+      s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], relSchema)
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("release_id").parquet(dir)
+      val releases = Seq(
+        (1L, Seq("src1", "src2")), (2L, Seq("src1")), (3L, Seq.empty[String]))
+      var prev: Option[DataFrame] = None
+      for ((rid, excl) <- releases) {
+        val cur = prov(excl).select(col("doc_id"), col("source"),
+          col("lang"), (col("verdict") === "keep").as("keep"))
+        val joined = prev match {
+          case None => cur
+            .withColumn("keep_a", lit(null).cast("boolean"))
+            .withColumn("in_prev", lit(null).cast("boolean"))
+          case Some(p) => cur.join(
+            p.select(col("doc_id"), col("keep").as("keep_a"),
+              lit(true).as("in_prev")),
+            Seq("doc_id"), "left_outer")
+        }
+        joined.groupBy(col("source"), col("lang"))
+          .agg(sum(col("keep").cast("long")).as("n_kept"),
+            sum((col("keep") && col("in_prev").isNull).cast("long"))
+              .as("n_new_kept"),
+            sum((coalesce(col("keep_a"), lit(false)) && !col("keep"))
+              .cast("long")).as("n_displaced"))
+          .withColumn("release_id", lit(rid))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("release_id").parquet(dir)
+        prev = Some(cur)
+      }
+      s.read.schema(relSchema).parquet(dir)
+        .select(col("release_id"), col("source"), col("lang"),
+          col("n_kept"), col("n_new_kept"), col("n_displaced"))
+        .orderBy(col("release_id"), col("source"), col("lang"))
+    }),
+
     // PACKING-POLICY COMPARISON (round-13 judge task #5) — the decision
     // table q229's audit exists to feed: the SAME epoch base (copies,
     // content hash, rendezvous shard — one persisted relation, packed
@@ -1645,8 +1719,73 @@ object CurationPipeline {
     sb.toString
   }
 
+  /** q239's release-series replay: ONE provenance chain (`pre`), each
+    * release's verdicts re-derived by restricting the population and
+    * recomputing ONLY the best-of-cluster rank (the q236 invariance —
+    * per-source URL groups, per-doc gates, full-corpus labels), then
+    * the per-release manifest rows diffed against the previous
+    * release's verdicts and stacked. */
+  private def releaseSeriesOracle: String = {
+    val rels: Seq[(Int, Seq[String])] =
+      Seq(1 -> Seq("src1", "src2"), 2 -> Seq("src1"), 3 -> Seq.empty)
+    val sb = new StringBuilder
+    sb ++= s"WITH RECURSIVE $provenanceCtes"
+    for ((rid, excl) <- rels) {
+      val filt =
+        if (excl.isEmpty) ""
+        else s" WHERE source NOT IN (${excl.map(x => s"'$x'").mkString(", ")})"
+      sb ++= s""",
+         pre_r$rid AS (SELECT * FROM pre$filt),
+         alive_r$rid AS (
+           SELECT doc_id, cluster_id, score FROM pre_r$rid
+           WHERE url_keep AND rep_keep
+             AND score >= ${graft.Thresholds.QualityLogitKeepMin}),
+         ranked_r$rid AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY score DESC, doc_id) AS crk FROM alive_r$rid),
+         v_r$rid AS (
+           SELECT p.doc_id, p.source, p.lang,
+             CASE WHEN NOT p.url_keep THEN 'url_dup'
+                  WHEN NOT p.rep_keep THEN 'repetition'
+                  WHEN p.score < ${graft.Thresholds.QualityLogitKeepMin}
+                    THEN 'quality'
+                  WHEN r.crk <> 1 THEN 'cluster_dup'
+                  WHEN p.contaminated THEN 'contaminated'
+                  ELSE 'keep' END AS verdict
+           FROM pre_r$rid p LEFT JOIN ranked_r$rid r
+             ON p.doc_id = r.doc_id)"""
+      sb ++= (if (rid == 1) s""",
+         m_r$rid AS (
+           SELECT CAST($rid AS BIGINT) AS release_id, source, lang,
+             CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new_kept,
+             CAST(0 AS BIGINT) AS n_displaced
+           FROM v_r$rid GROUP BY 2, 3)"""
+      else s""",
+         m_r$rid AS (
+           SELECT CAST($rid AS BIGINT) AS release_id, b.source, b.lang,
+             CAST(sum(CASE WHEN b.verdict = 'keep' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN b.verdict = 'keep' AND a.doc_id IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_new_kept,
+             CAST(sum(CASE WHEN a.verdict = 'keep' AND b.verdict <> 'keep'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_displaced
+           FROM v_r$rid b LEFT JOIN v_r${rid - 1} a ON a.doc_id = b.doc_id
+           GROUP BY 2, 3)""")
+    }
+    sb ++= s"""
+         SELECT release_id, source, lang, n_kept, n_new_kept, n_displaced
+         FROM (${rels.map { case (rid, _) => s"SELECT * FROM m_r$rid" }
+           .mkString(" UNION ALL ")})
+         ORDER BY release_id, source, lang"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q237_advancing_ingest" -> advancingIngestOracle,
+    "q239_release_series" -> releaseSeriesOracle,
 
     "q221_curation_provenance" ->
       s"""WITH RECURSIVE $provenanceCtes

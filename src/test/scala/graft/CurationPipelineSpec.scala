@@ -714,6 +714,49 @@ class CurationPipelineSpec extends TestSpark {
     }
   }
 
+  test("q239 release series: store accumulates three releases, last step reconciles with q236") {
+    val rows = CurationPipeline.queries("q239_release_series")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("release_id"),
+        r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_new_kept"),
+          r.getAs[Long]("n_displaced"))).toMap
+    assert(rows.keys.map(_._1).toSet == Set(1L, 2L, 3L),
+      "the store must hold all three release partitions")
+    // release 1 has no predecessor: everything kept is new, nothing
+    // displaced
+    rows.filter(_._1._1 == 1L).foreach { case (k, (nk, nn, nd)) =>
+      assert(nn == nk, s"$k: n_new_kept must equal n_kept in release 1")
+      assert(nd == 0L, s"$k: nothing can be displaced in release 1")
+    }
+    // src2 enters at release 2, src1 at release 3 — a source absent
+    // from the previous population has every kept doc counted new
+    rows.collect { case ((2L, "src2", l), v) => (l, v) }.foreach {
+      case (l, (nk, nn, _)) =>
+        assert(nn == nk, s"src2/$l at R2: all keeps are new")
+    }
+    assert(!rows.keySet.exists(k => k._1 == 1L && k._2 == "src2"))
+    assert(!rows.keySet.exists(k => k._1 <= 2L && k._2 == "src1"))
+    rows.collect { case ((3L, "src1", l), v) => (l, v) }.foreach {
+      case (l, (nk, nn, _)) =>
+        assert(nn == nk, s"src1/$l at R3: all keeps are new")
+    }
+    // the R2→R3 step IS q236's diff: per (source, lang) the release-3
+    // row must match q236's columns exactly (same prev population —
+    // without src1 — same next population, same invariance)
+    val q236 = CurationPipeline.queries("q236_release_diff")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_kept_next"), r.getAs[Long]("n_new_kept"),
+          r.getAs[Long]("n_displaced"))).toMap
+    val r3 = rows.collect { case ((3L, s, l), v) => (s, l) -> v }.toMap
+    assert(r3 == q236,
+      s"release-3 manifest must reconcile with q236's diff: " +
+        s"only-in-q239=${r3.keySet -- q236.keySet} " +
+        s"only-in-q236=${q236.keySet -- r3.keySet} " +
+        s"mismatched=${r3.collect { case (k, v) if q236.get(k).exists(_ != v) => k }}")
+  }
+
   test("q238 curated multi-epoch export: keeps only, per-epoch bound, cross-epoch shard locality") {
     val rows = CurationPipeline.queries("q238_curated_multi_epoch")(
       spark, sf0001).collect()
