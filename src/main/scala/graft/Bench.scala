@@ -196,7 +196,12 @@ object Bench {
     // verdict cost is q226's, already tracked, and the rest is
     // streaming micro-batch/checkpoint constants (the q232/q130/q219
     // precedent)
-    "q238_curated_multi_epoch", "q239_release_series")
+    "q238_curated_multi_epoch", "q239_release_series",
+    // the sampled exact audit of the production kNN graph — the audit
+    // form that runs at 100× (fixed ~200-probe sample, one map-side
+    // exact pass); q73 stays in the headline as the fixture-scale
+    // flat-IVF audit, scope pinned in COVERAGE.md
+    "q240_sampled_knn_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

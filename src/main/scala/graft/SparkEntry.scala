@@ -163,7 +163,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with the raw exporter, q239 the CUMULATIVE release-lineage store —
   * q236's diff accrued across a three-release ingestion series into a
   * release_id-partitioned SCD-style store, per-step n_new_kept and
-  * cross-source n_displaced queryable three releases later),
+  * cross-source n_displaced queryable three releases later, q240 the
+  * SAMPLED EXACT kNN-graph audit — a fixed deterministic ~200-vector
+  * sample exact-re-ranked against the full corpus in one map-side
+  * pass, scoring the production graph's recall at any corpus size;
+  * the scale-path audit replacing the fixture-only flat-IVF q73),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

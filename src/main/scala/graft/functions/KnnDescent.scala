@@ -251,6 +251,44 @@ object KnnDescent {
     // The production kNN graph: same shape as q73 (3 ranked neighbors
     // per vector) built by LSH-seeded NN-descent — quasi-linear
     // candidate volume instead of the flat-IVF n^1.5.
+    // SAMPLED EXACT AUDIT of the production graph (round-14 judge task
+    // #4 — the audit that itself RUNS at 100×): a deterministic fixed
+    // ~200-vector sample (the RecallProbe/auto-dial rule: vec_id %
+    // max(1, n/200) = 0) exact-re-ranked brute-force against the FULL
+    // corpus — the sample broadcasts, so the exact pass is ONE map-side
+    // corpus scan, O(n) with a tiny constant at ANY scale — and the
+    // graph's edges for the sampled sources are scored against that
+    // ground truth. This replaces the flat-IVF q73 as the SCALE-path
+    // audit: q73's Θ(n^1.5) candidate volume cannot run at 100× even
+    // as an audit (its scope is now pinned fixture-only in
+    // COVERAGE.md), while this one's recall estimate is unbiased at a
+    // fixed ±~0.03 sampling sd regardless of corpus size. A FIXED
+    // sample beats the suggested n^(2/3) sample here: n^(2/3)·n grows
+    // n^(5/3) — superlinear again — while fixed·n stays linear and the
+    // estimator's variance is already sampling-dominated, not
+    // size-dominated.
+    "q240_sampled_knn_audit" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val n = Similarity.corpusCount(e, d)
+      val stride = math.max(1L, n / 200L)
+      val probes = e.filter(col("vec_id") % stride === 0)
+      val exact = graft.PersistTracker.tracked("knnd",
+        Similarity.cosineTopK(probes, e, K)
+          .select(col("probe_id").as("src"), col("vec_id").as("nbr")))
+      val sampled = graph(s, e, d).filter(col("src") % stride === 0)
+        .select(col("src"), col("nbr"))
+      val m = exact.agg(countDistinct(col("src")).as("n_sampled"),
+        count(lit(1)).as("n_exact_edges"))
+      val h = exact.join(sampled, Seq("src", "nbr"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val g = sampled.agg(count(lit(1)).as("n_graph_edges"))
+      m.crossJoin(h).crossJoin(g)
+        .select(col("n_sampled"), col("n_exact_edges"),
+          col("n_graph_edges"), col("n_hits"),
+          round(col("n_hits") / col("n_exact_edges").cast("double"), 6)
+            .as("recall_at_3"))
+    }),
+
     "q231_knn_descent" -> ((s, d) => {
       graph(s, embeddings(s, d), d)
         .withColumn("rk", row_number().over(
@@ -372,6 +410,40 @@ object KnnDescent {
   private[graft] def finalCte: String = s"g$Iters"
 
   val oracles: Map[String, String] = Map(
+    // sample (the shared nnd_stride rule) exact-re-ranked against the
+    // full corpus with the q30 ranking convention, then scored against
+    // the replayed graph's sampled edges
+    "q240_sampled_knn_audit" ->
+      s"""WITH $nndCtes,
+         a_probes AS (
+           SELECT vec_id, embedding FROM embeddings, nnd_stride
+           WHERE vec_id % nnd_stride.st = 0),
+         a_scored AS (
+           SELECT p.vec_id AS src, c.vec_id AS nbr,
+             round(list_dot_product(p.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.embedding::DOUBLE[],
+                   p.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                   c.embedding::DOUBLE[]))), 6) AS cos
+           FROM a_probes p JOIN embeddings c ON p.vec_id <> c.vec_id),
+         a_exact AS (
+           SELECT src, nbr FROM (
+             SELECT src, nbr, row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr) AS rk
+             FROM a_scored) WHERE rk <= $K),
+         a_graph AS (
+           SELECT g.src, g.nbr FROM $finalCte g, nnd_stride
+           WHERE g.src % nnd_stride.st = 0),
+         a_m AS (SELECT count(DISTINCT src) AS n_sampled,
+             count(*) AS n_exact_edges FROM a_exact),
+         a_h AS (SELECT count(*) AS n_hits FROM a_exact e
+           JOIN a_graph g ON e.src = g.src AND e.nbr = g.nbr),
+         a_g AS (SELECT count(*) AS n_graph_edges FROM a_graph)
+         SELECT n_sampled, n_exact_edges, n_graph_edges, n_hits,
+           round(n_hits / CAST(n_exact_edges AS DOUBLE), 6) AS recall_at_3
+         FROM a_m CROSS JOIN a_h CROSS JOIN a_g""",
+
     "q231_knn_descent" ->
       s"""WITH $nndCtes
          SELECT src AS src_id, rk, nbr AS nbr_id, cos FROM (

@@ -925,6 +925,35 @@ class DedupSimilaritySpec extends TestSpark {
         f"the flat-IVF n^1.5 bound (×${math.pow(nRatio, 1.5)}%.1f)")
   }
 
+  test("q240 sampled audit: recounts from q231's edges vs in-JVM brute-force exact on the sample") {
+    val row = graft.functions.KnnDescent.queries("q240_sampled_knn_audit")(
+      spark, sf0001).head()
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val stride = math.max(1L, emb.size / 200L)
+    val probes = emb.keys.filter(_ % stride == 0).toSeq
+    val exact = probes.flatMap { p =>
+      emb.keys.filter(_ != p).toSeq
+        .map(c => (c, Similarity.roundedCosine(emb(p), emb(c))))
+        .sortBy { case (c, cos) => (-cos, c) }.take(3)
+        .map { case (c, _) => (p, c) }
+    }.toSet
+    val g = graft.functions.KnnDescent.queries("q231_knn_descent")(
+      spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id")))
+      .filter(_._1 % stride == 0).toSet
+    assert(row.getAs[Long]("n_sampled") == probes.size)
+    assert(row.getAs[Long]("n_exact_edges") == exact.size)
+    assert(row.getAs[Long]("n_graph_edges") == g.size)
+    assert(row.getAs[Long]("n_hits") == exact.intersect(g).size)
+    assert(row.getAs[Double]("recall_at_3") ==
+      math.round(exact.intersect(g).size.toDouble / exact.size * 1e6) / 1e6)
+    // the audit must measure something real on this fixture
+    assert(row.getAs[Double]("recall_at_3") > 0.0 &&
+      row.getAs[Double]("recall_at_3") <= 1.0)
+  }
+
   test("NN-descent auto-dial: weak margins escalate to radius 2, a duplicated corpus stays at radius 1") {
     // the unstructured fixture's mean top-1 seed cosine measures ~0.32
     // (round-15 margin probe) — under the 0.5 floor, so the policy must
