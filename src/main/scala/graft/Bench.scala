@@ -201,7 +201,10 @@ object Bench {
     // form that runs at 100× (fixed ~200-probe sample, one map-side
     // exact pass); q73 stays in the headline as the fixture-scale
     // flat-IVF audit, scope pinned in COVERAGE.md
-    "q240_sampled_knn_audit")
+    "q240_sampled_knn_audit",
+    // the doc-boundary mask manifest (shares the memoized epoch base
+    // with q233/q235 — one window exchange + a map-side explode)
+    "q241_boundary_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

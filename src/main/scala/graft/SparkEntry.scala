@@ -167,7 +167,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SAMPLED EXACT kNN-graph audit — a fixed deterministic ~200-vector
   * sample exact-re-ranked against the full corpus in one map-side
   * pass, scoring the production graph's recall at any corpus size;
-  * the scale-path audit replacing the fixture-only flat-IVF q73),
+  * the scale-path audit replacing the fixture-only flat-IVF q73, q241
+  * the DOC-BOUNDARY mask manifest — per packed sequence the segment
+  * count, continuations, fill, and ordered start offsets a
+  * masked-attention loader consumes, off the shared epoch base's one
+  * window exchange),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -1310,6 +1310,47 @@ object CurationPipeline {
         .orderBy(col("epoch"), col("shard"))
     }),
 
+    // DOC-BOUNDARY MASK MANIFEST — the artifact q235's attention-purity
+    // audit motivates: a masked-attention data loader needs, PER
+    // SEQUENCE, where documents start — concat-then-chunk packing
+    // splits docs across sequence boundaries, so the manifest is
+    // segment-grain: for every (shard, seq_id), the number of document
+    // segments, how many are continuations of a doc split from the
+    // previous sequence, the filled token count, and the ordered
+    // within-sequence start offsets (the mask boundaries themselves,
+    // comma-joined — the scalar form the gate requires). Derived from
+    // the SAME memoized epoch base and the SAME one windowed exchange
+    // as q233/q235 (the shard-offset cumsum), then a per-doc explode
+    // into the ≤ ⌈n_tok/512⌉+1 sequences it touches — map-side — and a
+    // sequence-grain rollup. Everything integer-exact: the oracle
+    // replays the cumsum, the segment clipping, and the offset string.
+    "q241_boundary_manifest" -> ((s, d) => {
+      val base = sharedEpochBase(s, d)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"), col("cp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val segs = base
+        .withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .filter(col("n_tok") > 0)
+        .select(col("shard"), col("doc_id"), col("cp"), col("prev"),
+          col("n_tok"),
+          explode(sequence(expr("prev div 512"),
+            expr("(prev + n_tok - 1) div 512"))).as("seq_id"))
+        .select(col("shard"), col("seq_id"),
+          greatest(col("prev") - col("seq_id") * 512, lit(0L))
+            .as("start_off"),
+          (least(col("prev") + col("n_tok"), (col("seq_id") + 1) * 512)
+            - col("seq_id") * 512).as("end_off"),
+          (col("prev") < col("seq_id") * 512).cast("long").as("cont"))
+      segs.groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("cont")).as("n_continuations"),
+          sum(col("end_off") - col("start_off")).as("seq_tokens"),
+          expr("concat_ws(',', transform(sort_array(collect_list(" +
+            "start_off)), x -> cast(x as string)))").as("boundaries"))
+        .orderBy(col("shard"), col("seq_id"))
+    }),
+
     // CURATED MULTI-EPOCH EXPORT (round-14 judge task #3) — the
     // artifact a training run actually consumes across epochs: q234's
     // multi-epoch manifest composed with the provenance keeps and the
@@ -1786,6 +1827,34 @@ object CurationPipeline {
   val oracles: Map[String, String] = Map(
     "q237_advancing_ingest" -> advancingIngestOracle,
     "q239_release_series" -> releaseSeriesOracle,
+
+    // the shared pk relation's shard cumsum, each doc exploded into the
+    // sequences it touches, segment offsets clipped integer-exactly,
+    // boundary string ordered by offset
+    "q241_boundary_manifest" ->
+      s"""WITH $epochPackedCtes,
+         wp AS (
+           SELECT shard, doc_id, cp, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+               ORDER BY ch, doc_id, cp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+           FROM pk),
+         bsegs AS (
+           SELECT shard,
+             CAST(t.s AS BIGINT) AS seq_id,
+             greatest(prev - t.s * 512, 0) AS start_off,
+             least(prev + n_tok, (t.s + 1) * 512) - t.s * 512 AS end_off,
+             CASE WHEN prev < t.s * 512 THEN 1 ELSE 0 END AS cont
+           FROM wp, unnest(range(prev // 512,
+             (prev + n_tok - 1) // 512 + 1)) t(s)
+           WHERE n_tok > 0)
+         SELECT shard, seq_id, count(*) AS n_segments,
+           CAST(sum(cont) AS BIGINT) AS n_continuations,
+           CAST(sum(end_off - start_off) AS BIGINT) AS seq_tokens,
+           string_agg(start_off::VARCHAR, ',' ORDER BY start_off)
+             AS boundaries
+         FROM bsegs GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q221_curation_provenance" ->
       s"""WITH RECURSIVE $provenanceCtes

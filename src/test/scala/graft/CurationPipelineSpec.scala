@@ -818,6 +818,68 @@ class CurationPipelineSpec extends TestSpark {
         "integral multipliers must draw identical epochs")
   }
 
+  test("q241 boundary manifest: brute-force segment recount, mask invariants hold") {
+    val rows = CurationPipeline.queries("q241_boundary_manifest")(
+      spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_continuations"),
+          r.getAs[Long]("seq_tokens"), r.getAs[String]("boundaries")))
+      .toMap
+    assert(rows.nonEmpty)
+    // recount from the epoch base: replay the shard cumsum and clip
+    // each doc's token interval into the sequences it touches
+    val mult = graft.functions.TextQueries.epochMultipliersOf(
+      graft.functions.TextQueries.targetMixWeightsOf(
+        Tables.documents(spark, sf0001)))
+    val rel = CurationPipeline.epochBaseOf(
+      Tables.documents(spark, sf0001), mult, 8)
+      .select(col("shard"), col("doc_id"), col("cp"), col("n_tok"),
+        col("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Number](3).longValue, r.getString(4)))
+    val want = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long, Long, Seq[Long])]
+    rel.groupBy(_._1).foreach { case (shard, ds) =>
+      var prev = 0L
+      ds.sortBy { case (_, doc, cp, _, h) => (h, doc, cp) }.foreach {
+        case (_, _, _, nTok, _) =>
+          if (nTok > 0) {
+            var s = prev / 512
+            while (s <= (prev + nTok - 1) / 512) {
+              val startOff = math.max(prev - s * 512, 0L)
+              val endOff = math.min(prev + nTok, (s + 1) * 512) - s * 512
+              val cont = if (prev < s * 512) 1L else 0L
+              val (n, c, t, b) =
+                want.getOrElse((shard, s), (0L, 0L, 0L, Seq.empty[Long]))
+              want((shard, s)) =
+                (n + 1, c + cont, t + (endOff - startOff), b :+ startOff)
+              s += 1
+            }
+          }
+          prev += nTok
+      }
+    }
+    assert(rows.keySet == want.keySet)
+    rows.foreach { case (k, (n, c, t, b)) =>
+      val (wn, wc, wt, wb) = want(k)
+      assert(n == wn && c == wc && t == wt, s"$k: counts drifted")
+      assert(b == wb.sorted.map(_.toString).mkString(","),
+        s"$k: boundary string drifted")
+      // mask invariants: offsets strictly increasing inside [0, 512),
+      // fill never exceeds the budget, at most one continuation (a
+      // split doc can only continue from the previous sequence)
+      val offs = b.split(",").map(_.toLong)
+      assert(offs.toSeq == offs.sorted.toSeq && offs.distinct.length ==
+        offs.length && offs.forall(o => o >= 0 && o < 512))
+      assert(t <= 512, s"$k overfilled")
+      assert(c <= 1, s"$k: more than one continuation segment")
+      if (c == 1) assert(offs.head == 0,
+        s"$k: a continuation must start at offset 0")
+    }
+    // conservation: the summed fill equals the base's total tokens
+    assert(rows.values.map(_._3).sum == rel.map(_._4).sum)
+  }
+
   test("production-threshold smoke: the q221 pipeline at Thresholds.Production populates both classes of every gate") {
     // Thresholds.scala documents production values next to the fixture
     // calibration, but nothing executed them (round-13 judge task #6).

