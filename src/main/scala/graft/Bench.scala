@@ -204,7 +204,11 @@ object Bench {
     "q240_sampled_knn_audit",
     // the doc-boundary mask manifest (shares the memoized epoch base
     // with q233/q235 — one window exchange + a map-side explode)
-    "q241_boundary_manifest")
+    "q241_boundary_manifest",
+    // round 15 continuation: the ExactSubstr REMOVAL transform (benched
+    // beside the q120 pair audit so the scrub-vs-audit cost is one
+    // artifact) and DSIR hashed-bigram importance selection
+    "q242_substr_scrub", "q243_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -267,6 +271,7 @@ object Bench {
       operators.SignatureStore.releaseCaches(spark)
       operators.PipelineOps.releaseCaches(spark)
       operators.CurationPipeline.releaseCaches(spark)
+      operators.CurationAudits.releaseCaches(spark)
       // Blanket sweep for what the module hooks can't see (round-11
       // judge finding #3: q175 ran 1.6× slower in the full session than
       // isolated with no code change): the iterative graph kernels cut
@@ -545,6 +550,7 @@ object Bench {
     operators.Multimodal.releaseCaches(spark)
     operators.SignatureStore.releaseCaches(spark)
     operators.PipelineOps.releaseCaches(spark)
+    operators.CurationAudits.releaseCaches(spark)
     spark.stop()
   }
 }

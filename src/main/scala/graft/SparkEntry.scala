@@ -171,7 +171,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the DOC-BOUNDARY mask manifest — per packed sequence the segment
   * count, continuations, fill, and ordered start offsets a
   * masked-attention loader consumes, off the shared epoch base's one
-  * window exchange),
+  * window exchange, q242 EXACT-SUBSTRING SCRUB — the ExactSubstr
+  * REMOVAL transform (Lee et al. 2022) q120 only audits: every
+  * non-canonical occurrence of a duplicated 8-token window excised
+  * and each doc reassembled from its surviving tokens, linear via
+  * per-gram argmin (no self-join, no df cap), q243 DSIR data
+  * selection (Xie et al. 2023) — hashed-bigram importance weights
+  * between a target-domain and raw multinomial in exact integer
+  * micro-units, Gumbel-top-K resampling on a deterministic md5
+  * fold),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

@@ -704,7 +704,31 @@ object Dedup {
     // key), the join is gram-keyed with q117's 2..64 df cap (hot-gram
     // guard), islands shuffle on (pair, offset) — never doc-pairwise.
     "q120_shared_spans" -> ((s, d) => sharedSpans(s, documents(s, d))
-      .orderBy(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_a"), col("doc_b"))),
+
+    // EXACT-SUBSTRING SCRUB — the REMOVAL transform q120 only audits
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better", the ExactSubstr dedup every frontier pipeline
+    // runs): every occurrence of a cross- or within-doc duplicated
+    // [[SpanN]]-token window EXCEPT the globally first one (minimum
+    // (doc_id, pos)) has its token positions excised, and each doc is
+    // reassembled from its surviving tokens — per doc the before/after
+    // token counts and the scrubbed text. Window granularity (the
+    // standard reimplementation simplification) rather than maximal
+    // suffix-array substrings: overlapping duplicated windows union
+    // into exactly the maximal duplicated run minus nothing, so runs
+    // ≥ SpanN are fully excised except their canonical copy. Scale
+    // shape — and why this is NOT q120's plan: no self-join and no df
+    // cap, because removal needs per-gram ARGMIN, not pairs. The
+    // canonical occurrence comes from a map-side-combinable
+    // min(struct)/count aggregation and an AQE-skew-splittable join
+    // back (a window over gram would pile a million-occurrence
+    // boilerplate gram onto one partition; partial agg + skew-join
+    // handle it), so a gram duplicated across the whole corpus costs
+    // O(occurrences) — strictly linear end to end. The reassembly
+    // shuffles (doc_id, idx, token) once — wordcount-scale.
+    "q242_substr_scrub" -> ((s, d) => substrScrub(s, documents(s, d))
+      .orderBy(col("doc_id")))
   )
 
   /** Minimum shared-run length (tokens) for q120. 8 matches q74's
@@ -757,6 +781,60 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("span_toks")).as("max_span_toks"),
         count(lit(1)).as("n_spans"))
+  }
+
+  /** q242's engine over an arbitrary (doc_id, text) relation — see the
+    * query comment for semantics and scale rationale. One typed map
+    * pass emits each token WITH the n-gram starting at its position
+    * (q120's gram text, md5'd to the same 16-hex key before the
+    * persist, so the raw ~50-char gram never outlives the map side);
+    * the persisted (doc_id, idx, tok, g) relation then feeds both the
+    * duplicate detection and the reassembly. Docs that tokenize to
+    * nothing have no rows and are absent from the output — the oracle
+    * builds from the identical token relation. Public so the spec can
+    * drive crafted corpora through the exact production path. */
+  def substrScrub(s: SparkSession, docs: DataFrame, n: Int = SpanN): DataFrame = {
+    import s.implicits._
+    val base = tracked(docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = graft.functions.TokenizeUdtf.SplitRe.split(t)
+          .filter(_.nonEmpty)
+        toks.iterator.zipWithIndex.map { case (tok, i) =>
+          val gram = if (i + n <= toks.length)
+            toks.slice(i, i + n).mkString(" ") else null
+          (id, (i + 1).toLong, tok, gram)
+        }
+      }
+      .toDF("doc_id", "idx", "tok", "gram")
+      .select(col("doc_id"), col("idx"), col("tok"),
+        when(col("gram").isNotNull, substring(md5(col("gram")), 1, 16))
+          .as("g")))
+    val grams = base.filter(col("g").isNotNull)
+      .select(col("doc_id"), col("idx").as("pos"), col("g"))
+    // canonical occurrence per DUPLICATED gram: partial-agg'd argmin —
+    // a hot boilerplate gram combines map-side instead of piling one
+    // window partition, and the join back is AQE-skew-splittable
+    val dupMins = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("m"),
+        count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("g"), col("m.doc_id").as("mdoc"), col("m.pos").as("mpos"))
+    val removed = grams.join(dupMins, "g")
+      .filter(col("doc_id") =!= col("mdoc") || col("pos") =!= col("mpos"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("idx"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    base.join(removed, Seq("doc_id", "idx"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("rm"), lit(false)).cast("long")).as("n_removed"),
+        // collect_list skips the CASE's nulls, so only surviving tokens
+        // sort (by unique idx — deterministic) and rejoin
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN rm IS NULL THEN struct(idx, tok) END)), x -> x.tok)"),
+          " ").as("text_clean"))
   }
 
   /** Connected-component labels over an undirected pair graph
@@ -1344,7 +1422,43 @@ object Dedup {
            SELECT doc_a, doc_b, max(pa) - min(pa) + 8 AS span_toks
            FROM runs GROUP BY doc_a, doc_b, diff, grp)
          SELECT doc_a, doc_b, max(span_toks) AS max_span_toks, count(*) AS n_spans
-         FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+         FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
+
+    // q242: the window rn > 1 ⟺ the engine's "duplicated gram, not the
+    // (doc_id, pos)-minimum occurrence" (fine at oracle SF — the engine
+    // avoids the window for skew, the SEMANTICS are identical); token
+    // indices, gram keys, and the space-rejoin replay the engine's
+    // exactly. Gram width interpolated from SpanN so the two sides
+    // cannot drift.
+    "q242_substr_scrub" ->
+      s"""WITH tokd AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '') AS lst
+           FROM documents),
+         toks AS (
+           SELECT doc_id, i AS idx, lst[i] AS tok
+           FROM tokd, LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) s),
+         grams AS (
+           SELECT doc_id, i AS pos,
+             substring(md5(array_to_string(lst[i:i+${SpanN - 1}], ' ')), 1, 16) AS g
+           FROM tokd,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(lst)-${SpanN - 1}, 0))) AS i) s),
+         occ AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+           FROM grams),
+         rem AS (
+           SELECT DISTINCT doc_id, pos + k AS idx
+           FROM occ, LATERAL (SELECT unnest(generate_series(0, ${SpanN - 1})) AS k) t
+           WHERE rn > 1),
+         mk AS (
+           SELECT t.doc_id, t.idx, t.tok, (r.idx IS NOT NULL) AS rm
+           FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.idx = r.idx)
+         SELECT doc_id, count(*) AS n_tokens,
+           count(*) FILTER (WHERE rm) AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY idx), '')
+             AS text_clean
+         FROM mk GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** q88 computes exactly q72's cluster assignment (different engine

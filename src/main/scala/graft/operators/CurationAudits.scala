@@ -33,6 +33,28 @@ import org.apache.spark.sql.types.StructType
   */
 object CurationAudits {
 
+  /** Persisted relations (q243's hashed-bigram stream, consumed by both
+    * the model rollup and the doc scoring) tracked through the shared
+    * [[graft.PersistTracker]] — the Dedup/TextQueries teardown
+    * contract. */
+  private def tracked(df: DataFrame): DataFrame =
+    graft.PersistTracker.tracked("audits", df)
+
+  /** Unpersist this module's tracked relations for `s` (test/app
+    * teardown, between corpus versions). */
+  def releaseCaches(s: SparkSession): Unit =
+    graft.PersistTracker.release("audits", s)
+
+  /** q243's hashed-bigram feature space (DSIR's n-gram hashing, Xie et
+    * al. 2023 §3): buckets for the two multinomials. Interpolated into
+    * BOTH the Spark plan and the oracle CTE so the sides cannot
+    * drift. */
+  private[graft] val DsirBuckets = 1024
+
+  /** q243's selection size (Gumbel-top-K ⇔ K draws without replacement
+    * ∝ e^w). */
+  private[graft] val DsirK = 64
+
   /** Deterministic ingestion batch of a doc: 50 equal-width id ranges.
     * Width derives from max(doc_id) so the batch COUNT is fixed at any
     * corpus size — the cumulative pass downstream is a triangular join
@@ -512,7 +534,73 @@ object CurationAudits {
           sum(col("n_quality_rejects")).as("n_quality_rejects"),
           sum(col("n_repetition_rejects")).as("n_repetition_rejects"))
         .crossJoin(sunk)
-    }))
+    }),
+
+    // DSIR DATA SELECTION (Xie et al., NeurIPS 2023 — "Data Selection
+    // for Language Models via Importance Resampling"): pick the raw
+    // docs whose HASHED-BIGRAM distribution best matches a target
+    // domain (here the src0 slice), by importance weight under two
+    // Laplace-smoothed bag-of-hashed-bigrams multinomials — per doc
+    // w = Σ_bigrams [ln p_target(bucket) − ln p_raw(bucket)] — with
+    // Gumbel-top-k resampling (adding Gumbel(u) noise to w and taking
+    // the top K is EXACTLY sampling without replacement ∝ e^w). All
+    // noise is the deterministic md5 fold (the q192 discipline) and
+    // every per-doc sum is INTEGER micro-units (the q231 discipline:
+    // round(lr·1e6) per bucket, summed as longs), so a shuffled
+    // aggregation order cannot move a hash-compared double. Scale
+    // shape: one map-side bigram pass feeds BOTH model counts (one
+    // bucket rollup with conditional sums — buckets, never bigram
+    // text, shuffle) and doc scoring (the 1024-row log-ratio table
+    // broadcasts back onto the stream), one doc-keyed rollup, then
+    // TakeOrdered for the global top-K — nothing corpus-sized crosses
+    // twice and the model itself is O(B) rows at any corpus size.
+    "q243_dsir_select" -> ((s, d) => dsirSelect(s, documents(s, d))))
+
+  /** q243's engine over an arbitrary (doc_id, source, lang, text)
+    * relation — docs with source 'src0' are the TARGET domain, every
+    * other doc is a selection candidate. Public so the spec can drive
+    * crafted corpora through the exact production path. */
+  private[graft] def dsirSelect(s: SparkSession, docs: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    val K = DsirK
+    val ts = filter(split(col("text"), "[^\\p{L}]+"), x => x =!= "")
+    val bi = tracked(docs
+      .select(col("doc_id"), col("source"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, size(ts) - 1)," +
+          " i -> concat(ts[i-1], ' ', ts[i]))")).as("bg"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("bg")), 1, 13), 16, 10).cast("long"),
+          lit(B.toLong)).as("b")))
+    val cnt = bi.groupBy(col("b")).agg(
+      sum((col("source") === "src0").cast("long")).as("ct"),
+      sum((col("source") =!= "src0").cast("long")).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
+    val lr = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      round((log((col("ct") + 0.5) / (col("t") + lit(0.5 * B))) -
+        log((col("cr") + 0.5) / (col("r") + lit(0.5 * B)))) * 1e6)
+        .cast("long").as("lrm"))
+    val w = bi.filter(col("source") =!= "src0")
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lrm")).as("w_micro"),
+        count(lit(1)).as("n_bigrams"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val keyed = w.withColumn("key_micro",
+      col("w_micro") + round(-log(-log(u)) * 1e6).cast("long"))
+    val top = keyed
+      .join(docs.select(col("doc_id"), col("source"), col("lang")),
+        "doc_id")
+      .orderBy(col("key_micro").desc, col("doc_id")).limit(K)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("source"), col("lang"),
+        col("n_bigrams"), col("w_micro"), col("key_micro"))
+      .orderBy(col("rk"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q186_ngram_novelty" ->
@@ -752,5 +840,57 @@ object CurationAudits {
            CAST(sum((NOT r_keep)::BIGINT) AS BIGINT)
              AS n_repetition_rejects,
            CAST(sum((q_keep AND r_keep)::BIGINT) AS BIGINT) AS n_sink_docs
-         FROM v""")
+         FROM v""",
+
+    // q243: identical hashed-bigram bucketing (the q192 md5 13-hex
+    // fold), identical double-op order in the log-ratio, per-bucket
+    // micro-rounding then BIGINT sums (order-free), the same Gumbel
+    // fold, and a single-window replay of TakeOrdered (fine at oracle
+    // SF). Explicit BIGINT casts on the sums — DuckDB's sum(BIGINT)
+    // widens to HUGEINT, which the driver's pandas canonicalization
+    // renders as a float string.
+    "q243_dsir_select" ->
+      s"""WITH tl AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '') AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id, source,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(md5(w1 || ' ' || w2), 1, 13), '')]),
+               (a, x) -> a * 16 + x) % $DsirBuckets AS b
+           FROM (SELECT doc_id, source,
+                   unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+                   unnest(list_slice(ts, 2, len(ts))) AS w2
+                 FROM tl WHERE len(ts) >= 2)),
+         cnt AS (
+           SELECT b, count(*) FILTER (WHERE source = 'src0') AS ct,
+             count(*) FILTER (WHERE source <> 'src0') AS cr
+           FROM bg GROUP BY b),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t,
+                 CAST(sum(cr) AS BIGINT) AS r FROM cnt),
+         lr AS (
+           SELECT b, CAST(round((ln((ct + 0.5) / (t + ${0.5 * DsirBuckets}))
+             - ln((cr + 0.5) / (r + ${0.5 * DsirBuckets}))) * 1000000) AS BIGINT) AS lrm
+           FROM cnt, tot),
+         w AS (
+           SELECT g.doc_id, CAST(sum(lrm) AS BIGINT) AS w_micro,
+             count(*) AS n_bigrams
+           FROM bg g JOIN lr USING (b) WHERE g.source <> 'src0' GROUP BY 1),
+         k AS (
+           SELECT doc_id, w_micro, n_bigrams,
+             w_micro + CAST(round(-ln(-ln(
+               list_reduce(list_prepend(0::BIGINT,
+                 [strpos('0123456789abcdef', c)::BIGINT - 1
+                  for c in string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), '')]),
+                 (a, x) -> a * 16 + x) / 4503599627370496.0)) * 1000000)
+               AS BIGINT) AS key_micro
+           FROM w),
+         r AS (
+           SELECT row_number() OVER (ORDER BY key_micro DESC, k.doc_id) AS rk,
+             k.doc_id, d.source, d.lang, k.n_bigrams, k.w_micro, k.key_micro
+           FROM k JOIN documents d USING (doc_id))
+         SELECT rk, doc_id, source, lang, n_bigrams, w_micro, key_micro
+         FROM r WHERE rk <= $DsirK ORDER BY rk""")
 }

@@ -337,4 +337,43 @@ class CurationAuditsSpec extends TestSpark {
     // a rerun resets its sinks and reproduces the identical row
     assert(run() == r, "rerun is not idempotent")
   }
+
+  test("q243 DSIR: on-domain candidates dominate the selection, off-domain fills the tail, deterministic") {
+    import spark.implicits._
+    // target (src0) and srcA docs draw bigrams from ONE vocabulary
+    // cycle, srcB from a disjoint one: under the two hashed-bigram
+    // multinomials every srcA doc's importance weight sits ~0 (its
+    // buckets have the SAME relative frequency in target and raw)
+    // while every srcB doc's is deeply negative (its buckets are
+    // unseen in the target, Laplace floor only) — a gap orders above
+    // the Gumbel noise, so the top |srcA| ranks must be exactly srcA.
+    val aVocab = Vector("kernel", "tensor", "gradient", "matrix",
+      "vector", "scalar", "epoch", "layer")
+    val bVocab = Vector("recipe", "butter", "flour", "sugar",
+      "oven", "dough", "yeast", "spice")
+    def textOf(v: Vector[String], seed: Int): String =
+      (0 until 40).map(i => v((i * 7 + seed) % v.length)).mkString(" ")
+    val docs = ((0 until 10).map(i =>
+        (1000L + i, "src0", "en", textOf(aVocab, i))) ++
+      (0 until 40).map(i =>
+        (2000L + i, "srcA", "en", textOf(aVocab, i + 3))) ++
+      (0 until 40).map(i =>
+        (3000L + i, "srcB", "en", textOf(bVocab, i))))
+      .toDF("doc_id", "source", "lang", "text")
+
+    val r = CurationAudits.dsirSelect(spark, docs).collect()
+    assert(r.length == CurationAudits.DsirK)
+    // the target slice is never a candidate
+    assert(r.forall(_.getString(2) != "src0"))
+    val (a, b) = r.partition(_.getString(2) == "srcA")
+    assert(a.length == 40 && b.length == CurationAudits.DsirK - 40,
+      r.map(_.getString(2)).mkString(","))
+    // every srcA rank precedes every srcB rank
+    assert(a.map(_.getLong(0)).max < b.map(_.getLong(0)).min)
+    // and the weight gap itself is the domain signal, not noise
+    assert(a.map(_.getLong(5)).min > b.map(_.getLong(5)).max)
+    // deterministic end to end: a second run is row-identical
+    val r2 = CurationAudits.dsirSelect(spark, docs).collect()
+    assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
 }

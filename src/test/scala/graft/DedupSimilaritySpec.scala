@@ -612,6 +612,45 @@ class DedupSimilaritySpec extends TestSpark {
     assert(j < 0.8, s"jaccard $j should be sub-threshold")
   }
 
+  test("q242 substr scrub: non-canonical duplicated windows excised, canonical and clean docs intact") {
+    import spark.implicits._
+    // the q120 fixture shape: an 8-token quote shared by two docs, one
+    // clean doc, plus a WITHIN-doc repeat and a 10-token shared run
+    // (overlapping duplicated windows must union to the full run)
+    val quote = "howls leaps over wise the lazy sings red"
+    val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      quote + " lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docB = "one two three four five six seven eight nine ten " +
+      quote + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val docC = "unrelated words carrying no repeated span at all " +
+      "more content continuing differently onwards"
+    val phrase = "copper silver golden iron bronze nickel zinc lead"
+    val docD = phrase + " amid quiet " + phrase
+    val run10 = "ember frost petal stone river cloud meadow thorn grove spark"
+    val docE = "aa bb cc " + run10 + " dd ee"
+    val docF = "ff gg hh ii " + run10 + " jj"
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD),
+      (5L, docE), (6L, docF)).toDF("doc_id", "text")
+
+    val r = Dedup.substrScrub(spark, docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1 holds the canonical (min (doc_id, pos)) quote — untouched
+    assert(r(1L) == ((28L, 0L, docA)))
+    // doc 2 loses EXACTLY the 8 quote tokens; its own context survives
+    assert(r(2L) == ((25L, 8L,
+      "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen")))
+    // no duplicated window anywhere → byte-identical
+    assert(r(3L) == ((13L, 0L, docC)))
+    // within-doc repeat: the SECOND occurrence of the phrase goes
+    assert(r(4L) == ((18L, 8L, phrase + " amid quiet")))
+    // 10-token shared run: the three overlapping duplicated windows
+    // union to the run's full 10 positions in the non-canonical doc
+    assert(r(5L) == ((15L, 0L, docE)))
+    assert(r(6L) == ((15L, 10L, "ff gg hh ii jj")))
+  }
+
   test("q155 BM25: well-formed top-5, and idf/length-norm depart from raw overlap") {
     val rows = Similarity.queries("q155_bm25_topk")(spark, sf0001).collect()
     assert(rows.length == 50, s"expected 10 probes x 5, got ${rows.length}")

@@ -38,5 +38,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     graft.operators.SignatureStore.releaseCaches(spark)
     operators.PipelineOps.releaseCaches(spark)
     operators.CurationPipeline.releaseCaches(spark)
+    operators.CurationAudits.releaseCaches(spark)
   }
 }
