@@ -207,8 +207,9 @@ object Bench {
     "q241_boundary_manifest",
     // round 15 continuation: the ExactSubstr REMOVAL transform (benched
     // beside the q120 pair audit so the scrub-vs-audit cost is one
-    // artifact) and DSIR hashed-bigram importance selection
-    "q242_substr_scrub", "q243_dsir_select")
+    // artifact), DSIR hashed-bigram importance selection, and the D4
+    // diversity prune (beside q217 — the two ends of the centroid trim)
+    "q242_substr_scrub", "q243_dsir_select", "q244_diversity_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -272,6 +273,8 @@ object Bench {
       operators.PipelineOps.releaseCaches(spark)
       operators.CurationPipeline.releaseCaches(spark)
       operators.CurationAudits.releaseCaches(spark)
+    functions.Embeddings.releaseCaches(spark)
+      functions.Embeddings.releaseCaches(spark)
       // Blanket sweep for what the module hooks can't see (round-11
       // judge finding #3: q175 ran 1.6× slower in the full session than
       // isolated with no code change): the iterative graph kernels cut

@@ -98,6 +98,7 @@ object Verify {
     operators.SignatureStore.releaseCaches(spark)
     operators.PipelineOps.releaseCaches(spark)
     operators.CurationAudits.releaseCaches(spark)
+    functions.Embeddings.releaseCaches(spark)
     spark.stop()
     // exit 0 even on failures: the sentinel parquet makes each failure a
     // visible per-query mismatch in the driver's compare, which is the

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Unpersist this module's tracked relations (q244's shared scored
+    * relation) for `s` — the Dedup/TextQueries teardown contract. */
+  def releaseCaches(s: SparkSession): Unit =
+    graft.PersistTracker.release("embed", s)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label centroid, dimension-wise: posexplode → (label, dim) avg.
     // Shuffles (label, dim, partial sums) — 64×n_labels keys, never the
@@ -100,19 +105,7 @@ object Embeddings {
     // for the rank window — ≤ 5 rows per label survive to the driver at
     // any corpus size.
     "q217_embedding_outliers" -> ((s, d) => {
-      val cen = embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("m"))
-      val vd = col("v").cast("double")
-      val scored = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .join(broadcast(cen), Seq("label", "pos"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(round(sum(vd * col("m")) /
-          (sqrt(sum(vd * vd)) * sqrt(sum(col("m") * col("m")))), 6)
-          .as("cos"))
+      val scored = centroidCos(s, d)
       graft.plans.TopKPerGroup.topK(scored, Seq("label"),
           Seq("cos" -> true, "vec_id" -> true), 5)
         .withColumn("rk", row_number().over(
@@ -121,8 +114,80 @@ object Embeddings {
         .filter(col("rk") <= 5)
         .select(col("label"), col("rk"), col("vec_id"), col("cos"))
         .orderBy(col("label"), col("rk"))
+    }),
+
+    // D4 DIVERSITY PRUNING (Tirumala et al. 2023, "D4: Improving LLM
+    // Pretraining via Document De-Duplication and Diversification") —
+    // the second half of the D4 recipe, after the near-dedup the repo
+    // already has (q77/q122): within each cluster, the points CLOSEST
+    // to the centroid are the most prototypical/redundant, so the
+    // ⌊n/4⌋ most-central per label are pruned and the diverse remainder
+    // kept. The mirror image of q217's outlier scrub (which cuts the
+    // FAR tail): together they trim both degenerate ends of a class.
+    // Per-label rank of a corpus-sized relation is DISTRIBUTED via the
+    // q211/q178 two-phase coarse-offset ladder keyed by (label, band =
+    // round(cos, 1)) — band offsets from a triangular join over the
+    // bounded (label × band) totals, group offsets window-partitioned
+    // BY (label, band), per-row row_number within one tie group — so
+    // the largest single window partition at any corpus size is a
+    // 0.1-wide cosine band's tie group, never a label. Ordering by
+    // (band DESC, cos DESC, vec_id) ≡ (cos DESC, vec_id) because
+    // round(cos, 1) is monotone in cos — the oracle's single window
+    // replays the identical total order. The keep rule is pure integer
+    // arithmetic: kept ⇔ rk·4 > n_label.
+    "q244_diversity_prune" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val scored = graft.PersistTracker.tracked("embed", centroidCos(s, d))
+      val g = scored.withColumn("band", round(col("cos"), 1))
+      val grp = g.groupBy(col("label"), col("band"), col("cos"))
+        .agg(count(lit(1)).as("cnt"))
+      val bandTot = grp.groupBy(col("label"), col("band"))
+        .agg(sum(col("cnt")).as("bcnt"))
+      val boffs = bandTot.alias("l")
+        .join(bandTot.alias("h"), col("h.label") === col("l.label") &&
+          col("h.band") > col("l.band"), "left_outer")
+        .groupBy(col("l.label").as("label"), col("l.band").as("band"))
+        .agg(coalesce(sum(col("h.bcnt")), lit(0L)).as("boff"))
+      val offs = grp.withColumn("goff", coalesce(sum(col("cnt")).over(
+          W.partitionBy(col("label"), col("band")).orderBy(col("cos").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("label"), col("band"), col("cos"), col("goff"))
+      val nLab = g.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      g.join(offs, Seq("label", "band", "cos"))
+        .join(broadcast(boffs), Seq("label", "band"))
+        .withColumn("rk", col("boff") + col("goff") + row_number().over(
+          W.partitionBy(col("label"), col("band"), col("cos"))
+            .orderBy(col("vec_id"))))
+        .join(broadcast(nLab), "label")
+        .select(col("label"), col("rk"), col("vec_id"), col("cos"),
+          (col("rk") * 4 > col("n_label")).as("kept"))
+        .orderBy(col("label"), col("rk"))
     })
   )
+
+  /** The (vec_id, label, cos-to-own-label-centroid) relation shared by
+    * the outlier scrub (q217, cuts the far tail) and the D4 diversity
+    * prune (q244, cuts the prototypical core) — ONE definition of the
+    * centroid and the rounded cosine so the two ends of the trim cannot
+    * drift. Centroid dims are rounded per q41's contract before the
+    * cosine; the ≤ labels × 64 centroid rollup broadcasts into the
+    * exploded corpus (map-side join — the corpus never shuffles for
+    * it) and the per-vector rollup keys on vec_id. */
+  private[graft] def centroidCos(s: SparkSession, d: String): DataFrame = {
+    val cen = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+    val vd = col("v").cast("double")
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(cen), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sum(vd * col("m")) /
+        (sqrt(sum(vd * vd)) * sqrt(sum(col("m") * col("m")))), 6)
+        .as("cos"))
+  }
 
   /** Max-abs int8 quantization of the embedding column — the standard
     * pre-ANN compression (scale = max|x|, q_i = floor(x_i·127/scale)).
@@ -212,6 +277,36 @@ object Embeddings {
                ORDER BY cos, vec_id) AS rk
            FROM s)
          SELECT label, rk, vec_id, cos
-         FROM r WHERE rk <= 5 ORDER BY label, rk"""
+         FROM r WHERE rk <= 5 ORDER BY label, rk""",
+
+    // q244: q217's centroid/cosine CTEs verbatim (ONE scoring
+    // definition in the engine too — centroidCos), then a single
+    // window per label replays the engine's two-phase ladder rank
+    // (identical (cos DESC, vec_id) total order — band = round(cos, 1)
+    // is monotone in cos) and the same integer keep rule.
+    "q244_diversity_prune" ->
+      """WITH c AS (
+           SELECT label, i AS pos,
+             round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS m
+           FROM embeddings, range(64) t(i)
+           GROUP BY 1, 2),
+         s AS (
+           SELECT e.vec_id, e.label,
+             round(sum(CAST(e.embedding[t.i + 1] AS DOUBLE) * c.m)
+               / (sqrt(sum(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                     * CAST(e.embedding[t.i + 1] AS DOUBLE)))
+                  * sqrt(sum(c.m * c.m))), 6) AS cos
+           FROM embeddings e
+           CROSS JOIN range(64) t(i)
+           JOIN c ON c.label = e.label AND c.pos = t.i
+           GROUP BY 1, 2),
+         n AS (SELECT label, count(*) AS n_label FROM s GROUP BY label),
+         r AS (
+           SELECT label, vec_id, cos,
+             row_number() OVER (PARTITION BY label
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM s)
+         SELECT r.label, rk, vec_id, cos, (rk * 4 > n_label) AS kept
+         FROM r JOIN n USING (label) ORDER BY r.label, rk"""
   )
 }

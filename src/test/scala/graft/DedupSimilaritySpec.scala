@@ -788,6 +788,53 @@ class DedupSimilaritySpec extends TestSpark {
     }
   }
 
+  test("q244 diversity prune: rank is the brute (cos DESC, vec_id) order, exactly the most-central quarter pruned") {
+    val rows = graft.functions.Embeddings.queries("q244_diversity_prune")(
+      spark, sf0001).collect()
+    // brute-force: the q217 recount (same rounded centroid/cosine), then
+    // the full per-label (cos DESC, vec_id ASC) order
+    val vecs = Tables.embeddings(spark, sf0001).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cen = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(64)(j => r6(vs.map(_._3(j)).sum / vs.length))
+    }
+    val brute = vecs.map { case (id, l, e) =>
+      val m = cen(l)
+      val dp = e.zip(m).map { case (a, b) => a * b }.sum
+      (l, id, r6(dp / (math.sqrt(e.map(x => x * x).sum) *
+        math.sqrt(m.map(x => x * x).sum))))
+    }.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.sortBy(v => (-v._3, v._2)).map(v => (v._2, v._3))
+    }
+    // every vector appears exactly once
+    assert(rows.length == vecs.length)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (l, rs) =>
+      val got = rs.sortBy(_.getAs[Long]("rk"))
+      val want = brute(l)
+      assert(got.length == want.length, s"label $l size")
+      // the distributed two-phase ladder reproduces the brute total
+      // order (modulo rounding-boundary ties, which both sides break by
+      // vec_id on IDENTICAL rounded scores — so ids must match exactly)
+      got.zip(want).zipWithIndex.foreach { case ((g, (id, c)), i) =>
+        assert(g.getAs[Long]("vec_id") == id,
+          s"label $l rank ${i + 1}: ${g.getAs[Long]("vec_id")} vs $id")
+        assert(math.abs(g.getAs[Double]("cos") - c) <= 2e-6)
+        assert(g.getAs[Long]("rk") == i + 1)
+      }
+      // keep rule: exactly the floor(n/4) most-central (highest-cos)
+      // pruned, everything else kept
+      val n = want.length
+      got.foreach { g =>
+        assert(g.getAs[Boolean]("kept") == (g.getAs[Long]("rk") * 4 > n),
+          s"label $l rk ${g.getAs[Long]("rk")}")
+      }
+      assert(got.count(!_.getAs[Boolean]("kept")) == n / 4, s"label $l quota")
+    }
+  }
+
   test("q218 bloom decontamination: no false negatives vs the exact join, audit column is honest, FP rate sane") {
     val rows = graft.functions.Dedup.queries("q218_bloom_decontam")(
       spark, sf0001).collect()

@@ -39,5 +39,6 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     operators.PipelineOps.releaseCaches(spark)
     operators.CurationPipeline.releaseCaches(spark)
     operators.CurationAudits.releaseCaches(spark)
+    graft.functions.Embeddings.releaseCaches(spark)
   }
 }
