@@ -273,7 +273,6 @@ object Bench {
       operators.PipelineOps.releaseCaches(spark)
       operators.CurationPipeline.releaseCaches(spark)
       operators.CurationAudits.releaseCaches(spark)
-    functions.Embeddings.releaseCaches(spark)
       functions.Embeddings.releaseCaches(spark)
       // Blanket sweep for what the module hooks can't see (round-11
       // judge finding #3: q175 ran 1.6× slower in the full session than
@@ -554,6 +553,7 @@ object Bench {
     operators.SignatureStore.releaseCaches(spark)
     operators.PipelineOps.releaseCaches(spark)
     operators.CurationAudits.releaseCaches(spark)
+    functions.Embeddings.releaseCaches(spark)
     spark.stop()
   }
 }
