@@ -209,7 +209,10 @@ object Bench {
     // beside the q120 pair audit so the scrub-vs-audit cost is one
     // artifact), DSIR hashed-bigram importance selection, and the D4
     // diversity prune (beside q217 — the two ends of the centroid trim)
-    "q242_substr_scrub", "q243_dsir_select", "q244_diversity_prune")
+    "q242_substr_scrub", "q243_dsir_select", "q244_diversity_prune",
+    // hard-negative mining — benched beside q231 so the consumer's
+    // increment over the shared graph build is visible in one artifact
+    "q245_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -182,7 +182,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fold, q244 D4 diversity pruning (Tirumala et al. 2023) — the
   * ⌊n/4⌋ most-central vectors per label pruned via the shared
   * centroid-cosine scoring (q217's far-tail scrub's mirror) and the
-  * q211 two-phase distributed rank),
+  * q211 two-phase distributed rank, q245 HARD-NEGATIVE mining
+  * (ANCE/DPR) — per vector the best same-label and best other-label
+  * graph neighbor with the contrastive margin, a fourth production
+  * consumer of the q231 kNN graph),
   * text/MapReduce operators
   * over documents (q19-q25, q60-q62, q75, q78-q81, q83, q85, q91-q92,
   * q95, q101 LM quality, q106 heavy hitters with a runtime-guarded

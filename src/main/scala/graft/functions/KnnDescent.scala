@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * measured-superlinear family in the library (α = 1.36/1.40 at 10×,
   * scale_sweep_r13knn.json), and the ivf_k dial provably cannot change
   * the exponent. This module replaces it as the PRODUCTION graph path
-  * (the q166-exact / q207-sketch precedent): q77/q122/q220 consume this
-  * graph; q73 stands as the IVF-path audit.
+  * (the q166-exact / q207-sketch precedent): q77/q122/q220/q245
+  * consume this graph; q73 stands as the IVF-path audit.
   *
   * Algorithm (Dong, Moses & Li 2011, "Efficient k-nearest neighbor
   * graph construction for generic similarity measures", WWW'11 — made
@@ -166,7 +166,7 @@ object KnnDescent {
   }
 
   /** The NN-descent graph for a corpus, cached per (session, dataset)
-    * so q231/q77/q122/q220 in one session build it once. Columns:
+    * so q231/q77/q122/q220/q245 in one session build it once. Columns:
     * (src, nbr, cos) — ≤ K edges per src, unranked. */
   private[graft] def graph(s: SparkSession, emb: DataFrame,
       cacheKey: String): DataFrame =
@@ -296,6 +296,47 @@ object KnnDescent {
         .select(col("src").as("src_id"), col("rk"), col("nbr").as("nbr_id"),
           col("cos"))
         .orderBy(col("src_id"), col("rk"))
+    }),
+
+    // HARD-NEGATIVE MINING (ANCE, Xiong et al. ICLR 2021; DPR,
+    // Karpukhin et al. 2020) — the contrastive-pair construction an
+    // embedding/retriever trainer consumes, and the fourth production
+    // CONSUMER of the q231 graph (after q77/q122/q220): per vector,
+    // its highest-cosine SAME-label graph neighbor (the positive) and
+    // highest-cosine OTHER-label graph neighbor (the hard negative —
+    // ANCE's insight is that negatives from the CURRENT index's top
+    // candidates train far better than random ones), plus the
+    // contrastive margin; a negative margin flags the confusable
+    // points a curriculum oversamples. Vectors whose K graph edges are
+    // single-class have no pair to mine and drop (inner join — the
+    // trainer consumes complete triples). Cost: the shared graph build
+    // + a slim label join + two src-keyed argmax rollups over the
+    // linear n·K edge set; no new candidate generation — the graph IS
+    // the index.
+    "q245_hard_negatives" -> ((s, d) => {
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val g = graph(s, embeddings(s, d), d)
+        .join(lab.select(col("vec_id").as("src"),
+          col("label").as("src_label")), "src")
+        .join(lab.select(col("vec_id").as("nbr"),
+          col("label").as("nbr_label")), "nbr")
+      def best(side: DataFrame, idName: String, cosName: String) = side
+        .groupBy(col("src"))
+        // argmax by (cos, nbr) — ties on the rounded cosine break
+        // toward the larger id, which the oracle mirrors with
+        // ORDER BY cos DESC, nbr DESC
+        .agg(max(struct(col("cos"), col("nbr"))).as("m"))
+        .select(col("src"), col("m.nbr").as(idName),
+          col("m.cos").as(cosName))
+      val pos = best(g.filter(col("src_label") === col("nbr_label")),
+        "pos_id", "pos_cos")
+      val neg = best(g.filter(col("src_label") =!= col("nbr_label")),
+        "neg_id", "neg_cos")
+      pos.join(neg, "src")
+        .select(col("src").as("src_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+        .orderBy(col("src_id"))
     })
   )
 
@@ -450,6 +491,32 @@ object KnnDescent {
            SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
              ORDER BY cos DESC, nbr) AS rk
            FROM $finalCte)
-         ORDER BY src_id, rk"""
+         ORDER BY src_id, rk""",
+
+    // q245: the replayed graph joined to labels, each side's argmax as
+    // a rank-1 window with the engine's exact (cos DESC, nbr DESC)
+    // tie order, inner-joined to complete triples.
+    "q245_hard_negatives" ->
+      s"""WITH $nndCtes,
+         hn_g AS (
+           SELECT g.src, g.nbr, g.cos,
+             ls.label AS src_label, ln.label AS nbr_label
+           FROM $finalCte g
+           JOIN embeddings ls ON ls.vec_id = g.src
+           JOIN embeddings ln ON ln.vec_id = g.nbr),
+         hn_p AS (
+           SELECT src, nbr AS pos_id, cos AS pos_cos FROM (
+             SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr DESC) AS rk
+             FROM hn_g WHERE src_label = nbr_label) WHERE rk = 1),
+         hn_n AS (
+           SELECT src, nbr AS neg_id, cos AS neg_cos FROM (
+             SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr DESC) AS rk
+             FROM hn_g WHERE src_label <> nbr_label) WHERE rk = 1)
+         SELECT p.src AS src_id, pos_id, pos_cos, neg_id, neg_cos,
+           round(pos_cos - neg_cos, 6) AS margin
+         FROM hn_p p JOIN hn_n n ON p.src = n.src
+         ORDER BY src_id"""
   )
 }

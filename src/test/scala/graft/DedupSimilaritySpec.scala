@@ -788,6 +788,64 @@ class DedupSimilaritySpec extends TestSpark {
     }
   }
 
+  test("q242 substr scrub: randomized parity against an in-JVM brute reference") {
+    import spark.implicits._
+    // tiny vocab (3^8 = 6561 possible 8-grams vs ~hundreds drawn) forces
+    // ORGANIC duplicated windows; a planted 10-token run in two random
+    // docs guarantees at least one cross-doc removal per seed
+    val vocab = Vector("ash", "birch", "cedar")
+    val run10 = "ember frost petal stone river cloud meadow thorn grove spark"
+    def corpus(seed: Long): Seq[(Long, String)] = {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 8).map { i =>
+        (i.toLong,
+          Seq.fill(20 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      val Seq(a, b) = rnd.shuffle(base.indices.toList).take(2)
+      base.zipWithIndex.map { case ((id, t), i) =>
+        if (i == a || i == b) (id, t + " " + run10) else (id, t)
+      }
+    }
+    def brute(docs: Seq[(Long, String)], n: Int = 8)
+        : Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("[^\\p{L}]+").filter(_.nonEmpty).toVector }
+      val occ = scala.collection.mutable.Map
+        .empty[String, List[(Long, Int)]].withDefaultValue(Nil)
+      toks.foreach { case (id, ts) =>
+        (0 to ts.length - n).foreach { i =>
+          val g = ts.slice(i, i + n).mkString(" ")
+          occ(g) = (id, i + 1) :: occ(g)
+        }
+      }
+      val removed = scala.collection.mutable.Set.empty[(Long, Int)]
+      occ.values.foreach { os =>
+        if (os.length >= 2) {
+          val canon = os.minBy(o => (o._1, o._2))
+          os.filterNot(_ == canon).foreach { case (id, p) =>
+            (p until p + n).foreach(k => removed += ((id, k))) }
+        }
+      }
+      toks.map { case (id, ts) =>
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !removed((id, i + 1)) => t }
+        id -> ((ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+    }
+    (1L to 5L).foreach { seed =>
+      val docs = corpus(seed)
+      val want = brute(docs)
+      val got = Dedup.substrScrub(spark, docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == want, s"seed=$seed")
+      assert(want.values.map(_._2).sum > 0, s"seed=$seed vacuous")
+    }
+  }
+
   test("q244 diversity prune: rank is the brute (cos DESC, vec_id) order, exactly the most-central quarter pruned") {
     val rows = graft.functions.Embeddings.queries("q244_diversity_prune")(
       spark, sf0001).collect()
@@ -833,6 +891,44 @@ class DedupSimilaritySpec extends TestSpark {
       }
       assert(got.count(!_.getAs[Boolean]("kept")) == n / 4, s"label $l quota")
     }
+  }
+
+  test("q245 hard negatives: argmax per class recounted from the graph, labels honest, margin exact") {
+    val lab = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val edges = graft.functions.KnnDescent.queries("q231_knn_descent")(
+      spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cos")))
+    val rows = graft.functions.KnnDescent.queries("q245_hard_negatives")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture mined no pairs — vacuous")
+    // brute argmax per (src, same/other-label side), (cos, nbr) order
+    def bestOf(same: Boolean) = edges
+      .filter { case (s, n, _) => (lab(s) == lab(n)) == same }
+      .groupBy(_._1)
+      .map { case (s, es) => s -> es.maxBy(e => (e._3, e._2)) }
+    val (pos, neg) = (bestOf(true), bestOf(false))
+    // exactly the srcs with BOTH sides present, each row the argmax pair
+    assert(rows.map(_.getAs[Long]("src_id")).toSet ==
+      (pos.keySet & neg.keySet))
+    rows.foreach { r =>
+      val s = r.getAs[Long]("src_id")
+      assert((r.getAs[Long]("pos_id"), r.getAs[Double]("pos_cos")) ==
+        (pos(s)._2, pos(s)._3), s"src $s positive")
+      assert((r.getAs[Long]("neg_id"), r.getAs[Double]("neg_cos")) ==
+        (neg(s)._2, neg(s)._3), s"src $s negative")
+      // the labels really are same-class / other-class
+      assert(lab(r.getAs[Long]("pos_id")) == lab(s))
+      assert(lab(r.getAs[Long]("neg_id")) != lab(s))
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))) < 2e-6)
+    }
+    // the mining is non-trivial on the fixture: both margin signs occur
+    // (some points are confusable — the rows a curriculum oversamples)
+    val margins = rows.map(_.getAs[Double]("margin"))
+    assert(margins.exists(_ > 0) && margins.exists(_ < 0),
+      s"degenerate margins: ${margins.take(5).toSeq}")
   }
 
   test("q218 bloom decontamination: no false negatives vs the exact join, audit column is honest, FP rate sane") {
