@@ -798,8 +798,11 @@ object Dedup {
     val base = tracked(docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val toks = graft.functions.TokenizeUdtf.SplitRe.split(t)
-          .filter(_.nonEmpty)
+        // null text ⇒ no tokens (the SQL-side transforms' semantics —
+        // split(NULL) yields nothing — rather than a task NPE)
+        val toks = if (t == null) Array.empty[String]
+          else graft.functions.TokenizeUdtf.SplitRe.split(t)
+            .filter(_.nonEmpty)
         toks.iterator.zipWithIndex.map { case (tok, i) =>
           val gram = if (i + n <= toks.length)
             toks.slice(i, i + n).mkString(" ") else null

@@ -125,39 +125,16 @@ object Embeddings {
     // kept. The mirror image of q217's outlier scrub (which cuts the
     // FAR tail): together they trim both degenerate ends of a class.
     // Per-label rank of a corpus-sized relation is DISTRIBUTED via the
-    // q211/q178 two-phase coarse-offset ladder keyed by (label, band =
-    // round(cos, 1)) — band offsets from a triangular join over the
-    // bounded (label × band) totals, group offsets window-partitioned
-    // BY (label, band), per-row row_number within one tie group — so
-    // the largest single window partition at any corpus size is a
-    // 0.1-wide cosine band's tie group, never a label. Ordering by
-    // (band DESC, cos DESC, vec_id) ≡ (cos DESC, vec_id) because
-    // round(cos, 1) is monotone in cos — the oracle's single window
-    // replays the identical total order. The keep rule is pure integer
-    // arithmetic: kept ⇔ rk·4 > n_label.
+    // shared two-phase coarse-offset ladder (graft.plans.RankLadder —
+    // ONE definition with q211, see its scaladoc for the bounded-
+    // partition argument); the oracle's single window replays the
+    // identical (cos DESC, vec_id) total order. The keep rule is pure
+    // integer arithmetic: kept ⇔ rk·4 > n_label.
     "q244_diversity_prune" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val scored = graft.PersistTracker.tracked("embed", centroidCos(s, d))
-      val g = scored.withColumn("band", round(col("cos"), 1))
-      val grp = g.groupBy(col("label"), col("band"), col("cos"))
-        .agg(count(lit(1)).as("cnt"))
-      val bandTot = grp.groupBy(col("label"), col("band"))
-        .agg(sum(col("cnt")).as("bcnt"))
-      val boffs = bandTot.alias("l")
-        .join(bandTot.alias("h"), col("h.label") === col("l.label") &&
-          col("h.band") > col("l.band"), "left_outer")
-        .groupBy(col("l.label").as("label"), col("l.band").as("band"))
-        .agg(coalesce(sum(col("h.bcnt")), lit(0L)).as("boff"))
-      val offs = grp.withColumn("goff", coalesce(sum(col("cnt")).over(
-          W.partitionBy(col("label"), col("band")).orderBy(col("cos").desc)
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select(col("label"), col("band"), col("cos"), col("goff"))
-      val nLab = g.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
-      g.join(offs, Seq("label", "band", "cos"))
-        .join(broadcast(boffs), Seq("label", "band"))
-        .withColumn("rk", col("boff") + col("goff") + row_number().over(
-          W.partitionBy(col("label"), col("band"), col("cos"))
-            .orderBy(col("vec_id"))))
+      val nLab = scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_label"))
+      graft.plans.RankLadder.rank(scored, Seq("label"), "cos", "vec_id")
         .join(broadcast(nLab), "label")
         .select(col("label"), col("rk"), col("vec_id"), col("cos"),
           (col("rk") * 4 > col("n_label")).as("kept"))

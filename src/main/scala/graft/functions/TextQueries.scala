@@ -1033,22 +1033,18 @@ object TextQueries {
     // corpus-unigram mean log-prob — the deterministic stand-in for the
     // wiki-LM perplexity) and cut into head/middle/tail terciles; head
     // feeds pre-training first, tail is held for inspection. The
-    // per-source rank is DISTRIBUTED via the q178/q167 two-phase
-    // coarse-offset ladder keyed by (source, band = round(lm, 1)):
-    // band offsets come from a triangular join over the bounded
-    // (source × band) totals, group offsets window-partition BY
-    // (source, band), and the per-row row_number partitions by
-    // (source, band, lm) — so at a 10^9-doc source the largest window
-    // partition is one 0.1-wide score band's tie group, never the
-    // source. Ordering by (band DESC, lm DESC, doc_id) ≡ (lm DESC,
-    // doc_id) because round(lm, 1) is monotone in lm — the oracle's
-    // single window replays the identical total order. Tercile id =
+    // per-source rank is DISTRIBUTED via the shared two-phase
+    // coarse-offset ladder (graft.plans.RankLadder — ONE definition
+    // with q244; see its scaladoc for the bounded-partition argument:
+    // at a 10^9-doc source the largest window partition is one
+    // 0.1-wide score band's tie group, never the source, and the
+    // banded order ≡ (lm DESC, doc_id) exactly). The oracle's single
+    // window replays the identical total order. Tercile id =
     // ((rk - 1) * 3) div n_source: pure integer arithmetic, no
     // percentile estimation, sizes differ by at most one. The rollup
     // emits per (source, bucket): doc count, mean LM (round(6) — q62's
     // summation-ulp discipline), and the exact best/worst boundaries.
     "q211_ccnet_buckets" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val toks = tracked(
         documents(s, d).select(col("doc_id"), explode(tokens).as("tok")))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -1058,27 +1054,8 @@ object TextQueries {
         .agg(round(avg(log(col("cnt") / col("t_total"))), 6).as("lm"))
       val g = documents(s, d).select(col("doc_id"), col("source"))
         .join(lm, "doc_id")
-        .withColumn("band", round(col("lm"), 1))
-      val grp = g.groupBy(col("source"), col("band"), col("lm"))
-        .agg(count(lit(1)).as("cnt"))
-      val bandTot = grp.groupBy(col("source"), col("band"))
-        .agg(sum(col("cnt")).as("bcnt"))
-      // offsets count everything ranked EARLIER = higher-lm bands
-      val boffs = bandTot.alias("l")
-        .join(bandTot.alias("h"), col("h.source") === col("l.source") &&
-          col("h.band") > col("l.band"), "left_outer")
-        .groupBy(col("l.source").as("source"), col("l.band").as("band"))
-        .agg(coalesce(sum(col("h.bcnt")), lit(0L)).as("boff"))
-      val offs = grp.withColumn("goff", coalesce(sum(col("cnt")).over(
-          W.partitionBy(col("source"), col("band")).orderBy(col("lm").desc)
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select(col("source"), col("band"), col("lm"), col("goff"))
       val nSrc = g.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-      g.join(offs, Seq("source", "band", "lm"))
-        .join(broadcast(boffs), Seq("source", "band"))
-        .withColumn("rk", col("boff") + col("goff") + row_number().over(
-          W.partitionBy(col("source"), col("band"), col("lm"))
-            .orderBy(col("doc_id"))))
+      graft.plans.RankLadder.rank(g, Seq("source"), "lm", "doc_id")
         .join(broadcast(nSrc), "source")
         .withColumn("bi", expr("((rk - 1) * 3) div n_src"))
         .groupBy(col("source"), col("bi"))

@@ -590,10 +590,14 @@ object CurationAudits {
       16, 10).cast("long").cast("double") / lit(4503599627370496.0)
     val keyed = w.withColumn("key_micro",
       col("w_micro") + round(-log(-log(u)) * 1e6).cast("long"))
+    // TakeOrdered FIRST, then the 1:1 metadata join onto the K
+    // survivors — joining before the cut would shuffle-join two
+    // corpus-sized relations only to truncate to K rows (the ordering
+    // keys live on `keyed`, so the reorder is result-identical)
     val top = keyed
+      .orderBy(col("key_micro").desc, col("doc_id")).limit(K)
       .join(docs.select(col("doc_id"), col("source"), col("lang")),
         "doc_id")
-      .orderBy(col("key_micro").desc, col("doc_id")).limit(K)
     top.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("key_micro").desc, col("doc_id"))).cast("long"))

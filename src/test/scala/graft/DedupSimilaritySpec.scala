@@ -630,11 +630,14 @@ class DedupSimilaritySpec extends TestSpark {
     val docE = "aa bb cc " + run10 + " dd ee"
     val docF = "ff gg hh ii " + run10 + " jj"
     val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD),
-      (5L, docE), (6L, docF)).toDF("doc_id", "text")
+      (5L, docE), (6L, docF), (7L, null: String)).toDF("doc_id", "text")
 
     val r = Dedup.substrScrub(spark, docs).collect()
       .map(x => x.getLong(0) ->
         ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // null text tokenizes to nothing (the SQL-side split semantics, not
+    // a task NPE) — absent from the output exactly like the oracle
+    assert(!r.contains(7L) && r.size == 6)
     // doc 1 holds the canonical (min (doc_id, pos)) quote — untouched
     assert(r(1L) == ((28L, 0L, docA)))
     // doc 2 loses EXACTLY the 8 quote tokens; its own context survives
