@@ -725,8 +725,14 @@ object Dedup {
     // back (a window over gram would pile a million-occurrence
     // boilerplate gram onto one partition; partial agg + skew-join
     // handle it), so a gram duplicated across the whole corpus costs
-    // O(occurrences) — strictly linear end to end. The reassembly
-    // shuffles (doc_id, idx, token) once — wordcount-scale.
+    // O(occurrences) — strictly linear end to end. Removed windows are
+    // merged into per-doc maximal intervals BEFORE the reassembly join
+    // (gaps-and-islands over the start positions), so what shuffles is
+    // one row per duplicated run, not SpanN rows per removed token.
+    // The reassembly shuffles (doc_id, idx, token) once — wordcount-
+    // scale. Gram key is the FULL 128-bit md5: removal is destructive,
+    // and a 64-bit cross-gram collision would silently excise unrelated
+    // tokens with no oracle signal (both sides would share the key).
     "q242_substr_scrub" -> ((s, d) => substrScrub(s, documents(s, d))
       .orderBy(col("doc_id")))
   )
@@ -786,8 +792,12 @@ object Dedup {
   /** q242's engine over an arbitrary (doc_id, text) relation — see the
     * query comment for semantics and scale rationale. One typed map
     * pass emits each token WITH the n-gram starting at its position
-    * (q120's gram text, md5'd to the same 16-hex key before the
-    * persist, so the raw ~50-char gram never outlives the map side);
+    * (md5'd to a FULL 128-bit key before the persist, so the raw
+    * ~50-char gram never outlives the map side — unlike q120's 16-hex
+    * audit key, this is a destructive removal transform, and a 64-bit
+    * cross-gram birthday collision at frontier gram counts would
+    * silently excise unrelated tokens with no oracle signal, since
+    * both sides would share the truncated key);
     * the persisted (doc_id, idx, tok, g) relation then feeds both the
     * duplicate detection and the reassembly. Docs that tokenize to
     * nothing have no rows and are absent from the output — the oracle
@@ -811,8 +821,7 @@ object Dedup {
       }
       .toDF("doc_id", "idx", "tok", "gram")
       .select(col("doc_id"), col("idx"), col("tok"),
-        when(col("gram").isNotNull, substring(md5(col("gram")), 1, 16))
-          .as("g")))
+        when(col("gram").isNotNull, md5(col("gram"))).as("g")))
     val grams = base.filter(col("g").isNotNull)
       .select(col("doc_id"), col("idx").as("pos"), col("g"))
     // canonical occurrence per DUPLICATED gram: partial-agg'd argmin —
@@ -823,13 +832,39 @@ object Dedup {
         count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("g"), col("m.doc_id").as("mdoc"), col("m.pos").as("mpos"))
-    val removed = grams.join(dupMins, "g")
+    // Interval-merge instead of per-position explode: each non-canonical
+    // occurrence removes the window [pos, pos+n-1]; exploding that to n
+    // rows and distinct()-ing inflates the exchange n=8× on scrub-heavy
+    // corpora. Instead merge overlapping/adjacent windows per doc into
+    // maximal removal intervals (running-max-end gaps-and-islands — the
+    // classic pos − row_number() trick assumes step-1 starts, but a doc
+    // holding the CANONICAL copy of an interior gram skips that start,
+    // so islands are cut on a genuine coverage gap, prev running max end
+    // < pos − 1). The window partitions by doc_id over removal STARTS
+    // (≤ doc token count — the same per-doc bound the reassembly's
+    // collect_list already accepts), and what shuffles afterward is one
+    // row per maximal duplicated run, not 8 rows per removed token.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val intervals = grams.join(dupMins, "g")
       .filter(col("doc_id") =!= col("mdoc") || col("pos") =!= col("mpos"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("idx"))
-      .distinct()
-      .withColumn("rm", lit(true))
-    base.join(removed, Seq("doc_id", "idx"), "left_outer")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("pmax", max(col("pos") + lit(n - 1)).over(
+        wDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("cut",
+        (col("pmax").isNull || col("pos") > col("pmax") + 1).cast("long"))
+      .withColumn("island", sum(col("cut")).over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("lo"), (max(col("pos")) + lit(n - 1)).as("hi"))
+      .select(col("doc_id").as("rdoc"), col("lo"), col("hi"))
+    // equi-join on doc_id with the range as a post-condition; merged
+    // intervals are disjoint, so each token matches ≤ 1 interval and the
+    // left join cannot multiply rows
+    base.join(intervals,
+        base("doc_id") === intervals("rdoc") &&
+          base("idx").between(col("lo"), col("hi")), "left_outer")
+      .withColumn("rm", when(col("lo").isNotNull, lit(true)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("rm"), lit(false)).cast("long")).as("n_removed"),
@@ -1443,7 +1478,7 @@ object Dedup {
            FROM tokd, LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) s),
          grams AS (
            SELECT doc_id, i AS pos,
-             substring(md5(array_to_string(lst[i:i+${SpanN - 1}], ' ')), 1, 16) AS g
+             md5(array_to_string(lst[i:i+${SpanN - 1}], ' ')) AS g
            FROM tokd,
              LATERAL (SELECT unnest(generate_series(1, greatest(len(lst)-${SpanN - 1}, 0))) AS i) s),
          occ AS (

@@ -586,8 +586,13 @@ object CurationAudits {
       .groupBy(col("doc_id"))
       .agg(sum(col("lrm")).as("w_micro"),
         count(lit(1)).as("n_bigrams"))
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    // u = (fold + 1) / (2^52 + 1) ∈ (0, 1) strictly: the raw fold/2^52
+    // can be exactly 0 (all-zero hash prefix, p ≈ 2e-16/doc), where
+    // Spark log(0) yields NULL (doc silently drops from the top-K) but
+    // DuckDB ln(0) = -inf errors the BIGINT cast — an asymmetric
+    // engine/oracle divergence. Clamped identically on both sides.
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long") + lit(1L)).cast("double") / lit(4503599627370497.0)
     val keyed = w.withColumn("key_micro",
       col("w_micro") + round(-log(-log(u)) * 1e6).cast("long"))
     // TakeOrdered FIRST, then the 1:1 metadata join onto the K
@@ -885,10 +890,10 @@ object CurationAudits {
          k AS (
            SELECT doc_id, w_micro, n_bigrams,
              w_micro + CAST(round(-ln(-ln(
-               list_reduce(list_prepend(0::BIGINT,
+               (list_reduce(list_prepend(0::BIGINT,
                  [strpos('0123456789abcdef', c)::BIGINT - 1
                   for c in string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), '')]),
-                 (a, x) -> a * 16 + x) / 4503599627370496.0)) * 1000000)
+                 (a, x) -> a * 16 + x) + 1) / 4503599627370497.0)) * 1000000)
                AS BIGINT) AS key_micro
            FROM w),
          r AS (

@@ -32,6 +32,15 @@ object RankLadder {
     * deterministic. */
   def rank(df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String): DataFrame = {
+    // Fail loudly if the input already carries a helper/output name —
+    // rank() writes these unconditionally, so a caller whose relation
+    // has e.g. `rk` would be silently clobbered (or hit an ambiguous-
+    // column error at a distant call site) instead of here.
+    val reserved = Seq("__band", "__bcnt", "__cnt", "__boff", "__goff", "rk")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"RankLadder.rank: input schema carries reserved column(s) " +
+        s"${clash.mkString(", ")} — rename them before ranking")
     val W = org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
     val g = df.withColumn("__band", round(col(scoreCol), 1))
