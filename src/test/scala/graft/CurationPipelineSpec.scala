@@ -378,10 +378,14 @@ class CurationPipelineSpec extends TestSpark {
     val in = new java.io.File(root, "in"); in.mkdirs()
     val (sinkDir, storeDir, urlDir, cp) =
       (s"$root/sink", s"$root/store", s"$root/urls", s"$root/cp")
+    val manDir = s"$root/manifest"
     import spark.implicits._
     Seq.empty[(Long, String, String, Long)]
       .toDF("doc_id", "lang", "verdict", "batch_id")
       .write.mode("overwrite").partitionBy("batch_id").parquet(sinkDir)
+    Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("doc_id", "shard", "n_tok", "h", "batch_id")
+      .write.mode("overwrite").partitionBy("batch_id").parquet(manDir)
     CurationPipeline.seedAdvancingState(spark, sf0001, storeDir, urlDir)
     def addFile(name: String, rows: Seq[(Long, String, String, String)]): Unit = {
       val staged = s"$root/stage_$name"
@@ -400,7 +404,7 @@ class CurationPipelineSpec extends TestSpark {
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           CurationPipeline.advancingIngestBatch(spark, sf0001, batch, id,
-            sinkDir, storeDir, urlDir)
+            sinkDir, storeDir, urlDir, Some(manDir))
         }
         .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
@@ -426,6 +430,13 @@ class CurationPipelineSpec extends TestSpark {
     assert(b0.keys.forall(_._1 == 0L))
     assert(b0.map { case ((_, id), v) => id -> v } == q226,
       "batch 0 against the seed state must equal q226 on the same delta")
+    // q247 manifest delta: exactly the batch's admissions, one row each
+    def manifest(): Map[Long, (Long, Long)] = spark.read.parquet(manDir)
+      .select(col("doc_id"), col("shard"), col("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val m0 = manifest()
+    assert(m0.keySet == b0.collect { case ((_, id), "admit") => id }.toSet,
+      "manifest delta must carry exactly batch 0's admissions")
     // restart with no new input: a no-op
     runOnce()
     assert(sink() == b0, "restart with no input must be a no-op")
@@ -459,15 +470,18 @@ class CurationPipelineSpec extends TestSpark {
       spark.read.parquet(
         graft.operators.SignatureStore.shinglesPath(storeDir)).count())
     val stBefore = stateCounts()
+    val mBefore = manifest()
     val batch1 = Seq(
       (800000L, twin._2, "src1", twin._4),
       (admitted0 + 1, twin._2, "src1", "tiny unique page stub"))
       .toDF("doc_id", "lang", "source", "text")
     CurationPipeline.advancingIngestBatch(spark, sf0001, batch1, 1L,
-      sinkDir, storeDir, urlDir)
+      sinkDir, storeDir, urlDir, Some(manDir))
     assert(sink() == after, "replaying batch 1 must not change verdicts")
     assert(stateCounts() == stBefore,
       "replaying batch 1 must not grow the state stores")
+    assert(manifest() == mBefore,
+      "replaying batch 1 must not change the export manifest deltas")
     // the admission plan stays batch-broadcast: the batch's bands and
     // candidate set broadcast against the store side
     val sh = graft.functions.Dedup.shinglesOfDocs(spark, batch1)
@@ -980,6 +994,101 @@ class CurationPipelineSpec extends TestSpark {
     // tests share this broadcast (releaseCaches owns its teardown)
     val bc = CurationPipeline.benchGramSet(spark, sf0001)
     assert(bc.value.size() > 0 && bc.value.size() <= CurationPipeline.BenchGramCap)
+  }
+
+  test("q246 incremental lineage: score contest displaces, within-delta rule holds, state advances across releases") {
+    // The bench fixture never takes the displacement path (no
+    // cross-source near-dup outranks its incumbent at any SF), so this
+    // drives the REAL engine (incrReleaseLineageOf — not a
+    // re-implementation) over a crafted corpus where every contest
+    // branch fires: tie-break wins and losses (identical text ⇒ exact
+    // score tie ⇒ (score DESC, doc_id ASC) decides), a strict
+    // score-dominance displacement (clean delta vs junk-tailed
+    // incumbent), the within-delta pairwise rule, and a release-3 probe
+    // against state ADVANCED by release 2's admissions.
+    import spark.implicits._
+    // base texts: distinct fixture keeps with >= 80 tokens, so a
+    // 6-token junk tail keeps 3-shingle jaccard >= 0.8
+    val keepTexts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .filter(r => verdictOf.get(r.getLong(0)).contains("keep"))
+      .filter(r => r.getString(1) == "en" &&
+        graft.functions.TokenizeUdtf.SplitRe.split(r.getString(2))
+          .count(_.nonEmpty) >= 80)
+      .map(_.getString(2)).distinct
+    assert(keepTexts.length >= 8,
+      s"need 8 long fixture keeps, got ${keepTexts.length}")
+    val Seq(t1, t2, t3, t4, t5, t6, t7, t8) = keepTexts.take(8).toSeq
+    // score-lowering tail: long letter-only non-stopword tokens push
+    // x5 (mean token length, negative weight) up and x2 (stopword
+    // density) down — deterministic direction, preconditions assert it
+    val junk = Seq("pneumonoultramicroscopicsilico",
+      "floccinaucinihilipilification", "antidisestablishmentarianismzz",
+      "hippopotomonstrosesquipedalian", "supercalifragilisticexpialidoc",
+      "honorificabilitudinitatibusqqq").mkString(" ")
+    val t2junk = t2 + " " + junk
+    val crafted = Seq(
+      // seed source sA (release 1): five keepers on distinct pages
+      (101L, "en", "sA", t1), (201L, "en", "sA", t2junk),
+      (301L, "en", "sA", t3), (401L, "en", "sA", t4),
+      (501L, "en", "sA", t5),
+      // release 2 (sB): tie-break WIN vs 501 (51 < 501), tie-break
+      // LOSS vs 401 (601 > 401), strict-score displacement of the
+      // junk-tailed 201, a fresh admit, and a within-delta twin pair
+      // (901 outranks 1001 by id at equal score)
+      (51L, "en", "sB", t5), (601L, "en", "sB", t4),
+      (701L, "en", "sB", t2), (801L, "en", "sB", t6),
+      (901L, "en", "sB", t7), (1001L, "en", "sB", t7),
+      // release 3 (sC): both contests lose against state ADVANCED by
+      // release 2 (801's admit catches 1101; the seed's 101 catches
+      // 1201), plus one fresh admit
+      (1101L, "en", "sC", t6), (1201L, "en", "sC", t1),
+      (1301L, "en", "sC", t8))
+    val docs = crafted.toDF("doc_id", "lang", "source", "text")
+    // preconditions the construction rests on — fail HERE, not in the
+    // manifest diff, if the text engineering drifts
+    val sc = CorpusCleaning.qualityLogitOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(sc.values.forall(_ >= Thresholds.QualityLogitKeepMin),
+      "every crafted doc must pass the quality gate")
+    assert(sc(701L) > sc(201L),
+      "the clean text must strictly outscore its junk-tailed twin")
+    def jac(a: String, b: String): Double = {
+      val (x, y) = (graft.functions.Dedup.shingleSet(a).toSet,
+        graft.functions.Dedup.shingleSet(b).toSet)
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    assert(jac(t2, t2junk) >= 0.8,
+      f"junk tail must keep jaccard >= 0.8, got ${jac(t2, t2junk)}%.3f")
+    // seed cluster labels through the same public dedup machinery the
+    // pipeline composes (the production-smoke pattern)
+    val seedSh = graft.functions.Dedup.trackedShingles(
+      spark, docs.filter(col("source") === "sA"))
+    val seedPairs = graft.functions.Dedup.verifyJaccardWith(seedSh,
+        graft.functions.Dedup.candidatesFromSignatures(
+          graft.functions.Dedup.signaturesFromShingles(spark, seedSh)))
+      .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+    val labels = graft.functions.Dedup.cachedComponents(
+      spark, "q246spec")(seedPairs)
+    val manifest = CurationPipeline.incrReleaseLineageOf(spark, docs,
+        CurationPipeline.benchGramSet(spark, sf0001), labels,
+        Seq((2L, "sB"), (3L, "sC")), "q246spec")
+      .collect()
+      .map(r => (r.getAs[Long]("release_id"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_new_kept"),
+          r.getAs[Long]("n_displaced")))).toMap
+    assert(manifest.size == 6, s"6 manifest rows expected, got $manifest")
+    assert(manifest((1L, "sA")) == ((5L, 5L, 0L)), s"$manifest")
+    // release 2: 51 and 701 admitted by contest (displacing 501 and
+    // 201), 801 and 901 admitted fresh; 601 and 1001 rejected
+    assert(manifest((2L, "sA")) == ((3L, 0L, 2L)), s"$manifest")
+    assert(manifest((2L, "sB")) == ((4L, 4L, 0L)), s"$manifest")
+    // release 3: both contests lose against the ADVANCED state — if
+    // release 2's admissions had not advanced the probe state, 1101
+    // would admit and n_new_kept(sC) would read 2
+    assert(manifest((3L, "sA")) == ((3L, 0L, 0L)), s"$manifest")
+    assert(manifest((3L, "sB")) == ((4L, 0L, 0L)), s"$manifest")
+    assert(manifest((3L, "sC")) == ((1L, 1L, 0L)), s"$manifest")
   }
 
   override def afterAll(): Unit = {

@@ -67,12 +67,26 @@ class PlanShapeLockSpec extends TestSpark {
     operators.SignatureStore.releaseCaches(spark)
     operators.PipelineOps.releaseCaches(spark)
     operators.CurationPipeline.releaseCaches(spark)
+    operators.CurationAudits.releaseCaches(spark)
+    functions.Embeddings.releaseCaches(spark)
     spark.catalog.clearCache()
     val names = Bench.headline.filterNot(excluded)
     val observed = names.map(n => n -> shapeOf(n))
     if (sys.env.contains("GRAFT_REGEN_PLAN_LOCK")) {
       val w = new java.io.PrintWriter(lockPath)
       try {
+        w.println("# Counts are CACHE-COUPLED across the suite: a memoized")
+        w.println("# persisted relation (gramCache/provCache/embed tracker)")
+        w.println("# materialized by an earlier query substitutes an")
+        w.println("# InMemoryRelation + AQE statistics into shared subtrees,")
+        w.println("# shifting downstream exchange counts (observed: q244's")
+        w.println("# embed cache moved q227 30->31 and q238 304->314 with no")
+        w.println("# code change to either). The lock therefore ALWAYS")
+        w.println("# (re)builds from cleared caches in standard suite order;")
+        w.println("# regen ONLY via GRAFT_REGEN_PLAN_LOCK=1 sbt")
+        w.println("# \"testOnly graft.PlanShapeLockSpec\" so the measured and")
+        w.println("# asserted states match; cacheStatSensitive bands absorb")
+        w.println("# the residual materialization-state noise.")
         w.println("# query\tshuffle_exchanges\tbroadcast_exchanges")
         observed.foreach { case (n, (sh, bc)) => w.println(s"$n\t$sh\t$bc") }
       } finally w.close()
