@@ -1139,22 +1139,24 @@ class DedupSimilaritySpec extends TestSpark {
       row.getAs[Double]("recall_at_3") <= 1.0)
   }
 
-  test("NN-descent auto-dial: weak margins escalate to radius 2, a duplicated corpus stays at radius 1") {
-    // the unstructured fixture's mean top-1 seed cosine measures ~0.32
-    // (round-15 margin probe) — under the 0.5 floor, so the policy must
-    // pick the Hamming-2 seed, exactly the corpus class where radius 1
-    // read recall 0.18 (below the family's 0.3 floor, round-14 verdict)
+  test("NN-descent auto-dial: measured radius-1 recall under the floor escalates, a planted-twin corpus keeps radius 1") {
+    // the recall-TARGETED policy (round-15 verdict #3): the dial now
+    // measures the radius-1 graph's sampled-exact recall@3 (the q240
+    // audit) instead of a seed-margin proxy. The unstructured fixture's
+    // radius-1 graph measures ≈ 0.18 (ann_recall artifacts) — far under
+    // the 0.8 floor — so the policy must escalate to the Hamming-2 seed
     val emb = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))
     assert(graft.functions.KnnDescent.autoRadius(spark, emb,
       sf0001 + "#dial_weak") == 2)
-    // a corpus where every vector has an exact duplicate: identical
-    // vectors share a bucket, so every sampled vector's top-1 seed
-    // cosine is 1.0 — far over the floor, and the cheaper radius-1
-    // seed is already sufficient
-    val strong = emb.unionByName(
-      emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    assert(graft.functions.KnnDescent.autoRadius(spark, strong,
+    // a corpus of identical QUADRUPLETS: every vector's exact top-3 ARE
+    // its three twins (rounded cos 1.0 beats any non-twin), and all
+    // four share an LSH bucket, so the radius-1 graph finds them all —
+    // measured recall 1.0, and the cheap path stands on a MEASUREMENT
+    val quad = (0 to 3).map(i => emb.select(
+        (col("vec_id") + lit(i * 100000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    assert(graft.functions.KnnDescent.autoRadius(spark, quad,
       sf0001 + "#dial_strong") == 1)
   }
 }
