@@ -26,7 +26,11 @@ and the sqrt(n) ivf_k rule's recall cost is measured, not vacuous.
 All other tables copy through unchanged so any query the sweep touches
 finds its inputs.
 
-Usage: make_scale_fixtures.py [outRoot]   (default /root/repo/scratch/scale)
+Usage: make_scale_fixtures.py [outRoot] [scales]
+  outRoot: default /root/repo/scratch/scale
+  scales:  comma-separated replica counts, default 3,10,30 (round-16
+           verdict task #4 added the x30 leg so the 100-TB design
+           claims extrapolate from a 30x span, not a 10x one)
 """
 import duckdb, os, shutil, sys
 
@@ -41,7 +45,9 @@ n_vecs, max_vec = con.execute(
     f"SELECT count(*), max(vec_id) FROM '{SRC}/embeddings.parquet'").fetchone()
 doc_span, vec_span = max_doc + 1, max_vec + 1
 
-for scale in (3, 10):
+SCALES = tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2 \
+    else (3, 10, 30)
+for scale in SCALES:
     out = os.path.join(OUT, f"x{scale}")
     os.makedirs(out, exist_ok=True)
     doc_parts = []

@@ -18,7 +18,11 @@ import json, math, os, shutil, subprocess, sys
 ROOT = "/root/repo"
 DIRS = [("x1", 1, "/root/testdata/sf0.1"),
         ("x3", 3, f"{ROOT}/scratch/scale/x3"),
-        ("x10", 10, f"{ROOT}/scratch/scale/x10")]
+        ("x10", 10, f"{ROOT}/scratch/scale/x10"),
+        # round-16 verdict task #4: the 100-TB claims previously
+        # extrapolated from a 10x span; the x30 leg triples it
+        ("x30", 30, f"{ROOT}/scratch/scale/x30")]
+DIRS = [t for t in DIRS if os.path.isdir(t[2])]
 # the adaptivity-sensitive subset of the bench headline: MinHash-LSH
 # banding + df caps (q27), hyperplane LSH plane count (q102), BPE encode
 # memo (q115), positional-gram df caps (q120), IVF sqrt(n) centroids +
@@ -62,13 +66,16 @@ for q in results["x1"]["queries"]:
     t1 = results["x1"]["queries"][q]
     t3 = results["x3"]["queries"].get(q, -1)
     t10 = results["x10"]["queries"].get(q, -1)
+    t30 = results.get("x30", {}).get("queries", {}).get(q, -1)
     if t1 > 0 and t10 > 0:
-        expo[q] = {"t_x1": t1, "t_x3": t3, "t_x10": t10,
+        expo[q] = {"t_x1": t1, "t_x3": t3, "t_x10": t10, "t_x30": t30,
                    "alpha_x10": round(math.log(t10 / t1) / math.log(10), 3),
+                   "alpha_x30": round(math.log(t30 / t1) / math.log(30), 3)
+                   if t30 > 0 else None,
                    "alpha_x3": round(math.log(t3 / t1) / math.log(3), 3)
                    if t3 > 0 else None,
                    "load": {s: results[s]["query_loadavg"].get(q)
-                            for s in ("x1", "x3", "x10")}}
+                            for s in results}}
 
 out = {"only": ONLY, "scales": results, "exponents": expo}
 path = f"{ROOT}/bench_logs/scale_sweep_{TAG}.json"
