@@ -13,7 +13,10 @@ import json, os, subprocess, sys
 ROOT = "/root/repo"
 DIRS = [("x1", "/root/testdata/sf0.1"),
         ("x3", f"{ROOT}/scratch/scale/x3"),
-        ("x10", f"{ROOT}/scratch/scale/x10")]
+        ("x10", f"{ROOT}/scratch/scale/x10"),
+        # round-16 verdict task #4: recall evidence over a 30x span
+        ("x30", f"{ROOT}/scratch/scale/x30")]
+DIRS = [t for t in DIRS if os.path.isdir(t[1])]
 TAG = sys.argv[1] if len(sys.argv) > 1 else "r13"
 
 def probe(tag, d, cells=None):
@@ -39,7 +42,8 @@ for tag, d in DIRS:
 # volume at nProbe*n^(4/3) (vs n^1.5 under k = sqrt(n)); this leg
 # measures the recall that faster-growing k costs
 n10 = out["x10"]["n_vecs"]
-out["x10_dial"] = probe("x10_dial", DIRS[-1][1], cells=round(n10 ** (2 / 3)))
+x10dir = dict((t, d) for t, d in DIRS)["x10"]
+out["x10_dial"] = probe("x10_dial", x10dir, cells=round(n10 ** (2 / 3)))
 
 path = f"{ROOT}/bench_logs/ann_recall_{TAG}.json"
 json.dump(out, open(path, "w"), indent=1)
