@@ -214,8 +214,13 @@ object Bench {
     // increment over the shared graph build is visible in one artifact
     "q245_hard_negatives",
     // round 16: incremental release lineage — benched beside q239 so
-    // the O(delta)-per-release vs full-rebuild cost gap is one
-    // artifact. q247 stays out with q237 (its cost IS the shared
+    // the two release-lineage shapes sit in one artifact. NOTE on the
+    // comparison: q246's min-of-3 re-stages its signature/URL/event
+    // stores every run (disk writes don't memoize), while q239's warm
+    // runs reuse the session-cached provenance relations — so at
+    // fixture scale the incremental form reads SLOWER here; its
+    // O(delta)-per-release claim is the scale sweep's alpha, not this
+    // absolute. q247 stays out with q237 (its cost IS the shared
     // advancing simulation — streaming micro-batch constants, the
     // q232/q130/q219 precedent; the manifest fold itself is a
     // metadata-scale rollup)
@@ -340,21 +345,32 @@ object Bench {
     // comp11 subtotal is quoted both raw and normalized by
     // CalibRefSecs/measured — sessions then compare on normalized
     // numbers and the drift paragraph becomes one ratio.
-    // idle-host reference: best min-of-3 across five r16 sessions at
-    // load ≤ 2.7 (0.426/0.430/0.437/0.497/0.676 — the mins cluster at
-    // ~0.43; contended sessions read higher, which is the point)
-    val calibRefSecs = 0.43
+    // Reference reading, CONTEXT-BOUND to the session shape the driver
+    // actually runs: a full-headline bench after the complete sf0.001
+    // warmup sweep (0.555 at start load ~3.4, r16). The probe is
+    // JIT-context sensitive — single-query smoke sessions read
+    // 0.71-1.28 for the same fixed work — so only full-session values
+    // compare against this ref (every per-round BENCH artifact is
+    // one), and cross-round comparisons should quote the normalized
+    // comp11 alongside the raw. Known limitation: the probe samples
+    // host state ONCE before the ~20-min timed section, so the
+    // normalization corrects session-start state, not mid-run swings.
+    val calibRefSecs = 0.555
     def calibrationOnce(): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: summing full-range xxhash64 longs overflows
-      // int64 under ANSI mode within a few rows
-      spark.range(0L, 256L * 1000 * 1000, 1L, cpus.toInt)
+      // int64 under ANSI mode within a few rows. 2G rows (~1.5 s hot):
+      // the 256M first cut measured 0.20-0.68 s ACROSS SESSIONS of the
+      // same host — JIT/scheduling noise exceeding the host drift it
+      // exists to normalize; at ~1.5 s of fixed work the compile tail
+      // and scheduler bursts are <10% of the reading.
+      spark.range(0L, 2048L * 1000 * 1000, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id))").collect()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .selectExpr("bit_xor(xxhash64(n_name))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibrationSecs = (1 to 3).map(_ => calibrationOnce()).min
+    val calibrationSecs = (1 to 5).map(_ => calibrationOnce()).min
 
     val loadBefore = loadavg()
     val qLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
