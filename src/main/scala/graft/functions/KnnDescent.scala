@@ -74,9 +74,11 @@ import org.apache.spark.sql.functions._
   * probes, one map-side exact pass — O(n) at any scale), and rebuilds
   * at radius 2 exactly when the measured recall is under
   * [[graft.Thresholds.NndRecallFloorMicro]] — an integer-exact
-  * decision the oracle's nnd_dial CTE replays bit-for-bit. The wasted
-  * radius-1 build on escalation is bounded by the measured cost
-  * ratios (r1 ≈ 0.4–0.7× the r2 build), and corpora with real
+  * decision the oracle's nnd_dial CTE replays bit-for-bit. Since
+  * round 17 the escalation is WARM-STARTED (round-16 verdict task #2):
+  * the radius-1 graph's final edges union into the radius-2 descent's
+  * round-1 candidate set, so the measured-then-rejected build seeds
+  * the rebuild instead of being pure waste; corpora with real
   * neighbor structure — the shape production embedding corpora have —
   * keep the cheap radius-1 path with a recall MEASUREMENT, not a
   * proxy, backing the choice.
@@ -148,15 +150,28 @@ object KnnDescent {
   /** Radius-1 build + measured-recall escalation — see [[autoRadius]].
     * Records its decision in [[radiusCache]]. The radius-1 graph it
     * measures is built through the SAME [[stages]] path the session
-    * would use, so on the no-escalation branch nothing is thrown away,
-    * and on escalation the waste is the cheaper of the two builds. */
+    * would use, so on the no-escalation branch nothing is thrown away;
+    * on escalation (round-16 verdict task #2) the radius-1 graph is not
+    * waste either — its final edges WARM-START the radius-2 descent
+    * (unioned into round 1's candidate set; NN-descent improves
+    * monotonically from any seed), so the escalated build starts from
+    * the best graph already known instead of from scratch.
+    *
+    * Persisted-footprint discipline (round-16 advisory): the audit
+    * relation is dropped as soon as the dial has read it (unless an
+    * outer caller — q240 — registered the same plan first and still
+    * needs it), every intermediate stage is dropped once the audit has
+    * materialized the stage above it, and on escalation the radius-1
+    * graph is dropped the moment the radius-2 graph is materialized —
+    * buildAuto leaves exactly ONE persisted relation behind. */
   private def buildAuto(s: SparkSession, emb: DataFrame,
       cacheKey: String): DataFrame = {
-    val g1 = stages(s, emb, cacheKey, probeRadius = 1).last
+    val r1Stages = stages(s, emb, cacheKey, probeRadius = 1)
+    val g1 = r1Stages.last
     val n = Similarity.corpusCount(emb, cacheKey)
     val stride = math.max(1L, n / 200L)
     val probes = emb.filter(col("vec_id") % stride === 0)
-    val exact = graft.PersistTracker.tracked("knnd",
+    val (exact, ownExact) = graft.PersistTracker.trackedOwned("knnd",
       Similarity.cosineTopK(probes, emb, K)
         .select(col("probe_id").as("src"), col("vec_id").as("nbr")))
     val nExact = exact.count()
@@ -169,17 +184,52 @@ object KnnDescent {
     radiusCache.synchronized {
       radiusCache((sessionKey(s), cacheKey)) = r; ()
     }
-    if (r == 1) g1 else stages(s, emb, cacheKey, probeRadius = 2).last
+    // the counts above materialized every radius-1 stage, so the
+    // intermediates are dead weight on both branches; the audit
+    // relation is dead too once the dial has decided (when owned —
+    // q240 tracks the identical plan around its own consumers)
+    if (ownExact) graft.PersistTracker.drop("knnd", exact)
+    r1Stages.init.foreach(graft.PersistTracker.drop("knnd", _))
+    if (r == 1) g1
+    else {
+      val r2Stages = stages(s, emb, cacheKey, probeRadius = 2,
+        warm = Some(g1.select(col("src"), col("nbr"))))
+      val g2 = r2Stages.last
+      // materialize the escalated graph BEFORE releasing its warm seed
+      g2.count()
+      graft.PersistTracker.drop("knnd", g1)
+      r2Stages.init.foreach(graft.PersistTracker.drop("knnd", _))
+      g2
+    }
   }
 
   /** The NN-descent graph for a corpus, cached per (session, dataset)
     * so q231/q77/q122/q220/q245 in one session build it once. Columns:
-    * (src, nbr, cos) — ≤ K edges per src, unranked. */
+    * (src, nbr, cos) — ≤ K edges per src, unranked.
+    *
+    * The cached handle is VERIFIED still materialized before reuse
+    * (round-16 verdict task #1): a harness-level blanket RDD unpersist
+    * (Bench's between-query residue sweep) can strip the graph's blocks
+    * while this module cache keeps the DataFrame — returning the stale
+    * handle re-derives the whole descent chain PER CONSUMER (the r16
+    * q240 anomaly: full-session runs doubling [16.2, 32.7, 66.5] s
+    * where isolated runs warm normally). On a stale hit, every
+    * knnd-tracked relation is released (their CacheManager entries are
+    * equally stale — a bare re-persist of the same plan would no-op
+    * against the dead entry) and the graph rebuilds from scratch. */
   private[graft] def graph(s: SparkSession, emb: DataFrame,
       cacheKey: String): DataFrame =
     graphCache.synchronized {
-      graphCache.getOrElseUpdate((sessionKey(s), cacheKey),
-        buildAuto(s, emb, cacheKey))
+      val key = (sessionKey(s), cacheKey)
+      graphCache.get(key) match {
+        case Some(g) if org.apache.spark.sql.graftbridge.GraftBridge
+            .cachedAndMaterialized(g) => g
+        case hit =>
+          if (hit.isDefined) releaseCaches(s)
+          val g = buildAuto(s, emb, cacheKey)
+          graphCache(key) = g
+          g
+      }
     }
 
   /** The multi-probed seed candidate relation (src, nbr, cos), with the
@@ -220,27 +270,45 @@ object KnnDescent {
       .filter(col("src") =!= col("vec_id"))
       .select(col("src"), col("vec_id").as("nbr"),
         cosC(col("p_emb"), col("embedding")).as("cos"))
-      .observe("nnd_seed_candidates", count(lit(1)).as("n_candidates"))
+      // radius-suffixed: the warm-started escalation unions the radius-1
+      // graph (whose lineage carries the r1 seed's observe node) under
+      // the radius-2 chain — same-named metrics with different results
+      // in one plan are a DUPLICATED_METRICS_NAME analysis error
+      .observe(s"nnd_seed_candidates_r$probeRadius",
+        count(lit(1)).as("n_candidates"))
   }
 
   /** Every stage of the build — g0 (seed cut) through g[[Iters]] — each
     * persisted; exposed so the spec can pin the per-round monotonic-
-    * improvement invariant. [[build]] is stages(...).last. */
+    * improvement invariant. [[build]] is stages(...).last.
+    *
+    * `warm` (round-16 verdict task #2): optional (src, nbr) edge set
+    * unioned into ROUND 1's candidate pool — the escalation path seeds
+    * the radius-2 descent with the radius-1 graph's final edges, so the
+    * measured-then-rejected build contributes its best edges instead of
+    * being pure waste. Round 1 (not the seed cut) is the cheap join
+    * point: the round candidate set already pays a distinct() for set
+    * semantics (the warm ∪ seed overlap dedupes there for free), while
+    * the seed relation is dedup-free by the one-probed-bucket argument
+    * and would need a new full-width exchange over the largest relation
+    * in the build to absorb duplicates. */
   private[graft] def stages(s: SparkSession, emb: DataFrame,
-      cacheKey: String, probeRadius: Int = 1): IndexedSeq[DataFrame] = {
+      cacheKey: String, probeRadius: Int = 1,
+      warm: Option[DataFrame] = None): IndexedSeq[DataFrame] = {
     var g = graft.PersistTracker.tracked("knnd",
       cut(seedScored(s, emb, cacheKey, probeRadius)))
     val out = scala.collection.mutable.ArrayBuffer(g)
     val e1 = emb.select(col("vec_id").as("src"), col("embedding").as("e1"))
     val e2 = emb.select(col("vec_id").as("nbr"), col("embedding").as("e2"))
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       val und = g.select(col("src"), col("nbr"))
         .union(g.select(col("nbr").as("src"), col("src").as("nbr")))
         .distinct()
-      val cand = und.as("a").join(und.as("b"), col("a.nbr") === col("b.src"))
+      val non = und.as("a").join(und.as("b"), col("a.nbr") === col("b.src"))
         .filter(col("b.nbr") =!= col("a.src"))
         .select(col("a.src").as("src"), col("b.nbr").as("nbr"))
         .union(g.select(col("src"), col("nbr")))
+      val cand = (if (i == 1) warm.fold(non)(w => non.union(w)) else non)
         .distinct()
       val scored = cand.join(e1, "src").join(e2, "nbr")
         .select(col("src"), col("nbr"), cosC(col("e1"), col("e2")).as("cos"))
@@ -348,9 +416,11 @@ object KnnDescent {
     * radius-1 descent (chain `*a`), the [[autoRadius]] recall audit
     * replayed (d_exact → nnd_dial — the identical integer-exact
     * comparison against the radius-1 graph's sampled edges), the
-    * radius-2 descent (chain `*b`) with every probe arm gated on
-    * nnd_dial.r >= 2 (so the whole chain is empty — near-free — when
-    * the measured recall clears the floor), and a final selector CTE
+    * radius-2 descent (chain `*b`) with every probe arm AND its
+    * warm-seed arm (chain a's final edges into round 1 — the engine's
+    * escalation warm-start) gated on nnd_dial.r >= 2 (so the whole
+    * chain is empty — near-free — when the measured recall clears the
+    * floor), and a final selector CTE
     * that keeps the [[finalCte]] name stable for every consumer.
     * Within each chain: multi-probe seed join, then each descent round
     * unrolled — undirected edge set, neighbors-of-neighbors ∪ current
@@ -362,13 +432,24 @@ object KnnDescent {
                / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))
                 * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"""
     // one descent chain (seed probes -> g0 -> Iters rounds), suffix
-    // `t`; `gate` is an extra WHERE conjunct on every probe arm
-    def chain(t: String, twoBit: Boolean): String = {
+    // `t`; `gate` is an extra WHERE conjunct on every probe arm.
+    // `warmFrom` (round-16 verdict task #2) names a prior chain's final
+    // graph CTE whose edges union into ROUND 1's candidate set — gated
+    // on the dial exactly like the probe arms, so the warm arm is empty
+    // (near-free) whenever this chain is the dead branch.
+    // Every CTE is declared AS MATERIALIZED at its definition site
+    // (round-16 advisory — the previous blanket string replace was
+    // spacing-fragile): DuckDB inlines a plain CTE at every reference,
+    // and with the audit plus two gated descent chains that
+    // re-expansion went super-linear (the replay ran >12 min where the
+    // single-chain r15 form took seconds).
+    def chain(t: String, twoBit: Boolean,
+        warmFrom: Option[String] = None): String = {
       val gate = if (twoBit) " AND nnd_dial.r >= 2" else ""
       val dial = if (twoBit) " CROSS JOIN nnd_dial" else ""
       val sb = new StringBuilder
       sb ++= s""",
-         pb$t AS (
+         pb$t AS MATERIALIZED (
            SELECT b.vec_id, b.embedding, b.bucket FROM buck b$dial
            WHERE TRUE$gate
            UNION ALL
@@ -385,12 +466,12 @@ object KnnDescent {
            CROSS JOIN range(0, 24) t(i) CROSS JOIN range(0, 24) u(j)
            WHERE t.i < u.j AND u.j < np.p AND nnd_dial.r >= 2"""
       sb ++= s"""),
-         s0$t AS (
+         s0$t AS MATERIALIZED (
            SELECT p.vec_id AS src, c.vec_id AS nbr,
              ${cosSql("p.embedding", "c.embedding")} AS cos
            FROM pb$t p JOIN buck c ON p.bucket = c.bucket
            WHERE p.vec_id <> c.vec_id),
-         g0$t AS (
+         g0$t AS MATERIALIZED (
            SELECT src, nbr, cos FROM (
              SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
                ORDER BY cos DESC, nbr) AS rk
@@ -403,21 +484,26 @@ object KnnDescent {
         // the dedup — the duplicate candidate rows then eat top-K
         // slots (found at sf0.1: u1 7974 rows plain vs 12000
         // recursive)
+        val warmArm =
+          if (i == 1) warmFrom.fold("")(w => s"""
+           UNION ALL SELECT g.src, g.nbr FROM $w g, nnd_dial
+           WHERE nnd_dial.r >= 2""")
+          else ""
         sb ++= s""",
-         u$i$t AS (SELECT DISTINCT src, nbr FROM (
+         u$i$t AS MATERIALIZED (SELECT DISTINCT src, nbr FROM (
            SELECT src, nbr FROM g${i - 1}$t
            UNION ALL SELECT nbr, src FROM g${i - 1}$t)),
-         c$i$t AS (SELECT DISTINCT src, nbr FROM (
+         c$i$t AS MATERIALIZED (SELECT DISTINCT src, nbr FROM (
            SELECT a.src AS src, b.nbr AS nbr FROM u$i$t a
            JOIN u$i$t b ON a.nbr = b.src
            WHERE b.nbr <> a.src
-           UNION ALL SELECT src, nbr FROM g${i - 1}$t)),
-         s$i$t AS (
+           UNION ALL SELECT src, nbr FROM g${i - 1}$t$warmArm)),
+         s$i$t AS MATERIALIZED (
            SELECT c.src, c.nbr,
              ${cosSql("ea.embedding", "eb.embedding")} AS cos
            FROM c$i$t c JOIN embeddings ea ON ea.vec_id = c.src
            JOIN embeddings eb ON eb.vec_id = c.nbr),
-         g$i$t AS (
+         g$i$t AS MATERIALIZED (
            SELECT src, nbr, cos FROM (
              SELECT src, nbr, cos, row_number() OVER (PARTITION BY src
                ORDER BY cos DESC, nbr) AS rk
@@ -426,13 +512,13 @@ object KnnDescent {
       sb.toString
     }
     val sb = new StringBuilder
-    sb ++= s"""np AS (
+    sb ++= s"""np AS MATERIALIZED (
            SELECT least(24, greatest(4,
              1 + (SELECT count(*) FROM range(1, 25) t(p)
                   WHERE (8::BIGINT << CAST(t.p AS INT)) <
                     (SELECT count(*) FROM embeddings)))) AS p),
-         planes(pid, pv) AS (VALUES ${Similarity.lshPlanesSql}),
-         buck AS (
+         planes(pid, pv) AS MATERIALIZED (VALUES ${Similarity.lshPlanesSql}),
+         buck AS MATERIALIZED (
            SELECT e.vec_id, e.embedding,
              CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
                  pl.pv::DOUBLE[]) >= 0
@@ -440,7 +526,7 @@ object KnnDescent {
                AS bucket
            FROM embeddings e CROSS JOIN np JOIN planes pl ON pl.pid < np.p
            GROUP BY e.vec_id, e.embedding),
-         nnd_stride AS (
+         nnd_stride AS MATERIALIZED (
            SELECT greatest(1, (SELECT count(*) FROM embeddings) // 200)
              AS st)"""
     sb ++= chain("a", twoBit = false)
@@ -449,45 +535,38 @@ object KnnDescent {
     // full corpus (the q30 ranking convention), hits vs the radius-1
     // graph's sampled edges, then the integer-exact escalation rule
     sb ++= s""",
-         d_probes AS (
+         d_probes AS MATERIALIZED (
            SELECT vec_id, embedding FROM embeddings, nnd_stride
            WHERE vec_id % nnd_stride.st = 0),
-         d_scored AS (
+         d_scored AS MATERIALIZED (
            SELECT p.vec_id AS src, c.vec_id AS nbr,
              ${cosSql("p.embedding", "c.embedding")} AS cos
            FROM d_probes p JOIN embeddings c ON p.vec_id <> c.vec_id),
-         d_exact AS (
+         d_exact AS MATERIALIZED (
            SELECT src, nbr FROM (
              SELECT src, nbr, row_number() OVER (PARTITION BY src
                ORDER BY cos DESC, nbr) AS rk
              FROM d_scored) WHERE rk <= $K),
-         d_hits AS (
+         d_hits AS MATERIALIZED (
            SELECT count(*) AS h FROM d_exact e
            JOIN (SELECT g.src, g.nbr FROM g${Iters}a g, nnd_stride
                  WHERE g.src % nnd_stride.st = 0) g
              ON e.src = g.src AND e.nbr = g.nbr),
-         nnd_dial AS (
+         nnd_dial AS MATERIALIZED (
            SELECT CASE WHEN (SELECT count(*) FROM d_exact) = 0
                OR 1000000 * (SELECT h FROM d_hits)
                  < ${graft.Thresholds.NndRecallFloorMicro}
                    * (SELECT count(*) FROM d_exact)
              THEN 2 ELSE 1 END AS r)"""
-    sb ++= chain("b", twoBit = true)
+    sb ++= chain("b", twoBit = true, warmFrom = Some(s"g${Iters}a"))
     sb ++= s""",
-         g$Iters AS (
+         g$Iters AS MATERIALIZED (
            SELECT g.src, g.nbr, g.cos FROM g${Iters}a g, nnd_dial
            WHERE nnd_dial.r = 1
            UNION ALL
            SELECT g.src, g.nbr, g.cos FROM g${Iters}b g, nnd_dial
            WHERE nnd_dial.r = 2)"""
-    // DuckDB inlines CTEs at every reference; with the audit plus the
-    // two gated descent chains the re-expansion became super-linear
-    // (the replay ran >12 min where the single-chain r15 form took
-    // seconds — the exact wall the q246 oracle hit on its release
-    // chain). MATERIALIZED restores evaluate-once semantics for every
-    // CTE in the block; inner derived tables are unaffected (the
-    // pattern only matches CTE definitions in this string).
-    sb.toString.replace(" AS (", " AS MATERIALIZED (")
+    sb.toString
   }
 
   /** Name of the final graph CTE inside [[nndCtes]]. */

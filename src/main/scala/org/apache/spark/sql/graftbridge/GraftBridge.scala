@@ -49,6 +49,47 @@ object GraftBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** True iff `df`'s plan is still registered in the session's
+    * CacheManager AND its cached-buffer RDD still carries a storage
+    * level. A module-level memo cache that holds a persisted DataFrame
+    * across harness residue sweeps needs this check: a blanket RDD-level
+    * `unpersist` (e.g. a bench harness dropping everything in
+    * `getPersistentRDDs` between queries) strips the blocks AND zeroes
+    * the cached RDD's storage level while the CacheManager entry —
+    * and the module's DataFrame reference — survive, so every later
+    * consumer of the handle silently re-derives the full child plan
+    * per action instead of reading cache (the round-16 q240 bench
+    * anomaly: min-of-3 runs doubling 16→33→67 s). Level-based, not
+    * block-presence-based: `isCachedColumnBuffersLoaded` memoizes true
+    * forever once it has seen blocks, and MEMORY_AND_DISK eviction
+    * never silently drops blocks without an unpersist. */
+  def cachedAndMaterialized(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .exists(_.cachedRepresentation.cacheBuilder.cachedColumnBuffers
+        .getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  /** One-line persist-state forensic for a tracked DataFrame: the
+    * CacheManager registration, the cached RDD's id + current storage
+    * level, and how many of its partitions the block manager actually
+    * holds right now. Bench dumps this between a query's min-of-N runs
+    * so a stripped-blocks-but-live-handle state (see
+    * [[cachedAndMaterialized]]) is visible in the artifact. */
+  def cacheForensic(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .map { cd =>
+        val rdd = cd.cachedRepresentation.cacheBuilder.cachedColumnBuffers
+        val cached = s.sparkContext.getRDDStorageInfo
+          .find(_.id == rdd.id).map(_.numCachedPartitions).getOrElse(0)
+        s"rdd=${rdd.id} level=${rdd.getStorageLevel.description} " +
+          s"cached_parts=$cached/${rdd.partitions.length}"
+      }.getOrElse("uncached")
+  }
+
   /** Unload every loaded streaming state-store provider on this JVM —
     * closes RocksDB instances (and their native scratch) left behind by
     * finished streaming queries. `StateStore.unloadAll` is private[sql];

@@ -1095,7 +1095,7 @@ class DedupSimilaritySpec extends TestSpark {
       val df = graft.functions.KnnDescent.seedScored(spark,
         Tables.embeddings(spark, d), d + "#seedgrowth")
       df.collect()
-      val m = df.queryExecution.observedMetrics("nnd_seed_candidates")
+      val m = df.queryExecution.observedMetrics("nnd_seed_candidates_r1")
       (Tables.embeddings(spark, d).count(), m.getAs[Long]("n_candidates"))
     }
     val (n1, c1) = run(sf0001)
