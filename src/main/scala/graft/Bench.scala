@@ -214,11 +214,11 @@ object Bench {
     // increment over the shared graph build is visible in one artifact
     "q245_hard_negatives",
     // round 16: incremental release lineage — benched beside q239 so
-    // the two release-lineage shapes sit in one artifact. NOTE on the
-    // comparison: q246's min-of-3 re-stages its signature/URL/event
-    // stores every run (disk writes don't memoize), while q239's warm
-    // runs reuse the session-cached provenance relations — so at
-    // fixture scale the incremental form reads SLOWER here; its
+    // the two release-lineage shapes sit in one artifact. Since round
+    // 17 the release staging memoizes per (session, dataset) (the
+    // advancingRun pattern — r16 verdict task #5), so the min-of-3
+    // prices the lineage plan like q239's warm runs price theirs; the
+    // cold-staging cost is run 1 of the runs array. The
     // O(delta)-per-release claim is the scale sweep's alpha, not this
     // absolute. q247 stays out with q237 (its cost IS the shared
     // advancing simulation — streaming micro-batch constants, the
@@ -282,6 +282,14 @@ object Bench {
     def releaseAll(): Unit = {
       functions.Dedup.releaseCaches(spark)
       functions.Similarity.releaseCaches(spark)
+      // KnnDescent was MISSING from this list through round 16 — the
+      // blanket RDD sweep below then stripped the graph's blocks while
+      // the module cache kept the DataFrame, so later knnd consumers
+      // re-derived the whole descent chain per action (the r16 q240
+      // anomaly: runs doubling [16.2, 32.7, 66.5] s). The module-cache
+      // release here plus graph()'s own materialization check make the
+      // pair coherent.
+      functions.KnnDescent.releaseCaches(spark)
       functions.TextQueries.releaseCaches(spark)
       operators.Multimodal.releaseCaches(spark)
       operators.SignatureStore.releaseCaches(spark)
@@ -352,9 +360,12 @@ object Bench {
     // 0.71-1.28 for the same fixed work — so only full-session values
     // compare against this ref (every per-round BENCH artifact is
     // one), and cross-round comparisons should quote the normalized
-    // comp11 alongside the raw. Known limitation: the probe samples
-    // host state ONCE before the ~20-min timed section, so the
-    // normalization corrects session-start state, not mid-run swings.
+    // comp11 alongside the raw. Known limitation (v1): the probe
+    // samples host state ONCE before the ~20-min timed section, so the
+    // min-of-5 normalization corrects session-start state, not mid-run
+    // swings — and the r16 session showed the min DODGES bursty
+    // contention outright (probe 0.562 vs ref 0.555 = +1.3% while the
+    // session ran ~15-25% inflated). v2 below fixes both.
     val calibRefSecs = 0.555
     def calibrationOnce(): Double = {
       val t0 = System.nanoTime()
@@ -370,12 +381,55 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(n_name))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibrationSecs = (1 to 5).map(_ => calibrationOnce()).min
+    // v2 SERIAL leg (round-16 verdict task #4): the same per-core work
+    // (2048M / 32 rows) in ONE partition. A single runnable thread
+    // almost always gets a core, so this leg tracks per-core CLOCK
+    // drift (hypervisor steal, frequency) while staying nearly blind to
+    // scheduler contention; the parallel leg above tracks both. Their
+    // ratio attributes which kind of drift a session saw.
+    def calibrationSerialOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1000 * 1000, 1L, 1)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the probe itself inflates loadavg — sample host state FIRST
+    // (round-16 advisory: r16's loadavg_before was post-probe)
+    val loadPreCalib = loadavg()
+    val calibStart = (1 to 5).map(_ => calibrationOnce())
+    val calibrationSecs = calibStart.min
+    val calibSerial = (1 to 3).map(_ => calibrationSerialOnce())
 
     val loadBefore = loadavg()
     val qLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val allRuns = picked.map { n =>
-      val rs = runs3(n); qLoads(n) = load1(); releaseAll(); n -> rs
+    // v2 IN-SESSION window (round-16 verdict task #4, the real fix):
+    // one parallel-probe spin after every 25th query, plus the start
+    // and end batteries — the normalization below divides by the MEAN
+    // over the whole timed window, so contention that arrives (or
+    // decays) mid-session moves the normalizer the same way it moves
+    // the queries, where the start-only min-of-5 dodged it entirely.
+    val calibWindow = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    calibStart.foreach(v => calibWindow += ((0, v)))
+    // Per-run knnd persist-state forensics (round-16 verdict task #1):
+    // the stripped-blocks-but-live-handle state behind the q240 anomaly
+    // is now visible in the artifact itself between every run of the
+    // graph-consuming queries.
+    val knndQs = Set("q231_knn_descent", "q240_sampled_knn_audit",
+      "q245_hard_negatives")
+    val knndForensics =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val allRuns = picked.zipWithIndex.map { case (n, i) =>
+      val rs =
+        if (knndQs(n)) (1 to 3).map { _ =>
+          val t = once(n)
+          knndForensics(n) = knndForensics.getOrElse(n, Seq.empty) :+
+            PersistTracker.forensic("knnd", spark)
+          t
+        }
+        else runs3(n)
+      qLoads(n) = load1(); releaseAll()
+      if ((i + 1) % 25 == 0) calibWindow += ((i + 1, calibrationOnce()))
+      n -> rs
     }
     // Stateful state-backend runs (round-8 judge ask #7): q65 (RocksDB)
     // and q66 (transformWithState) timed min-of-3 INSIDE the loadavg
@@ -404,6 +458,12 @@ object Bench {
         n -> rs
       }
     val loadAfter = loadavg()
+    // close the calibration window AFTER sampling end-of-session load
+    // (the probes would inflate it) — two closing parallel spins plus
+    // one closing serial spin
+    val calibEnd = (1 to 2).map(_ => calibrationOnce())
+    calibEnd.foreach(v => calibWindow += ((picked.size, v)))
+    val calibSerialEnd = calibrationSerialOnce()
 
     // AQE-FINAL shapes of the expensive tail (round-13 judge task #8):
     // the 107-entry test lock snapshots PRE-execution plans at sf0.001;
@@ -575,14 +635,37 @@ object Bench {
     // session where the probe ran 1.3× slower than reference gets its
     // comp11 deflated by the same factor before cross-round comparison.
     val comp11Norm = subtotal(comparable11) * calibRefSecs / calibrationSecs
+    // v2 normalization (round-16 verdict task #4): divide by the MEAN
+    // of the whole in-session probe window instead of the start-only
+    // min — bursty scheduler contention that the min dodges (the r16
+    // failure: probe +1.3% while the session ran +15-25%) moves the
+    // window mean roughly as it moves the queries. Reference is the
+    // same context-bound shape: windowed mean of an idle full-headline
+    // session (measured r17 idle run).
+    val calibRefMeanSecs = 0.66
+    val calibRefSerialSecs = 0.50
+    val calibMean = calibWindow.map(_._2).sum / math.max(1, calibWindow.size)
+    val calibSerialMin = (calibSerial :+ calibSerialEnd).min
+    val comp11NormV2 = subtotal(comparable11) * calibRefMeanSecs / calibMean
+    val calibWindowJson = calibWindow
+      .map { case (i, v) => s"[$i,${f"$v%.3f"}]" }.mkString("[", ",", "]")
+    val knndForensicsJson = knndForensics.map { case (k, runs) =>
+      "\"" + k + "\":" + runs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val finalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${picked.size},""" +
       s""""subtotal_comparable11":${subtotal(comparable11)},""" +
       s""""calibration_secs":${f"$calibrationSecs%.3f"},""" +
       s""""calibration_ref_secs":$calibRefSecs,""" +
       s""""subtotal_comparable11_normalized":${f"$comp11Norm%.3f"},""" +
+      s""""calibration_secs_mean":${f"$calibMean%.3f"},""" +
+      s""""calibration_ref_mean_secs":$calibRefMeanSecs,""" +
+      s""""calibration_secs_serial":${f"$calibSerialMin%.3f"},""" +
+      s""""calibration_ref_serial_secs":$calibRefSerialSecs,""" +
+      s""""subtotal_comparable11_normalized_v2":${f"$comp11NormV2%.3f"},""" +
       s""""family_subtotals":$famJson,""" +
       s""""stream_events_per_sec":$streamEps,"stream_eps":$epsJson,""" +
+      s""""loadavg_precalib":$loadPreCalib,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""sf":"$sfDir"}"""
     // full forensics (per-query mins + all runs arrays) → committed log
@@ -600,9 +683,20 @@ object Bench {
           s""""calibration_secs":${f"$calibrationSecs%.3f"},""" +
           s""""calibration_ref_secs":$calibRefSecs,""" +
           s""""subtotal_comparable11_normalized":${f"$comp11Norm%.3f"},""" +
+          s""""calibration_secs_mean":${f"$calibMean%.3f"},""" +
+          s""""calibration_ref_mean_secs":$calibRefMeanSecs,""" +
+          s""""calibration_secs_serial":${f"$calibSerialMin%.3f"},""" +
+          s""""calibration_ref_serial_secs":$calibRefSerialSecs,""" +
+          s""""subtotal_comparable11_normalized_v2":${f"$comp11NormV2%.3f"},""" +
+          s""""calibration_window":$calibWindowJson,""" +
+          s""""calibration_serial_runs":${
+            (calibSerial :+ calibSerialEnd).map(v => f"$v%.3f")
+              .mkString("[", ",", "]")},""" +
+          s""""knnd_persist_forensics":$knndForensicsJson,""" +
           s""""stream_events_per_sec":$streamEps,"stream_eps":$epsJson,""" +
           s""""derived_constants":$constsJson,""" +
           s""""aqe_final_shapes":$aqeJson,"aqe_shape_drift":$aqeDriftJson,""" +
+          s""""loadavg_precalib":$loadPreCalib,""" +
           s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
           s""""sf":"$sfDir"}""")
         finally w.close()
@@ -610,6 +704,7 @@ object Bench {
     } catch { case _: Throwable => () }
     println(finalLine)
     functions.Dedup.releaseCaches(spark)
+    functions.KnnDescent.releaseCaches(spark)
     functions.Similarity.releaseCaches(spark)
     functions.TextQueries.releaseCaches(spark)
     operators.Multimodal.releaseCaches(spark)
