@@ -88,17 +88,27 @@ object Verify {
     // batch query planned during that window would silently pick up
     // the streaming partition count. So: batch queries fan out over a
     // small thread pool (each still one-at-a-time per name), then the
-    // stream-driving set runs strictly serially.
+    // stream-driving set runs strictly serially. The name convention is
+    // no longer the only guard (round-16 advisory): every shuffle-
+    // partition override routes through ConfGuard, and each parallel
+    // task runs inside an enterParallel/exitParallel bracket — a future
+    // conf-mutating query that bypasses this serial phase fails LOUDLY
+    // (its own sentinel row) instead of silently re-planning neighbors.
     val serialNames = Set("q66_transform_with_state", "q237_advancing_ingest",
       "q247_incremental_export_manifest")
     val (serialQs, parQs) = toRun.partition { case (n, _) =>
       n.contains("stream") || serialNames.contains(n) }
     val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
-    if (nThreads <= 1) parQs.foreach { case (n, f) => runOne(n, f) }
+    def runOneParallel(n: String,
+        f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      ConfGuard.enterParallel()
+      try runOne(n, f) finally ConfGuard.exitParallel()
+    }
+    if (nThreads <= 1) parQs.foreach { case (n, f) => runOneParallel(n, f) }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
       val cs = parQs.map { case (n, f) =>
-        pool.submit(new Runnable { def run(): Unit = runOne(n, f) }) }
+        pool.submit(new Runnable { def run(): Unit = runOneParallel(n, f) }) }
       cs.foreach(_.get())
       pool.shutdown()
     }

@@ -647,9 +647,7 @@ object Dedup {
       // verdict rows are benchmark-overlap-sized; 8 matches the q130
       // streaming width convention (state-free here, but the per-batch
       // shuffle width still should not inherit the batch conf)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             checkAgainstGramStore(gramKeys(s, batch, "doc_id"),
@@ -663,7 +661,7 @@ object Dedup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // explicit schema: a corpus with ZERO contaminated docs writes no
       // sink files at all (dynamic overwrite of empty batches), and a
       // schema-inferring read of the empty dir would throw instead of

@@ -485,9 +485,7 @@ object AnnIndexStore {
         .partitionBy("batch_id").parquet(corpusDir)
       val src = s.readStream.schema(embSchema).parquet(s"$d/embeddings.parq*")
         .filter(!notHeldOut(col("vec_id")))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             // batch-local persist lifetimes (q130's discipline)
@@ -511,7 +509,7 @@ object AnnIndexStore {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(corpusDir)
         .select(col("vec_id"), size(col("embedding")).as("n_dims"))
         .orderBy(col("vec_id"))

@@ -396,9 +396,7 @@ object CurationAudits {
       resetTable(s, hhStoreSchema, storeDir)
       val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
       val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             heavyHittersBatch(s, batch, id, storeDir, cap = 64)
@@ -406,7 +404,7 @@ object CurationAudits {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val store = s.read.schema(hhStoreSchema).parquet(storeDir)
       val latest = store.agg(max(col("batch_id")).as("m"))
       val fin = store.join(latest, col("batch_id") === col("m"))
@@ -446,9 +444,7 @@ object CurationAudits {
       resetTable(s, noveltySinkSchema, sinkDir)
       val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
       val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             noveltyBatch(s, batch, id, storeDir, sinkDir)
@@ -456,7 +452,7 @@ object CurationAudits {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.schema(noveltySinkSchema).parquet(sinkDir)
         .select(col("batch_id"), col("n_docs"), col("grams_seen"),
           col("new_grams"),
@@ -488,9 +484,7 @@ object CurationAudits {
       val src = s.readStream.schema(docsSchema)
         .parquet(s"$d/documents.parq*")
         .filter(col("source") === "src0")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val verdicts = batch.select(col("doc_id"))
@@ -525,7 +519,7 @@ object CurationAudits {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val sunk = s.read.schema(admitSinkSchema).parquet(sinkDir)
         .agg(count(lit(1)).as("n_sink_docs"))
       s.read.schema(admitStatsSchema).parquet(statsDir)

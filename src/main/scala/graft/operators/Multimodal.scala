@@ -500,9 +500,7 @@ object Multimodal {
       val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
       val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
         .filter(col("doc_id") % 5 === 0)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val dh = hashesOf(s, asMediaTable(s, batch))
@@ -526,7 +524,7 @@ object Multimodal {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       // explicit schema: a stream with no phash match ever writes no
       // sink files, and a schema-inferring read of the empty dir would
       // throw instead of returning q147's empty pair set (review

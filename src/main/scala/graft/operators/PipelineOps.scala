@@ -918,9 +918,7 @@ object PipelineOps {
       val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
         .filter(col("event_id") % 10 >= 8)
         .select(col("user_id"), col("event_type"), col("value"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             refreshGeneration(s, mvDir, rollup(batch), id)
@@ -928,7 +926,7 @@ object PipelineOps {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       val mv = s.read.parquet(mvDir)
       // partition-column inference narrows gen to int — read type-agnostic
       val maxGen = mv.agg(max(col("gen"))).first().getAs[Number](0)

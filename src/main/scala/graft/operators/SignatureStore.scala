@@ -281,9 +281,7 @@ object SignatureStore {
         .partitionBy("batch_id").parquet(corpusDir)
       val src = s.readStream.schema(docsSchema).parquet(s"$d/documents.parq*")
         .filter(col("source") === "src0")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             // batch-local persist lifetimes: shingles feed signatures +
@@ -310,7 +308,7 @@ object SignatureStore {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.parquet(corpusDir)
         .select(col("doc_id"), length(col("text")).as("n_chars"))
         .orderBy(col("doc_id"))

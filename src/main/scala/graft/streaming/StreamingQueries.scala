@@ -56,9 +56,7 @@ object StreamingQueries {
     // state volume, not to the session's batch shuffle width. The query
     // pins its partition count at start, so restoring the conf after
     // start() doesn't affect the running stream.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.ConfGuard.withShufflePartitions(s, 8) {
       val q = build(src).writeStream
         .format("memory")
         .queryName(sinkName)
@@ -66,7 +64,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(sinkName)
   }
 
@@ -317,11 +315,11 @@ object StreamingQueries {
         "q82_upsert_stage_" + graft.Tables.datasetTag(d))
       val src = s.readStream.schema(schema).parquet(s"$d/events.parq*")
         .transform(graft.Tables.tsToMicros)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
+      graft.ConfGuard.withShufflePartitions(s, 8) {
+        // the overwrite-mode flip rides inside the same guarded window
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
         val q = src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val w = org.apache.spark.sql.expressions.Window
@@ -336,9 +334,8 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        } finally s.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", prevMode)
       }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
