@@ -1091,6 +1091,79 @@ class CurationPipelineSpec extends TestSpark {
     assert(manifest((3L, "sC")) == ((1L, 1L, 0L)), s"$manifest")
   }
 
+  test("q246 incremental lineage: a re-crawled source is a state-backed no-op (curl-collision store gate)") {
+    // Round-16 advisory: the q246 ORACLE replays the state-backed
+    // canonical-URL gate as corpus-global url_keep, valid on the bench
+    // fixture because canonical hosts embed the source — so the
+    // store-backed gate needed an engine-level pin. A true CROSS-source
+    // curl collision is unconstructible through this API (syntheticUrl
+    // embeds the source in the host), and for whole-source releases the
+    // store-URL leg is PROVABLY shadowed in the manifest: a curl can
+    // only enter the url store via an admitted doc, the admitter was
+    // its delta curl-group's min doc_id, the corpus is static, so on
+    // any later release of the same source every colliding victim also
+    // loses the within-delta min rule (and the admitter itself also
+    // self-matches in the signature store). The store leg is
+    // load-bearing in the STREAMING shape (q237 — batches partition
+    // the corpus, so a curl's admitter is absent from later batches;
+    // pinned there). What IS pinnable here is the production property
+    // the state exists for: a RE-CRAWL of an already-ingested source
+    // (release list naming the same source twice) must be a complete
+    // no-op against the advanced state — zero new admissions, zero
+    // displacements, zero release-3 events — with the url store (not
+    // re-computation luck) holding the admitted page's curl.
+    import spark.implicits._
+    val keepTexts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .filter(r => verdictOf.get(r.getLong(0)).contains("keep"))
+      .filter(r => r.getString(1) == "en" &&
+        graft.functions.TokenizeUdtf.SplitRe.split(r.getString(2))
+          .count(_.nonEmpty) >= 80)
+      .map(_.getString(2)).distinct
+    assert(keepTexts.length >= 4, s"need 4 long fixture keeps, got ${keepTexts.length}")
+    val Seq(t1, t2, ta, tb) = keepTexts.take(4).toSeq
+    val crafted = Seq(
+      // seed source sA: two distinct pages (v2 and v3 url variants)
+      (41L, "en", "sA", t1), (61L, "en", "sA", t2),
+      // source sB: docs 1 (v0) and 21 (v1) canonicalize to the SAME
+      // page — sb.example.com/docs/d0 — with UNRELATED texts (a curl
+      // collision that is not a near-dup)
+      (1L, "en", "sB", ta), (21L, "en", "sB", tb))
+    val docs = crafted.toDF("doc_id", "lang", "source", "text")
+    val sc = CorpusCleaning.qualityLogitOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(sc.values.forall(_ >= Thresholds.QualityLogitKeepMin),
+      "every crafted doc must pass the quality gate")
+    val labels = graft.functions.Dedup.cachedComponents(
+      spark, "q246recrawl")(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    // release 2 ingests sB; release 3 RE-CRAWLS sB against the state
+    // release 2 advanced
+    val manifest = CurationPipeline.incrReleaseLineageOf(spark, docs,
+        CurationPipeline.benchGramSet(spark, sf0001), labels,
+        Seq((2L, "sB"), (3L, "sB")), "q246recrawl")
+      .collect()
+      .map(r => (r.getAs[Long]("release_id"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_new_kept"),
+          r.getAs[Long]("n_displaced")))).toMap
+    assert(manifest((1L, "sA")) == ((2L, 2L, 0L)), s"$manifest")
+    // release 2: doc 1 is the curl-group min and admits; doc 21 is
+    // url_dup'd by the within-delta rule (its text never enters any
+    // store)
+    assert(manifest((2L, "sA")) == ((2L, 0L, 0L)), s"$manifest")
+    assert(manifest((2L, "sB")) == ((1L, 1L, 0L)), s"$manifest")
+    // the re-crawl: both docs' curl is now in the url store (admitted
+    // at release 2), so the state blocks everything — kept counts
+    // frozen, nothing new, nothing displaced
+    assert(manifest((3L, "sA")) == ((2L, 0L, 0L)), s"$manifest")
+    assert(manifest((3L, "sB")) == ((1L, 0L, 0L)), s"$manifest")
+    // and the event store carries ZERO release-3 events — the no-op is
+    // structural (no add, no del), not a coincidence of rollups
+    val ev3 = spark.read
+      .parquet(Tables.scratchDir(spark, "q246recrawl_state"))
+      .filter(col("release_id") === 3L).count()
+    assert(ev3 == 0L, s"re-crawl must write no events, got $ev3")
+  }
+
   override def afterAll(): Unit = {
     CurationPipeline.releaseCaches(spark)
     super.afterAll()
