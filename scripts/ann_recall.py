@@ -15,7 +15,17 @@ DIRS = [("x1", "/root/testdata/sf0.1"),
         ("x3", f"{ROOT}/scratch/scale/x3"),
         ("x10", f"{ROOT}/scratch/scale/x10"),
         # round-16 verdict task #4: recall evidence over a 30x span
-        ("x30", f"{ROOT}/scratch/scale/x30")]
+        ("x30", f"{ROOT}/scratch/scale/x30"),
+        # round-17 verdict task #3: the TIGHT-band planted corpus
+        # (families of 4 at cosine 0.98/0.96/0.94 — strong neighbor
+        # structure), where the NN-descent radius-1 seed should clear
+        # the 0.8 recall floor and the dial's cheap branch fires
+        ("x4tight", f"{ROOT}/scratch/scaletight/x4"),
+        # round-17 verdict task #7: document-DERIVED vectors (hashed-
+        # bigram log-count profiles of the actual sf0.1 documents, from
+        # graft.tools.DocVectors) — the dial demonstrated on data shaped
+        # like what a curation run embeds, not only planted synthetics
+        ("docvec", f"{ROOT}/scratch/docvec")]
 DIRS = [t for t in DIRS if os.path.isdir(t[1])]
 TAG = sys.argv[1] if len(sys.argv) > 1 else "r13"
 
@@ -41,9 +51,10 @@ for tag, d in DIRS:
 # the ivf_k DIAL at 10x: k = n^(2/3) bounds the kNN-graph candidate
 # volume at nProbe*n^(4/3) (vs n^1.5 under k = sqrt(n)); this leg
 # measures the recall that faster-growing k costs
-n10 = out["x10"]["n_vecs"]
-x10dir = dict((t, d) for t, d in DIRS)["x10"]
-out["x10_dial"] = probe("x10_dial", x10dir, cells=round(n10 ** (2 / 3)))
+if "x10" in out:
+    n10 = out["x10"]["n_vecs"]
+    x10dir = dict((t, d) for t, d in DIRS)["x10"]
+    out["x10_dial"] = probe("x10_dial", x10dir, cells=round(n10 ** (2 / 3)))
 
 path = f"{ROOT}/bench_logs/ann_recall_{TAG}.json"
 json.dump(out, open(path, "w"), indent=1)

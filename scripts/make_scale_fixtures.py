@@ -26,11 +26,23 @@ and the sqrt(n) ivf_k rule's recall cost is measured, not vacuous.
 All other tables copy through unchanged so any query the sweep touches
 finds its inputs.
 
-Usage: make_scale_fixtures.py [outRoot] [scales]
+Usage: make_scale_fixtures.py [outRoot] [scales] [bands] [mode]
   outRoot: default /root/repo/scratch/scale
   scales:  comma-separated replica counts, default 3,10,30 (round-16
            verdict task #4 added the x30 leg so the 100-TB design
-           claims extrapolate from a 30x span, not a 10x one)
+           claims extrapolate from a 30x span, not a 10x one; round-17
+           task #6 adds an x100 leg for the two highest-alpha paths)
+  bands:   comma-separated planted-neighbor cosine bands cycling with
+           replica index, default 0.9,0.7,0.5. Round-17 task #3 uses a
+           TIGHT profile (0.98,0.96,0.94) to build a strong-neighbor-
+           structure corpus where the NN-descent radius-1 seed clears
+           the 0.8 recall floor and the dial's cheap branch fires
+           end-to-end.
+  mode:    "full" (default) scales every table; "light" scales only
+           documents+embeddings and copies the rest through unchanged —
+           for legs that drive only the doc/embedding paths (the x100
+           q242/q231 sweep, the tight-band recall leg), where a 100x
+           lineitem would cost minutes and drive nothing.
 """
 import duckdb, os, shutil, sys
 
@@ -47,6 +59,9 @@ doc_span, vec_span = max_doc + 1, max_vec + 1
 
 SCALES = tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2 \
     else (3, 10, 30)
+BANDS = [float(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 \
+    else [0.9, 0.7, 0.5]
+MODE = sys.argv[4] if len(sys.argv) > 4 else "full"
 for scale in SCALES:
     out = os.path.join(OUT, f"x{scale}")
     os.makedirs(out, exist_ok=True)
@@ -71,7 +86,7 @@ for scale in SCALES:
         if k == 0:
             vec_parts.append(f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'")
         else:
-            band = [0.9, 0.7, 0.5][(k - 1) % 3]
+            band = BANDS[(k - 1) % len(BANDS)]
             sb = (1.0 - band * band) ** 0.5
             # w: deterministic pseudo-random direction per (vec_id, k, dim)
             # — near-orthogonal to u in 64-d, so cos(new, u) ~ band
@@ -97,6 +112,15 @@ for scale in SCALES:
     # and node counts grow linearly, and graphs grow in NODES at
     # constant degree (10 disjoint subgraphs) — the "bigger corpus"
     # model, not a density-blowup test.
+    if MODE == "light":
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"]:
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        nd = con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+        nv = con.execute(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+        print(f"x{scale} (light, bands={BANDS}): {nd} docs ({n_docs} base), "
+              f"{nv} vecs ({n_vecs} base) -> {out}")
+        continue
     spans = {t: con.execute(
         f"SELECT max({c}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
         for t, c in [("orders", "o_orderkey"), ("customer", "c_custkey"),

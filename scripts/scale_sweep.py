@@ -21,7 +21,12 @@ DIRS = [("x1", 1, "/root/testdata/sf0.1"),
         ("x10", 10, f"{ROOT}/scratch/scale/x10"),
         # round-16 verdict task #4: the 100-TB claims previously
         # extrapolated from a 10x span; the x30 leg triples it
-        ("x30", 30, f"{ROOT}/scratch/scale/x30")]
+        ("x30", 30, f"{ROOT}/scratch/scale/x30"),
+        # round-17 verdict task #6: one x100 leg for the highest-alpha
+        # paths (q242 0.81, q231 0.56) — a LIGHT fixture (docs+emb
+        # scaled, relational tables copied), so only run doc/embedding
+        # queries against it
+        ("x100", 100, f"{ROOT}/scratch/scale/x100")]
 DIRS = [t for t in DIRS if os.path.isdir(t[2])]
 # the adaptivity-sensitive subset of the bench headline: MinHash-LSH
 # banding + df caps (q27), hyperplane LSH plane count (q102), BPE encode
@@ -64,18 +69,17 @@ for tag, scale, d in DIRS:
 expo = {}
 for q in results["x1"]["queries"]:
     t1 = results["x1"]["queries"][q]
-    t3 = results["x3"]["queries"].get(q, -1)
-    t10 = results["x10"]["queries"].get(q, -1)
-    t30 = results.get("x30", {}).get("queries", {}).get(q, -1)
-    if t1 > 0 and t10 > 0:
-        expo[q] = {"t_x1": t1, "t_x3": t3, "t_x10": t10, "t_x30": t30,
-                   "alpha_x10": round(math.log(t10 / t1) / math.log(10), 3),
-                   "alpha_x30": round(math.log(t30 / t1) / math.log(30), 3)
-                   if t30 > 0 else None,
-                   "alpha_x3": round(math.log(t3 / t1) / math.log(3), 3)
-                   if t3 > 0 else None,
-                   "load": {s: results[s]["query_loadavg"].get(q)
-                            for s in results}}
+    row = {"t_x1": t1}
+    for s, scale, _ in DIRS:
+        if s == "x1":
+            continue
+        ts = results.get(s, {}).get("queries", {}).get(q, -1)
+        row[f"t_{s}"] = ts
+        row[f"alpha_{s}"] = round(math.log(ts / t1) / math.log(scale), 3) \
+            if t1 > 0 and ts > 0 else None
+    row["load"] = {s: results[s]["query_loadavg"].get(q) for s in results}
+    if t1 > 0:
+        expo[q] = row
 
 out = {"only": ONLY, "scales": results, "exponents": expo}
 path = f"{ROOT}/bench_logs/scale_sweep_{TAG}.json"
