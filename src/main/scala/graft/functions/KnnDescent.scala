@@ -225,7 +225,11 @@ object KnnDescent {
         case Some(g) if org.apache.spark.sql.graftbridge.GraftBridge
             .cachedAndMaterialized(g) => g
         case hit =>
-          if (hit.isDefined) releaseCaches(s)
+          if (hit.isDefined) {
+            System.err.println(s"[knnd] cached graph for $cacheKey is no " +
+              "longer materialized — releasing knnd caches and rebuilding")
+            releaseCaches(s)
+          }
           val g = buildAuto(s, emb, cacheKey)
           graphCache(key) = g
           g
@@ -295,8 +299,27 @@ object KnnDescent {
   private[graft] def stages(s: SparkSession, emb: DataFrame,
       cacheKey: String, probeRadius: Int = 1,
       warm: Option[DataFrame] = None): IndexedSeq[DataFrame] = {
+    // LINEAGE TRUNCATION per stage (the q152/connected-components
+    // `truncate` discipline, round 17): each descent round references
+    // the previous graph ~5 times (the undirected relation twice, the
+    // NoN join twice, the current-edge arm), so the LOGICAL plan grows
+    // ~5^Iters copies of the seed tree — and the warm-started
+    // escalation embeds the whole radius-1 tree inside the radius-2
+    // chain, squaring it (measured: q231's analyzed plan hit 106k
+    // lines / q240's 212k, and every warm consumer paid 5-13 s of
+    // DRIVER-side Catalyst work per run before the cache substitution
+    // collapsed it). An eager checkpoint rebases each stage on its
+    // materialized RDD: the plan every consumer analyzes is one round
+    // deep regardless of radius, warm-start, or Iters — a
+    // corpus-size-independent driver cost that matters identically at
+    // 100 TB. Reliable checkpoint when the session has a checkpoint
+    // dir (survives executor loss — the production setting), eager
+    // localCheckpoint otherwise.
+    def truncate(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     var g = graft.PersistTracker.tracked("knnd",
-      cut(seedScored(s, emb, cacheKey, probeRadius)))
+      truncate(cut(seedScored(s, emb, cacheKey, probeRadius))))
     val out = scala.collection.mutable.ArrayBuffer(g)
     val e1 = emb.select(col("vec_id").as("src"), col("embedding").as("e1"))
     val e2 = emb.select(col("vec_id").as("nbr"), col("embedding").as("e2"))
@@ -312,7 +335,7 @@ object KnnDescent {
         .distinct()
       val scored = cand.join(e1, "src").join(e2, "nbr")
         .select(col("src"), col("nbr"), cosC(col("e1"), col("e2")).as("cos"))
-      g = graft.PersistTracker.tracked("knnd", cut(scored))
+      g = graft.PersistTracker.tracked("knnd", truncate(cut(scored)))
       out += g
     }
     out.toIndexedSeq
