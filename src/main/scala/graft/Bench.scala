@@ -640,10 +640,13 @@ object Bench {
     // min — bursty scheduler contention that the min dodges (the r16
     // failure: probe +1.3% while the session ran +15-25%) moves the
     // window mean roughly as it moves the queries. Reference is the
-    // same context-bound shape: windowed mean of an idle full-headline
-    // session (measured r17 idle run).
+    // same context-bound shape: windowed mean of a near-idle
+    // full-headline session (r17: mean 0.662 over an 11-probe window,
+    // start load ~5 decaying, comp11 6.40 in the historical band;
+    // serial leg min 0.216). Like calibRefSecs, full-headline sessions
+    // only.
     val calibRefMeanSecs = 0.66
-    val calibRefSerialSecs = 0.50
+    val calibRefSerialSecs = 0.22
     val calibMean = calibWindow.map(_._2).sum / math.max(1, calibWindow.size)
     val calibSerialMin = (calibSerial :+ calibSerialEnd).min
     val comp11NormV2 = subtotal(comparable11) * calibRefMeanSecs / calibMean
