@@ -1110,6 +1110,32 @@ class DedupSimilaritySpec extends TestSpark {
         f"the flat-IVF n^1.5 bound (×${math.pow(nRatio, 1.5)}%.1f)")
   }
 
+  test("NN-descent graph cache detects a blanket RDD unpersist and rebuilds (r16 q240 anomaly)") {
+    // the r16 anomaly's exact state: a harness residue sweep strips every
+    // persisted RDD's blocks and storage levels while the module cache
+    // keeps its DataFrame handle — graph() must detect the dead handle
+    // (CacheManager entry present, buffers' level gone) and rebuild
+    // instead of re-deriving the chain per consumer
+    val emb = Tables.embeddings(spark, sf0001)
+    val key = sf0001 + "#stalecheck"
+    val g1 = graft.functions.KnnDescent.graph(spark, emb, key)
+    val before = g1.orderBy(col("src"), col("cos").desc, col("nbr")).collect()
+    assert(org.apache.spark.sql.graftbridge.GraftBridge
+      .cachedAndMaterialized(g1), "fresh graph must read as materialized")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(!org.apache.spark.sql.graftbridge.GraftBridge
+      .cachedAndMaterialized(g1), "the sweep must read as stale")
+    val g2 = graft.functions.KnnDescent.graph(spark, emb, key)
+    assert(org.apache.spark.sql.graftbridge.GraftBridge
+      .cachedAndMaterialized(g2),
+      "graph() must hand out a freshly materialized relation after the sweep")
+    val after = g2.orderBy(col("src"), col("cos").desc, col("nbr")).collect()
+    assert(before.sameElements(after),
+      "the rebuild must reproduce the graph bit-for-bit")
+    graft.functions.KnnDescent.releaseCaches(spark)
+  }
+
   test("q240 sampled audit: recounts from q231's edges vs in-JVM brute-force exact on the sample") {
     val row = graft.functions.KnnDescent.queries("q240_sampled_knn_audit")(
       spark, sf0001).head()

@@ -32,6 +32,7 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
     // broadcasts) so nothing pins executor memory across suites; the next
     // consumer rebuilds them.
     graft.functions.Dedup.releaseCaches(spark)
+    graft.functions.KnnDescent.releaseCaches(spark)
     graft.functions.Similarity.releaseCaches(spark)
     graft.functions.TextQueries.releaseCaches(spark)
     graft.operators.Multimodal.releaseCaches(spark)
