@@ -320,20 +320,21 @@ object StreamingQueries {
         val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
-        val q = src.writeStream
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("user_id"))
-              .orderBy(col("ts").desc, col("event_id").desc)
-            batch.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-              .drop("rk")
-              .withColumn("batch_id", lit(id))
-              .write.mode("overwrite").partitionBy("batch_id").parquet(stage)
-            ()
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+          val q = src.writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(col("ts").desc, col("event_id").desc)
+              batch.withColumn("rk", row_number().over(w))
+                .filter(col("rk") === 1)
+                .drop("rk")
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite").partitionBy("batch_id").parquet(stage)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
         } finally s.conf.set(
           "spark.sql.sources.partitionOverwriteMode", prevMode)
       }
