@@ -112,6 +112,16 @@ for scale in SCALES:
     # and node counts grow linearly, and graphs grow in NODES at
     # constant degree (10 disjoint subgraphs) — the "bigger corpus"
     # model, not a density-blowup test.
+    # record the fixture mode IN the fixture (round-17 advisory):
+    # scale_sweep.py reads this marker and nulls out alphas for queries
+    # whose input tables a light fixture does not scale, so a
+    # relational query run against a light leg can never report a
+    # silently flat "scales perfectly" exponent
+    import json as _json
+    with open(f"{out}/_fixture_mode.json", "w") as f:
+        _json.dump({"mode": MODE, "scale": scale, "bands": BANDS,
+                    "scaled_tables": (["documents", "embeddings"]
+                                      if MODE == "light" else "all")}, f)
     if MODE == "light":
         for t in ["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events"]:

@@ -43,6 +43,27 @@ ONLY = sys.argv[2] if len(sys.argv) > 2 else \
 # finding — a Python mirror of the Scala rules would silently go stale
 # when the formulas change).
 
+# Queries verified to read ONLY documents/embeddings — the tables a
+# "light" fixture actually scales (round-17 advisory: a relational
+# query run against a light leg would report a silently flat alpha
+# that reads as "scales perfectly" rather than "fixture not scaled").
+# Any query outside this set gets alpha=None + a fixture_note on light
+# legs. Extend deliberately when a new doc/embedding query joins the
+# sweep.
+LIGHT_SCALED = ("q19_", "q20_", "q26_", "q27_", "q28_", "q77_", "q102_",
+                "q113_", "q115_", "q120_", "q121_", "q122_", "q131_",
+                "q178_", "q186_", "q189_", "q210_", "q217_", "q221_",
+                "q231_", "q238_", "q240_", "q242_", "q243_", "q244_",
+                "q245_", "q246_", "q248_")
+
+def fixture_mode(d):
+    p = os.path.join(d, "_fixture_mode.json")
+    if os.path.isfile(p):
+        return json.load(open(p)).get("mode", "full")
+    # driver-generated sf dirs and pre-r18 fixtures carry no marker;
+    # everything except the light x100 leg was generated full
+    return "full"
+
 results = {}
 for tag, scale, d in DIRS:
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": d, "SPARK_GRAFT_CPUS": "32",
@@ -54,6 +75,7 @@ for tag, scale, d in DIRS:
                    stderr=subprocess.STDOUT)
     full = json.load(open(f"{ROOT}/bench_logs/bench_full_last.json"))
     results[tag] = {"scale": scale, "dir": d,
+                    "fixture_mode": fixture_mode(d),
                     "constants": full["derived_constants"],
                     "queries": full["queries"], "runs": full.get("runs", {}),
                     # per-query 1-min loadavg (round-12 verdict ask #5):
@@ -75,8 +97,13 @@ for q in results["x1"]["queries"]:
             continue
         ts = results.get(s, {}).get("queries", {}).get(q, -1)
         row[f"t_{s}"] = ts
+        light_unscaled = results[s]["fixture_mode"] == "light" \
+            and not q.startswith(LIGHT_SCALED)
         row[f"alpha_{s}"] = round(math.log(ts / t1) / math.log(scale), 3) \
-            if t1 > 0 and ts > 0 else None
+            if t1 > 0 and ts > 0 and not light_unscaled else None
+        if light_unscaled:
+            row[f"fixture_note_{s}"] = \
+                "light fixture does not scale this query's tables"
     row["load"] = {s: results[s]["query_loadavg"].get(q) for s in results}
     if t1 > 0:
         expo[q] = row

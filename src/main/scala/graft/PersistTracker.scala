@@ -17,67 +17,80 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object PersistTracker {
 
+  // one entry per distinct canonicalized plan per (module, session),
+  // REFCOUNTED (round-17 advisory): a drop() racing a concurrent
+  // tracked() of the identical plan (q240's audit relation vs
+  // buildAuto's — same canonical plan, registered from different
+  // threads in Verify's parallel phase) used to dedupe the later
+  // tracked() against the entry drop() was about to remove, leaving
+  // the surviving consumer's relation silently uncached AND untracked.
+  // With a per-plan refcount held under the same lock, the late
+  // tracked() bumps the count and drop() only unpersists at zero.
+  private final class Entry(val df: DataFrame) { var refs: Int = 1 }
   private val cache = scala.collection.mutable.Map
-    .empty[(String, String), scala.collection.mutable.ListBuffer[DataFrame]]
-  private val seenPlans = scala.collection.mutable.Map
-    .empty[(String, String), scala.collection.mutable.HashSet[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+    .empty[(String, String), scala.collection.mutable.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Entry]]
 
   def tracked(module: String, df: DataFrame): DataFrame =
     trackedOwned(module, df)._1
 
-  /** Like [[tracked]], but also reports whether THIS call registered the
-    * plan. `false` means an equivalent plan is already tracked — an
-    * outer caller persisted it first and still owns its lifetime, so an
-    * early [[drop]] by this caller would yank a relation the owner is
-    * about to consume (q240 registers the exact-audit relation around
+  /** Like [[tracked]], but also reports whether THIS call created the
+    * plan's FIRST live registration. `false` means an equivalent plan
+    * is already tracked — an outer caller persisted it first and still
+    * owns its lifetime (q240 registers the exact-audit relation around
     * its own aggregates; buildAuto's identical audit must not drop it
-    * out from under them). */
+    * out from under them). Either way this call holds one reference;
+    * a caller that got `true` may [[drop]] when done. */
   def trackedOwned(module: String, df: DataFrame): (DataFrame, Boolean) = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = org.apache.spark.sql.graftbridge.GraftBridge
       .logicalPlan(p).canonicalized
     val key = (module, Tables.sessionKey(df.sparkSession))
     val owned = cache.synchronized {
-      val fresh = seenPlans.getOrElseUpdate(key,
-        scala.collection.mutable.HashSet.empty).add(canon)
-      if (fresh)
-        cache.getOrElseUpdate(key,
-          scala.collection.mutable.ListBuffer.empty) += p
-      fresh
+      val entries = cache.getOrElseUpdate(key,
+        scala.collection.mutable.LinkedHashMap.empty)
+      entries.get(canon) match {
+        case Some(e) => e.refs += 1; false
+        case None => entries(canon) = new Entry(p); true
+      }
     }
     (p, owned)
   }
 
-  /** Unpersist `module`'s tracked relations for this session. Only call
-    * once no outstanding DataFrame still references them. */
-  def release(module: String, s: SparkSession): Unit = cache.synchronized {
+  /** Unpersist `module`'s tracked relations for this session
+    * unconditionally (test/app teardown, or between corpus versions).
+    * Only call once no outstanding DataFrame still references them. */
+  def release(module: String, s: SparkSession): Unit = {
     val key = (module, Tables.sessionKey(s))
-    cache.remove(key).foreach(_.foreach(_.unpersist()))
-    seenPlans.remove(key)
+    val dropped = cache.synchronized { cache.remove(key) }
+    dropped.foreach(_.values.foreach(_.df.unpersist()))
     ()
   }
 
-  /** Unpersist ONE tracked relation early (it is no longer needed this
-    * session — e.g. a build stage superseded by a later stage) and
-    * forget its plan, so a later re-track of the same plan re-persists
-    * and re-registers cleanly instead of hitting the seen-plan dedupe
-    * with a dead CacheManager entry (that combination is untracked: the
-    * blanket [[release]] would never unpersist the re-persisted copy).
-    * Unpersisting the same plan twice is harmless — `unpersist` is
-    * idempotent. */
+  /** Release ONE reference to a tracked relation (it is no longer
+    * needed by this caller — e.g. a build stage superseded by a later
+    * stage). The relation unpersists and its plan is forgotten only
+    * when the LAST reference drops — a concurrent consumer that
+    * [[tracked]] the same plan keeps it alive (round-17 advisory). A
+    * fully dropped plan re-persists and re-registers cleanly on a
+    * later re-track. Dropping an untracked relation just unpersists it
+    * (idempotent, harmless). */
   def drop(module: String, df: DataFrame): Unit = {
     val canon = org.apache.spark.sql.graftbridge.GraftBridge
       .logicalPlan(df).canonicalized
     val key = (module, Tables.sessionKey(df.sparkSession))
-    cache.synchronized {
-      seenPlans.get(key).foreach(_.remove(canon))
-      cache.get(key).foreach(_.filterInPlace { d =>
-        org.apache.spark.sql.graftbridge.GraftBridge
-          .logicalPlan(d).canonicalized != canon
-      })
+    val unpersistNow = cache.synchronized {
+      cache.get(key) match {
+        case None => true
+        case Some(entries) => entries.get(canon) match {
+          case None => true
+          case Some(e) =>
+            e.refs -= 1
+            if (e.refs <= 0) { entries.remove(canon); true } else false
+        }
+      }
     }
-    df.unpersist()
+    if (unpersistNow) df.unpersist()
     ()
   }
 
@@ -89,7 +102,8 @@ private[graft] object PersistTracker {
     * reuse. JSON-array string, safe to embed in bench artifacts. */
   def forensic(module: String, s: SparkSession): String = {
     val dfs = cache.synchronized {
-      cache.get((module, Tables.sessionKey(s))).map(_.toList).getOrElse(Nil)
+      cache.get((module, Tables.sessionKey(s)))
+        .map(_.values.map(_.df).toList).getOrElse(Nil)
     }
     dfs.map { df =>
       "\"" + org.apache.spark.sql.graftbridge.GraftBridge.cacheForensic(df) + "\""
