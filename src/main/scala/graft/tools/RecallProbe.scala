@@ -116,6 +116,15 @@ object RecallProbe {
       sfDir + "#nnd_auto")
     val hitAuto = autoAll.filter(col("probe_id") % step === 0)
       .join(exact3, Seq("probe_id", "vec_id"), "left_semi").count()
+    // the ENGINE-RECORDED measurement trail of the auto build (round-17
+    // verdict #1): every graph the dial considered — r1 always, r2 on
+    // escalation, r2x1 when the one-extra-round response fired — with
+    // the sampled recall the dial itself measured, in micro-units
+    val autoLegs = graft.functions.KnnDescent.measuredRecallMicro(spark,
+      emb, sfDir + "#nnd_auto")
+    val autoLegsJson = autoLegs
+      .map { case (leg, v) => "\"" + leg + "\":" + v }
+      .mkString("{", ",", "}")
 
     def r4(x: Double) = math.round(x * 10000).toDouble / 10000
     println(
@@ -130,7 +139,8 @@ object RecallProbe {
       s""""nnd_r2_graph_secs":${r4(nnd2Secs)},"n_edges_nnd_r2":$nEdgesNnd2,""" +
       s""""nnd_auto_radius":$autoR,""" +
       s""""recall_nnd_auto_at3":${r4(hitAuto.toDouble / nExact3)},""" +
-      s""""nnd_auto_secs":${r4(autoSecs)},"n_edges_nnd_auto":$nEdgesAuto}""")
+      s""""nnd_auto_secs":${r4(autoSecs)},"n_edges_nnd_auto":$nEdgesAuto,""" +
+      s""""nnd_auto_recall_micro":$autoLegsJson}""")
     graft.functions.KnnDescent.releaseCaches(spark)
     graft.functions.Similarity.releaseCaches(spark)
     spark.stop()

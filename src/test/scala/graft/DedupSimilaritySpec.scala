@@ -1185,4 +1185,172 @@ class DedupSimilaritySpec extends TestSpark {
     assert(graft.functions.KnnDescent.autoRadius(spark, quad,
       sf0001 + "#dial_strong") == 1)
   }
+
+  test("recall policy audits the SHIPPED graph: r2-miss fires exactly one extra round, recall monotone (r17 verdict #1)") {
+    // the weak (near-random) fixture: radius 1 misses the floor, the
+    // warm-started radius-2 rebuild ALSO misses it (ann_recall r14-r17:
+    // no seed radius reaches 0.8 on structure-free vectors), so the
+    // defined response — one extra descent round — must fire, and every
+    // graph the policy considered must carry a recorded measurement
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val legs = graft.functions.KnnDescent.measuredRecallMicro(spark, emb,
+      sf0001 + "#shipaudit")
+    assert(legs.map(_._1) == Seq("r1", "r2", "r2x1"),
+      s"expected all three measured legs on the weak fixture, got $legs")
+    // each non-final leg measured under the floor — that is WHY the
+    // next leg exists
+    assert(legs.init.forall(_._2 < graft.Thresholds.NndRecallFloorMicro),
+      s"a leg at/above the floor must terminate the build: $legs")
+    // monotone: candidates always include the current edges (and the
+    // escalation warm-starts from r1's edges), so a true-top-3 edge
+    // once found can only be displaced by a better true-top-3 edge —
+    // sampled hits never drop
+    assert(legs.map(_._2) == legs.map(_._2).sorted,
+      s"measured recall must be monotone across legs: $legs")
+    // the quadruplet corpus (every vector's exact top-3 are its twins,
+    // found at radius 1): exactly ONE leg, at/above the floor — the
+    // cheap path ships with its measurement and no response fires
+    val quad = (0 to 3).map(i => emb.select(
+        (col("vec_id") + lit(i * 100000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val strong = graft.functions.KnnDescent.measuredRecallMicro(spark, quad,
+      sf0001 + "#shipaudit_strong")
+    assert(strong.map(_._1) == Seq("r1") &&
+      strong.head._2 >= graft.Thresholds.NndRecallFloorMicro,
+      s"strong-structure corpus must keep the cheap path, got $strong")
+  }
+
+  test("q248 delta admission: an EMPTY delta is a no-op — the base graph passes through bit-for-bit (the q246 re-crawl discipline)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val key = sf0001 + "#deltaempty"
+    val admitted = graft.functions.KnnDescent.admitDelta(spark, emb,
+      emb.filter(col("vec_id") < 0), key).collect()
+    assert(admitted.nonEmpty)
+    assert(admitted.forall(_.getAs[String]("src_kind") == "kept"),
+      "an empty delta must leave every node untouched")
+    val base = graft.functions.KnnDescent.graph(spark, emb, key)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"),
+        r.getAs[Double]("cos"))).toSet
+    val adm = admitted.map(r => (r.getAs[Long]("src"), r.getAs[Long]("nbr"),
+      r.getAs[Double]("cos"))).toSet
+    assert(adm == base, "empty-delta admission must equal the base graph " +
+      s"edge-for-edge (diff: ${(adm -- base) ++ (base -- adm)})")
+  }
+
+  test("q248 delta-admitted graph matches the full rebuild's recall where the graph contract holds, stays within noise of it on the weak fixture (r17 verdict #1 done criterion)") {
+    // STRUCTURED corpus — the regime the recall floor contracts for:
+    // base = twin PAIRS (v, v+100000); the delta plants a THIRD twin
+    // (v+200000) for every 10th v. A sampled base node's exact top-3
+    // then CONTAINS a delta vector (rounded cos 1.0), so base→delta
+    // edges exist that ONLY the reverse repair can add, and every
+    // delta node's twins live in base. The pin: the admission finds
+    // every sampled planted-twin edge the full rebuild finds —
+    // recall ≥ on exactly the edges a structured corpus is built on.
+    val embDf = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val baseDf = embDf.union(embDf.select(
+      (col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val deltaDf = embDf.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val admStruct = graft.functions.KnnDescent.admitDelta(spark, baseDf,
+      deltaDf, sf0001 + "#structbase")
+      .select("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebStruct = graft.functions.KnnDescent.graph(spark,
+      baseDf.union(deltaDf), sf0001 + "#structall")
+      .select("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allVecs = baseDf.union(deltaDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val strideS = math.max(1L, allVecs.size / 200L)
+    // sampled exact top-3 restricted to the PLANTED edges (cos 1.0)
+    val twinExact = allVecs.keys.filter(_ % strideS == 0).toSeq.flatMap { p =>
+      allVecs.keys.filter(_ != p).toSeq
+        .map(c => (c, Similarity.roundedCosine(allVecs(p), allVecs(c))))
+        .sortBy { case (c, cos) => (-cos, c) }.take(3)
+        .filter(_._2 >= 0.999999).map { case (c, _) => (p, c) }
+    }.toSet
+    assert(twinExact.nonEmpty)
+    val twinB2D = twinExact.filter { case (s, n) => s < 200000L && n >= 200000L }
+    assert(twinB2D.nonEmpty,
+      "the construction must plant base→delta ground-truth edges")
+    val admHits = twinExact.intersect(admStruct).size
+    val rebHits = twinExact.intersect(rebStruct).size
+    info(s"structured corpus: admitted $admHits vs rebuild $rebHits of " +
+      s"${twinExact.size} planted twin edges (${twinB2D.size} base→delta)")
+    assert(admHits >= rebHits,
+      s"delta admission lost planted edges the rebuild finds " +
+        s"(missing: ${twinExact.intersect(rebStruct) -- admStruct})")
+    assert(twinB2D.subsetOf(admStruct),
+      "the reverse repair must attach every sampled base→delta twin " +
+        s"(missing: ${twinB2D -- admStruct})")
+
+    // WEAK fixture (near-random vectors, both graphs deep under the
+    // recall floor): a delta-local repair cannot strictly dominate the
+    // full rebuild here — the rebuild's own descent rounds saw the
+    // delta vectors as BRIDGES, a structural advantage measured at
+    // ~0.009 recall (and an every-node repair round still measured
+    // 435/438 hits) — so the pin is a bounded gap, not dominance.
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val stride = math.max(1L, emb.size / 200L)
+    val exact = emb.keys.filter(_ % stride == 0).toSeq.flatMap { p =>
+      emb.keys.filter(_ != p).toSeq
+        .map(c => (c, Similarity.roundedCosine(emb(p), emb(c))))
+        .sortBy { case (c, cos) => (-cos, c) }.take(3)
+        .map { case (c, _) => (p, c) }
+    }.toSet
+    def sampledRecall(name: String): Double = {
+      val edges = graft.functions.KnnDescent.queries(name)(spark, sf0001)
+        .collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id")))
+        .filter(_._1 % stride == 0).toSet
+      exact.intersect(edges).size.toDouble / exact.size
+    }
+    val adm = sampledRecall("q248_knn_delta_admit")
+    val reb = sampledRecall("q231_knn_descent")
+    info(f"weak fixture: delta-admitted recall $adm%.4f vs full-rebuild $reb%.4f")
+    assert(adm >= reb - 0.015,
+      f"delta admission fell more than the documented structural bound " +
+        f"below the full rebuild ($adm%.4f vs $reb%.4f)")
+    // and the admission exercises all three output arms on the fixture
+    val kinds = graft.functions.KnnDescent
+      .queries("q248_knn_delta_admit")(spark, sf0001)
+      .select("src_kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("kept", "recut", "delta"),
+      s"expected all three src_kind arms populated, got $kinds")
+  }
+
+  test("descent-round pre-truncation plan shape stays pinned (r17 advisory: the headline lock sees only a LogicalRDD after checkpoint truncation)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val g0 = graft.functions.KnnDescent
+      .stages(spark, emb, sf0001 + "#roundshape").head
+    val round = graft.functions.KnnDescent.roundPlan(emb, g0)
+    val plan = round.queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (hash|range|Single|RoundRobin)".r.findAllIn(plan).size
+    val heaps = "TopKPerGroup".r.findAllIn(plan).size
+    info(s"round plan: $shuffles shuffles, $heaps heap ops, " +
+      s"${plan.linesIterator.size} lines")
+    assert(heaps >= 1, "the per-round cut must run through the heap operator")
+    // the round's exchange budget: und distinct, NoN candidate distinct,
+    // the two embedding attach joins, and the heap's final cut exchange.
+    // A silent regression (a lost reuse, a broadcast falling back) shows
+    // up here now that the headline lock can't see it.
+    assert(shuffles <= 8,
+      s"descent round gained exchanges: $shuffles > 8\n" +
+        plan.linesIterator.take(60).mkString("\n"))
+    // and the TRUNCATED stage the consumers actually analyze stays one
+    // round deep — the r17 logical-plan-blowup regression guard
+    val stageLines = graft.functions.KnnDescent
+      .stages(spark, emb, sf0001 + "#roundshape2").last
+      .queryExecution.executedPlan.toString.linesIterator.size
+    assert(stageLines < 60,
+      s"a built stage's analyzed plan should be a shallow cached-scan " +
+        s"read, got $stageLines lines — is the truncate discipline intact?")
+  }
 }
