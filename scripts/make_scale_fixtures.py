@@ -73,8 +73,19 @@ for scale in SCALES:
                 f"FROM '{SRC}/documents.parquet'")
         else:
             suf = "q" + LETTERS[k % 10] + ("z" + LETTERS[k // 10] if k >= 10 else "")
+            # Replica ids are remapped OFF the doc_id % 5 = 0 residue
+            # (5*(id + k*span) + 1 + (k%4) is never ≡ 0 mod 5), so the
+            # held-out benchmark slice — the curation family's eval
+            # suite — stays the BASE corpus's fixed ~n/5 docs at every
+            # scale. That models the production contract (a crawl grows;
+            # the eval suite is a fixed artifact) and keeps the engine's
+            # corpus-sized-eval-suite guard (BenchGramCap) from firing
+            # on what would otherwise be a fixture artifact: pre-r18
+            # replicas landed in the benchmark residue, so at x100 the
+            # "eval suite" was 100k docs / 4.7M distinct 8-grams and
+            # q221/q238/q246 correctly refused to broadcast it.
             doc_parts.append(
-                f"SELECT doc_id + {k * doc_span} AS doc_id, "
+                f"SELECT 5 * (doc_id + {k * doc_span}) + {1 + (k % 4)} AS doc_id, "
                 f"regexp_replace(text, '([^ ]+)', '\\1{suf}', 'g') AS text, "
                 f"lang, source, "
                 f"length(regexp_replace(text, '([^ ]+)', '\\1{suf}', 'g'))::BIGINT AS n_chars "
