@@ -124,6 +124,12 @@ object GraphOps {
     // Hop count is fixed and small, so lineage stays bounded without
     // checkpoints.
     "q169_bfs_reach" -> ((s, d) => {
+      // cache layout examined in r18 and left alone: each hop's join
+      // broadcasts the runtime-small frontier (AQE, from real sizes),
+      // so the cached edge relation is scanned but never shuffled; a
+      // dst-keyed repartition before the cache (the pagerank layout)
+      // was measured a net loss here — it adds a corpus-sized exchange
+      // to save per-hop distincts that are only frontier-sized
       val edges = tradeEdges(s, d).persist()
       val perHop = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val src = supplier(s, d).filter(col("s_nationkey") === 0)
@@ -165,8 +171,14 @@ object GraphOps {
     // label plus its community size.
     "q175_label_propagation" -> ((s, d) => {
       val e0 = coPurchaseEdges(s, d)
+      // checkpointed PARTITIONED BY DST (r18 optimization): the per-round
+      // label-count aggregate groups by dst — a dst-clustered edge layout
+      // satisfies both of the round's aggregates' required distributions
+      // (see [[labelPropagation]]), so with the node-sized label relation
+      // broadcast, a round runs with zero exchanges
       val edges = truncate(s, e0.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e0.select(col("b").as("src"), col("a").as("dst"))))
+        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst")))
       val labels = labelPropagation(s, edges, 4)
       // label-keyed equi-join; the engine broadcasts when the community
       // table is small, hash-joins when it isn't — don't force it
@@ -259,16 +271,35 @@ object GraphOps {
       rounds: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    val wMode = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("lbl"))
+    // Per-node argmax WITHOUT a window (r18 optimization): the previous
+    // row_number window re-shuffled the (node, lbl, cnt) relation by
+    // node and SORTED every partition, four rounds in a row. The mode
+    // pick (cnt desc, lbl asc) packs into one Long — cnt·10⁹ +
+    // (10⁹−1−lbl), valid under the module's ids-below-10⁹ contract
+    // (see [[orientedTriangles]]'s okey) since cnt ≤ degree < 10⁹ —
+    // so a plain max() with a mutable Long buffer replaces it:
+    // HashAggregate end-to-end, map-side partial aggregation, no sort.
+    // (A max(struct(cnt, -lbl)) would pick the same row but a struct
+    // buffer demotes the aggregate to SortAggregate — the q166 trap.)
+    // Join strategy, size-gated like [[pagerank]] (guide §3.1): the
+    // label relation is node-sized — broadcast it while it fits and,
+    // with a dst-partitioned edge relation (HashPartitioning(dst)
+    // satisfies the ClusteredDistributions of BOTH aggregates: keys
+    // (dst, lbl) and (node = dst)), a round plans with ZERO exchanges.
+    // Past the gate the planner keeps its own choice.
+    val bcastNodes = s.conf.getOption("spark.graft.pagerank.bcastMaxNodes")
+      .map(_.toLong).getOrElse(4000000L)
+    val small = labels.count() <= bcastNodes
+    val C = 1000000000L
     for (_ <- 1 to rounds) {
+      val lbls = labels.select(col("node").as("src"), col("lbl"))
       labels = truncate(s, edges
-        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .join(if (small) broadcast(lbls) else lbls, "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(wMode))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("lbl")))
+        .groupBy(col("node"))
+        .agg(max(col("cnt") * C + (lit(C - 1) - col("lbl"))).as("k"))
+        .select(col("node"), (lit(C - 1) - pmod(col("k"), lit(C))).as("lbl")))
     }
     labels
   }
@@ -314,8 +345,17 @@ object GraphOps {
   /** Distinct (order, part) incidences — the base both co-purchase
     * derivations share. */
   private def orderParts(s: SparkSession, d: String): DataFrame =
+    // dedupe AFTER an o-keyed exchange (r18 optimization, guide §2.4):
+    // HashPartitioning(o) satisfies the (o, p) clustering, so the
+    // distinct aggregates in place and the self-join both co-purchase
+    // derivations run on `o` needs no further exchange — the incidence
+    // relation crosses the network once instead of twice (the previous
+    // (o,p)-keyed distinct exchange bought nothing: incidences are
+    // near-unique, so its map-side partial dedupe shrank nothing).
     lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .dropDuplicates()
 
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val op = orderParts(s, d)
@@ -371,22 +411,42 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .persist()
-    // (src, dst, deg(src)) — the per-iteration join input, built once.
-    // Partitioned BY src BEFORE caching: the cached scan then carries
-    // HashPartitioning(src), so each iteration's join re-shuffles only
-    // the node-sized rank relation — the edge-sized side moves through
-    // the cluster exactly once for the whole ten rounds, not per round.
-    val adj = edges.join(deg.select(col("node").as("src"), col("deg")), "src")
-      .repartition(col("src"))
-      .persist()
     // n is a 1-row aggregate pulled to the driver because the DRIVER
     // loops: base rank and the initial mass split are loop constants,
     // not data (q29-count precedent; cheap metadata-scale action).
     val n = deg.count()
+    // Join strategy + cache layout for the per-round join, picked
+    // DELIBERATELY (r18 optimization, guide §2.4/§3.1). The rank
+    // relation is node-sized (16 bytes/row); when it fits a broadcast
+    // comfortably the whole round collapses to ZERO exchanges: the rank
+    // side broadcasts (no rank shuffle, and no per-round AQE replanning
+    // — the planner starts each round at SortMergeJoin and only
+    // converts at runtime; the explicit broadcast alone measured
+    // 8.3 s → 6.9 s for the ten-round kernel at sf0.1), and the cached
+    // adjacency is partitioned by DST, so the message aggregate's
+    // required clustering (node = dst) is already satisfied by the
+    // BHJ-preserved cache partitioning — the per-round shuffle of the
+    // partially-aggregated messages disappears outright. Size-gated,
+    // not unconditional: past the gate (default 4M nodes ≈ 64 MB
+    // framed, well under the 8 GB/512M-row broadcast cap but
+    // respectful of driver+executor copies) the rank relation must
+    // shuffle, so the adjacency caches partitioned by SRC instead —
+    // each round then re-shuffles only the node-sized rank side and
+    // the edge-sized side never moves (the pre-r18 layout). At 100 TB
+    // the rank relation is cluster-sized and takes the src branch.
+    // Parameterized for production via spark.graft.pagerank.bcastMaxNodes.
+    val bcastNodes = s.conf.getOption("spark.graft.pagerank.bcastMaxNodes")
+      .map(_.toLong).getOrElse(4000000L)
+    val small = n <= bcastNodes
+    // (src, dst, deg(src)) — the per-iteration join input, built once.
+    val adj = edges.join(deg.select(col("node").as("src"), col("deg")), "src")
+      .repartition(if (small) col("dst") else col("src"))
+      .persist()
     val base = (100L - Damp) * Mass / (100L * n)
     var pr = deg.select(col("node"), lit(Mass / n).as("pr"))
     for (i <- 1 to Iters) {
-      val msgs = adj.join(pr.select(col("node").as("src"), col("pr")), "src")
+      val prs = pr.select(col("node").as("src"), col("pr"))
+      val msgs = adj.join(if (small) broadcast(prs) else prs, "src")
         .select(col("dst").as("node"),
           expr(s"($Damp * pr) div (100 * deg)").as("m"))
       // No node spine join: symmetrization means every node appears as

@@ -505,14 +505,28 @@ object PipelineOps {
     // the bounded-state alternative when estimates suffice.
     "q166_table_stats" -> ((s, d) => {
       def profile(tbl: String, df: DataFrame, cols: Seq[String]): DataFrame = {
-        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+        // TWO aggregates, not one (r18 optimization): min/max over STRING
+        // columns carry an immutable (non-fixed-width) aggregation
+        // buffer, and one such function demotes the WHOLE aggregate —
+        // including the multi-distinct Expand pipeline riding beside it
+        // — from HashAggregate to SortAggregate: the plan sorted the
+        // ×(cols+1) Expand output (3.6M wide rows for lineitem) on all
+        // six grouping keys before EVERY partial aggregate, twice per
+        // table. Splitting the NDV leg (count buffers: all longs →
+        // HashAggregate end-to-end) from the basic leg (grouping-key-
+        // free global agg — SortAggregate over zero keys needs no sort)
+        // removes every corpus-sized Sort; the two 1-row results
+        // recombine with a broadcast-trivial cross join. Same scan count
+        // as before per leg, identical output values.
+        val basicAggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
           Seq(
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
-            countDistinct(col(c)).as(s"${c}__ndv"),
             min(col(c)).cast("string").as(s"${c}__min"),
             max(col(c)).cast("string").as(s"${c}__max"))
         }
-        val one = df.agg(aggs.head, aggs.tail: _*)
+        val ndvAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__ndv"))
+        val one = df.agg(basicAggs.head, basicAggs.tail: _*)
+          .crossJoin(df.agg(ndvAggs.head, ndvAggs.tail: _*))
         one.select(explode(array(cols.map(c =>
           struct(lit(tbl).as("tbl"), lit(c).as("col_name"),
             col("n_rows"), col(s"${c}__nul").as("n_null"),
@@ -564,19 +578,23 @@ object PipelineOps {
         // number, q207's cost) with the exact leg's honest cold cost
         // visible as run 1 of the runs array.
         val basic = memoExactProfile(s, s"$d#$tbl", {
-          val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          // split exactly like q166 (r18): the string min/max buffers
+          // demoted the combined aggregate to SortAggregate, sorting the
+          // Expand output per table — the NDV leg alone hash-aggregates
+          val basicAggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
             Seq(
               sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
               min(col(c)).cast("string").as(s"${c}__min"),
-              max(col(c)).cast("string").as(s"${c}__max"),
-              // raw-VALUE distinct (q166's form), not distinct-of-md5:
-              // the counts are identical (both engines count the same
-              // value set) and the Expand then shuffles narrow native
-              // keys instead of 32-char hash strings — measured 1.3×
-              // faster
-              countDistinct(col(c)).as(s"${c}__ndv"))
+              max(col(c)).cast("string").as(s"${c}__max"))
           }
-          df.agg(aggs.head, aggs.tail: _*)
+          // raw-VALUE distinct (q166's form), not distinct-of-md5:
+          // the counts are identical (both engines count the same
+          // value set) and the Expand then shuffles narrow native
+          // keys instead of 32-char hash strings — measured 1.3×
+          // faster
+          val ndvAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__ndv"))
+          df.agg(basicAggs.head, basicAggs.tail: _*)
+            .crossJoin(df.agg(ndvAggs.head, ndvAggs.tail: _*))
             .select(explode(array(cols.map(c =>
               struct(lit(c).as("col_name"), col("n_rows"),
                 col(s"${c}__nul").as("n_null"),

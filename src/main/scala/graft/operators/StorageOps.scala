@@ -182,13 +182,22 @@ object StorageOps {
     // rows at 100 TB.
     "q167_zorder_audit" -> ((s, d) => {
       // persisted: both layouts (and the count) consume the same slim
-      // 4-column relation — one parquet scan instead of three
+      // relation — one parquet scan instead of three. The Morton code is
+      // MATERIALIZED INTO THE CACHE (r18 optimization): left as a lazy
+      // withColumn, CollapseProject inlines the 32-node interleave tree
+      // into every downstream reference (the coarse key, the join key,
+      // the window sort key, both sides of the offset rollup), and the
+      // Z leg re-evaluated it per consumer — measured 6.4 s for the Z
+      // leg vs 1.5 s with z cached (the expression itself costs 0.33 s
+      // once). Same trick as the kNN bucket cache: compute the derived
+      // key once, every consumer reads the cached column.
       val base = lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_partkey") % 65536L).as("p"),
         (col("l_suppkey") % 65536L).as("sk"))
+        .withColumn("z", mortonCode(col("p"), col("sk"), 16))
         .persist()
-      val withZ = base.withColumn("z", mortonCode(col("p"), col("sk"), 16))
+      val withZ = base
       val n = base.agg(count(lit(1)).as("__n"))
       // distributed total-order rank: coarse-group offsets + partitioned
       // row_number; `coarse` must be a prefix of the total order

@@ -374,16 +374,27 @@ class PipelineOpsSpec extends TestSpark {
     assert(byCol(("events", "user_id")).getAs[String]("min_val").toLong <=
       byCol(("events", "user_id")).getAs[String]("max_val").toLong)
     assert(rows.forall(_.getAs[Long]("n_null") == 0L))
-    // plan shape: the multi-DISTINCT aggregate compiles to ONE Expand per
-    // table over a single scan — not one scan per statistic
+    // plan shape (r18): TWO scans per table — the min/max/null leg and
+    // the NDV leg aggregate separately, because one string min/max
+    // buffer beside the multi-DISTINCT Expand demoted the whole
+    // pipeline to SortAggregate (the Expand output was sorted on all
+    // grouping keys before every partial aggregate). Each leg must
+    // hash-aggregate: the NDV leg still compiles to ONE Expand per
+    // table, and the only Sort in the plan is the final orderBy — the
+    // basic leg keeps a keyless SortAggregate (legal: zero grouping
+    // keys need no Sort child), but no corpus-sized Sort may feed any
+    // aggregate.
     // AQE's toString appends an "== Initial Plan ==" copy of every node;
     // count only the final plan
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val expands = "Expand \\[".r.findAllIn(plan).length
     val scans = "Scan parquet".r.findAllIn(plan).length
+    val sorts = "Sort \\[".r.findAllIn(plan).length
     assert(expands == 4, s"one Expand per profiled table, got $expands")
-    assert(scans == 4, s"one parquet scan per profiled table, got $scans")
+    assert(scans == 8, s"two parquet scans per profiled table, got $scans")
+    assert(sorts == 1,
+      s"only the final orderBy may sort, got $sorts Sort operators")
   }
 
   test("q171 merge keeps base-only and delta-only groups, adds and maxes") {
