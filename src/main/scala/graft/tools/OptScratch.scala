@@ -205,6 +205,175 @@ object OptScratch {
       })
     }
 
+    // ---- q248 warm-path job census ------------------------------------
+    if (which == "q248j") {
+      val q = "q248_knn_delta_admit"
+      // cold run builds + caches the base graph
+      time(s"q248j_cold", reps = 1)(graft.SparkEntry.queries(q)(spark, sfDir))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size); ()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val warm1 = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[scratch] q248j warm $warm1%.2f s: ${jobs.get} jobs, " +
+        s"${stages.get} stages, ${tasks.get} tasks")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // ---- q207 KMV-leg variants ---------------------------------------
+    if (which == "q207v") {
+      val s = spark; val d = sfDir
+      val K = 256
+      def profile(tbl: String, df: DataFrame, cols: Seq[String],
+          closure: Boolean): DataFrame = {
+        val basicAggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
+            min(col(c)).cast("string").as(s"${c}__min"),
+            max(col(c)).cast("string").as(s"${c}__max"))
+        }
+        val one = df.agg(basicAggs.head, basicAggs.tail: _*)
+        val basic = one.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col("n_rows"),
+            col(s"${c}__nul").as("n_null"), col(s"${c}__min").as("min_val"),
+            col(s"${c}__max").as("max_val"))): _*)).as("kv"))
+          .select(col("kv.*"))
+        val hashes = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("g"), md5(col(c).cast("string")).as("h"))): _*))
+          .as("kv"))
+          .select(col("kv.g"), col("kv.h")).filter(col("h").isNotNull)
+        val cand =
+          if (closure) graft.functions.TextQueries.kmvPartitionMins(hashes, K)
+            .distinct()
+          else hashes.select(col("g").as("lang"), col("h")).dropDuplicates()
+        val est = graft.plans.TopKPerGroup
+          .topK(cand, Seq("lang"), Seq("h" -> true), K)
+          .groupBy(col("lang").as("col_name"))
+          .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+        val kUsed = coalesce(col("k_used"), lit(0L))
+        val estv = when(kUsed < K, kUsed.cast("double"))
+          .otherwise(round(lit((K - 1).toDouble) /
+            (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("long")
+              .cast("double") / lit(1.152921504606846976e18)), 4))
+        basic.join(est, Seq("col_name"), "left_outer")
+          .select(lit(tbl).as("tbl"), col("col_name"), col("n_rows"),
+            col("n_null"), col("min_val"), col("max_val"),
+            kUsed.as("k_used"), estv.as("est_ndv"))
+      }
+      def q207like(closure: Boolean): DataFrame =
+        profile("lineitem", graft.Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_returnflag", "l_linestatus"), closure)
+          .unionByName(profile("orders", graft.Tables.orders(s, d),
+            Seq("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority"), closure))
+          .unionByName(profile("documents", graft.Tables.documents(s, d),
+            Seq("doc_id", "lang", "source", "n_chars"), closure))
+          .unionByName(profile("events", graft.Tables.events(s, d),
+            Seq("event_id", "user_id", "event_type"), closure))
+          .orderBy(col("tbl"), col("col_name"))
+      time("q207v_closure")(q207like(closure = true))
+      time("q207v_dedupe_topk")(q207like(closure = false))
+      // equality check
+      val a = q207like(true).collect().map(_.toString).sorted
+      val b = q207like(false).collect().map(_.toString).sorted
+      println(s"[scratch] q207v equal: ${a.sameElements(b)} (${a.length} rows)")
+    }
+
+    // ---- store lifecycle stage timing --------------------------------
+    if (which == "q133s") {
+      val s = spark; val d = sfDir
+      import graft.operators.SignatureStore._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      for (rep <- 1 to 2) {
+        val dir = graft.Tables.scratchDir(s, s"scr133_$rep")
+        val gen2 = graft.Tables.scratchDir(s, s"scr133g2_$rep")
+        val docs = graft.Tables.documents(s, d)
+        val corpus = docs.filter(!(col("source") <=> "src0"))
+        val deltaA = docs.filter(col("source") === "src0" && col("doc_id") % 40 === 0)
+        val deltaB = docs.filter(col("source") === "src0" && col("doc_id") % 40 =!= 0)
+        t(s"q133s.build rep$rep") { build(s, corpus, dir) }
+        val pairsA = graft.PersistTracker.tracked("sigstore",
+          admit(s, deltaA, dir, beforeBatch = 0L))
+        t(s"q133s.admitA+append rep$rep") {
+          append(s, survivors(deltaA, pairsA), dir, 0L) }
+        t(s"q133s.compact rep$rep") { compact(s, dir, gen2, throughBatch = 0L) }
+        t(s"q133s.admitB rep$rep") {
+          admit(s, deltaB, gen2, beforeBatch = 0L)
+            .orderBy(col("doc_a"), col("doc_b"))
+            .write.format("noop").mode("overwrite").save() }
+        releaseAllCaches()
+      }
+      // file counts of the store dirs for one run
+      val dir = new java.io.File(graft.Tables.scratchDir(s, "scr133_2"))
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      println(s"[scratch] q133s store files gen1: ${countFiles(dir)}")
+    }
+    if (which == "q238s") {
+      val s = spark; val d = sfDir
+      import graft.operators.CurationPipeline._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      import s.implicits._
+      for (rep <- 1 to 3) {
+        val dir = graft.Tables.scratchDir(s, s"scr238_$rep")
+        val nTok = size(filter(split(col("text"), "[^\\p{L}]+"), x => x =!= ""))
+        val keeps = t(s"q238s.provenance rep$rep") {
+          provenance(s, d).filter(col("verdict") === "keep").select(col("doc_id")) }
+        val docs = graft.Tables.documents(s, d).join(keeps, "doc_id")
+        val mult = graft.functions.TextQueries.epochMultipliersOf(
+          graft.functions.TextQueries.targetMixWeightsOf(docs))
+        val epochs = Seq(1L, 2L, 3L).toDF("epoch")
+        val packed = t(s"q238s.pack-plan rep$rep") { packMultiEpoch(
+          multiEpochBaseOf(docs, mult, epochs, nShards = 8), budget = 512L) }
+        t(s"q238s.write rep$rep") {
+          packed.write.mode("overwrite").partitionBy("epoch", "shard").parquet(dir) }
+        val reread = s.read.parquet(dir)
+        t(s"q238s.reread-count rep$rep") { reread.count() }
+        def countFiles(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        println(s"[scratch] q238s files: ${countFiles(new java.io.File(dir))}")
+      }
+    }
+
     spark.stop()
+  }
+
+  private def releaseAllCaches(): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.Dedup.releaseCaches(spark)
+    graft.functions.Similarity.releaseCaches(spark)
+    graft.functions.KnnDescent.releaseCaches(spark)
+    graft.functions.TextQueries.releaseCaches(spark)
+    graft.operators.Multimodal.releaseCaches(spark)
+    graft.operators.SignatureStore.releaseCaches(spark)
+    graft.operators.PipelineOps.releaseCaches(spark)
+    graft.operators.CurationPipeline.releaseCaches(spark)
+    graft.operators.CurationAudits.releaseCaches(spark)
+    graft.functions.Embeddings.releaseCaches(spark)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
   }
 }
