@@ -170,16 +170,32 @@ object GraphOps {
     // the next join three more times). Output: every part's community
     // label plus its community size.
     "q175_label_propagation" -> ((s, d) => {
-      val e0 = coPurchaseEdges(s, d)
-      // checkpointed PARTITIONED BY DST (r18 optimization): the per-round
-      // label-count aggregate groups by dst — a dst-clustered edge layout
-      // satisfies both of the round's aggregates' required distributions
-      // (see [[labelPropagation]]), so with the node-sized label relation
-      // broadcast, a round runs with zero exchanges
-      val edges = truncate(s, e0.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("dst")))
+      // PERSISTED partitioned by dst (r19; r18 checkpointed): the
+      // per-round label-count aggregate groups by dst — a dst-clustered
+      // edge layout satisfies both of the round's aggregates' required
+      // distributions (see [[labelPropagation]]), so with the node-sized
+      // label relation broadcast, a round runs with zero exchanges.
+      // The r18 CHECKPOINT boundary silently broke that: a LogicalRDD
+      // does not carry the HashPartitioning the way an
+      // InMemoryTableScan does (found via the r19 inner-plan dumps —
+      // the r18 evidence gap made it unverifiable), so every round
+      // re-paid both aggregate exchanges. The cache is the q152
+      // adjacency discipline; lineage never grows — each ROUND is
+      // checkpoint-truncated inside [[labelPropagation]], so the final
+      // labels are independent of the edge relation and it unpersists
+      // right after the rounds.
+      // Edge dedup IN PLACE of the layout exchange (r19, guide §2.4):
+      // the o-clustered incidence self-join with x.p ≠ y.p emits every
+      // ORDERED co-purchase pair — the symmetrized multiset directly,
+      // no union — and HashPartitioning(dst) satisfies the (src, dst)
+      // clustering, so dropDuplicates aggregates in place after the
+      // exchange the layout needs anyway. The previous chain (canonical
+      // a<b distinct → symmetrizing union → repartition(dst)) paid a
+      // separate full pair exchange for the distinct first: one corpus
+      // exchange removed, identical edge set.
+      val edges = lpEdges(s, d).persist()
       val labels = labelPropagation(s, edges, 4)
+      edges.unpersist()
       // label-keyed equi-join; the engine broadcasts when the community
       // table is small, hash-joins when it isn't — don't force it
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
@@ -231,38 +247,46 @@ object GraphOps {
       // supports, both pair-join sides): CacheManager substitutes the
       // persisted plan into coPurchaseWeighted's identical subtrees
       val op = orderParts(s, d).persist()
-      val nOrders = op.select(col("o")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val item = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
-      val pair = coPurchaseWeighted(s, d).filter(col("w") >= 3)
-      val rules = pair.select(col("a").as("antecedent"),
-          col("b").as("consequent"), col("w"))
-        .unionByName(pair.select(col("b").as("antecedent"),
-          col("a").as("consequent"), col("w")))
-      val scored = rules
-        .join(item.select(col("p").as("antecedent"), col("np").as("na")),
-          "antecedent")
-        .join(item.select(col("p").as("consequent"), col("np").as("nb")),
-          "consequent")
-        .crossJoin(nOrders)
-        .select(col("antecedent"), col("consequent"), col("w").as("pair_n"),
-          round(col("w") / col("n_orders").cast("double"), 6).as("support"),
-          round(col("w") / col("na").cast("double"), 4).as("confidence"),
-          round(col("w") * col("n_orders").cast("double") /
-            (col("na") * col("nb")), 4).as("lift"))
-      val top = scored.orderBy(col("lift").desc, col("confidence").desc,
-        col("antecedent"), col("consequent")).limit(20)
-      val out = top.withColumn("rk", row_number().over(
-          Window.orderBy(col("lift").desc, col("confidence").desc,
-            col("antecedent"), col("consequent"))).cast("long"))
-        .select(col("rk"), col("antecedent"), col("consequent"),
-          col("pair_n"), col("support"), col("confidence"), col("lift"))
-        .orderBy(col("rk"))
+      val out = assocRulesPlan(s, d, op)
         .localCheckpoint() // eager: 20 rows, materialized before unpersist
       op.unpersist()
       out
     })
   )
+
+  /** q202's full scoring dataflow, PRE-truncation (the query's returned
+    * plan is the eager 20-row checkpoint — this seam is what OptProbe's
+    * inner-plan dump shows; split out in r19, dataflow unchanged). */
+  private[graft] def assocRulesPlan(s: SparkSession, d: String,
+      op: DataFrame): DataFrame = {
+    val nOrders = op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val item = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val pair = coPurchaseWeighted(s, d).filter(col("w") >= 3)
+    val rules = pair.select(col("a").as("antecedent"),
+        col("b").as("consequent"), col("w"))
+      .unionByName(pair.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("w")))
+    val scored = rules
+      .join(item.select(col("p").as("antecedent"), col("np").as("na")),
+        "antecedent")
+      .join(item.select(col("p").as("consequent"), col("np").as("nb")),
+        "consequent")
+      .crossJoin(nOrders)
+      .select(col("antecedent"), col("consequent"), col("w").as("pair_n"),
+        round(col("w") / col("n_orders").cast("double"), 6).as("support"),
+        round(col("w") / col("na").cast("double"), 4).as("confidence"),
+        round(col("w") * col("n_orders").cast("double") /
+          (col("na") * col("nb")), 4).as("lift"))
+    val top = scored.orderBy(col("lift").desc, col("confidence").desc,
+      col("antecedent"), col("consequent")).limit(20)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("lift").desc, col("confidence").desc,
+          col("antecedent"), col("consequent"))).cast("long"))
+      .select(col("rk"), col("antecedent"), col("consequent"),
+        col("pair_n"), col("support"), col("confidence"), col("lift"))
+      .orderBy(col("rk"))
+  }
 
   /** Deterministic synchronous label propagation over a SYMMETRIZED edge
     * relation: per round each node takes its neighbors' mode label, ties
@@ -290,18 +314,28 @@ object GraphOps {
     val bcastNodes = s.conf.getOption("spark.graft.pagerank.bcastMaxNodes")
       .map(_.toLong).getOrElse(4000000L)
     val small = labels.count() <= bcastNodes
-    val C = 1000000000L
     for (_ <- 1 to rounds) {
-      val lbls = labels.select(col("node").as("src"), col("lbl"))
-      labels = truncate(s, edges
-        .join(if (small) broadcast(lbls) else lbls, "src")
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("node"))
-        .agg(max(col("cnt") * C + (lit(C - 1) - col("lbl"))).as("k"))
-        .select(col("node"), (lit(C - 1) - pmod(col("k"), lit(C))).as("lbl")))
+      labels = truncate(s, lpRound(edges, labels, small))
     }
     labels
+  }
+
+  /** ONE label-propagation round, PRE-truncation — the per-round
+    * dataflow split out (r19) so the inner-plan dump (OptProbe `inner`
+    * mode, the r18 verdict's evidence-gap fix) can show the round's
+    * exchange count directly: with a dst-partitioned edge relation and
+    * the label side broadcast, the round plans with ZERO exchanges. */
+  private[graft] def lpRound(edges: DataFrame, labels: DataFrame,
+      small: Boolean): DataFrame = {
+    val C = 1000000000L
+    val lbls = labels.select(col("node").as("src"), col("lbl"))
+    edges
+      .join(if (small) broadcast(lbls) else lbls, "src")
+      .groupBy(col("dst").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node"))
+      .agg(max(col("cnt") * C + (lit(C - 1) - col("lbl"))).as("k"))
+      .select(col("node"), (lit(C - 1) - pmod(col("k"), lit(C))).as("lbl"))
   }
 
   /** Degree-oriented triangle enumeration over a CANONICAL undirected
@@ -344,7 +378,7 @@ object GraphOps {
     * propagation); [[coPurchaseCte]] is its oracle-side twin. */
   /** Distinct (order, part) incidences — the base both co-purchase
     * derivations share. */
-  private def orderParts(s: SparkSession, d: String): DataFrame =
+  private[graft] def orderParts(s: SparkSession, d: String): DataFrame =
     // dedupe AFTER an o-keyed exchange (r18 optimization, guide §2.4):
     // HashPartitioning(o) satisfies the (o, p) clustering, so the
     // distinct aggregates in place and the self-join both co-purchase
@@ -357,7 +391,19 @@ object GraphOps {
       .repartition(col("o"))
       .dropDuplicates()
 
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  /** q175's symmetrized dst-partitioned edge derivation, PRE-truncation
+    * (exposed as the inner-plan seam — the r18 verdict's evidence gap). */
+  private[graft] def lpEdges(s: SparkSession, d: String): DataFrame = {
+    val op = orderParts(s, d)
+    op.alias("x")
+      .join(op.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .repartition(col("dst"))
+      .dropDuplicates()
+  }
+
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val op = orderParts(s, d)
     op.alias("x")
       .join(op.alias("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -445,16 +491,7 @@ object GraphOps {
     val base = (100L - Damp) * Mass / (100L * n)
     var pr = deg.select(col("node"), lit(Mass / n).as("pr"))
     for (i <- 1 to Iters) {
-      val prs = pr.select(col("node").as("src"), col("pr"))
-      val msgs = adj.join(if (small) broadcast(prs) else prs, "src")
-        .select(col("dst").as("node"),
-          expr(s"($Damp * pr) div (100 * deg)").as("m"))
-      // No node spine join: symmetrization means every node appears as
-      // a dst (it appears as a src, and each edge exists both ways), so
-      // the message aggregate alone already covers the full node set —
-      // a per-round left-outer join against deg would be a no-op.
-      val nxt = msgs.groupBy(col("node")).agg(sum(col("m")).as("acc"))
-        .select(col("node"), (lit(base) + col("acc")).as("pr"))
+      val nxt = pagerankRound(adj, pr, small, base)
       // truncate lineage every 8 rounds (and on the last: an eager
       // checkpoint, so the result is materialized and the adj cache can
       // be dropped with no recompute): keeps the analyzed tree
@@ -465,6 +502,27 @@ object GraphOps {
     adj.unpersist()
     deg.unpersist()
     pr
+  }
+
+  /** ONE pagerank round, PRE-truncation — split out (r19) so the
+    * inner-plan dump (OptProbe `inner` mode) shows the per-round seam
+    * the r18 verdict could not verify from the checkpoint-truncated
+    * headline plans: with the rank side broadcast and the adjacency
+    * cached partitioned by dst, the round plans with ZERO exchanges
+    * (the BHJ preserves the cache's HashPartitioning(dst), which
+    * satisfies the message aggregate's clustering). */
+  private[graft] def pagerankRound(adj: DataFrame, pr: DataFrame,
+      small: Boolean, base: Long): DataFrame = {
+    val prs = pr.select(col("node").as("src"), col("pr"))
+    val msgs = adj.join(if (small) broadcast(prs) else prs, "src")
+      .select(col("dst").as("node"),
+        expr(s"($Damp * pr) div (100 * deg)").as("m"))
+    // No node spine join: symmetrization means every node appears as
+    // a dst (it appears as a src, and each edge exists both ways), so
+    // the message aggregate alone already covers the full node set —
+    // a per-round left-outer join against deg would be a no-op.
+    msgs.groupBy(col("node")).agg(sum(col("m")).as("acc"))
+      .select(col("node"), (lit(base) + col("acc")).as("pr"))
   }
 
   /** The kernel's ten iterations unrolled as chained CTEs (recursive

@@ -55,12 +55,24 @@ object SignatureStore {
 
   private def writeBatch(s: SparkSession, docs: DataFrame, dir: String,
       batchId: Long, dynamic: Boolean): Unit = {
+    val sh = Dedup.shinglesOfDocs(s, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeBatchShingles(s, sh, dir, batchId, dynamic)
+    finally { sh.unpersist(); () }
+  }
+
+  /** [[writeBatch]] over a caller-provided (already persisted) shingle
+    * relation — the shared-derivation seam (r19, guide §5 reuse within
+    * one query): an admission that already derived the delta's shingles
+    * appends its survivors by FILTERING that relation instead of
+    * re-scanning the survivor text (shingling is per-doc, so the
+    * restriction is value-identical to re-deriving). */
+  private def writeBatchShingles(s: SparkSession, sh: DataFrame,
+      dir: String, batchId: Long, dynamic: Boolean): Unit = {
     // per-WRITE overwrite mode (takes precedence over the session conf):
     // no session-global mutation to race against concurrent queries
     // (round-10 review finding)
     val mode = if (dynamic) "dynamic" else "static"
-    val sh = Dedup.shinglesOfDocs(s, docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // File sizing examined in r18 and LEFT ALONE: the writes emit one
     // file per upstream partition (32 tiny band files per batch at
     // fixture scale), and an AQE `rebalance` hint before each write
@@ -70,16 +82,27 @@ object SignatureStore {
     // overhead it saves. At 100 TB the per-partition file count is the
     // right order anyway; compact() remains the explicit small-files
     // remedy.
-    try {
-      sh.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", mode)
-        .partitionBy("batch_id").parquet(shinglesPath(dir))
-      Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, sh))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").option("partitionOverwriteMode", mode)
-        .partitionBy("batch_id").parquet(bandsPath(dir))
-    } finally { sh.unpersist(); () }
+    sh.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", mode)
+      .partitionBy("batch_id").parquet(shinglesPath(dir))
+    Dedup.bandedBuckets(Dedup.signaturesFromShingles(s, sh))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", mode)
+      .partitionBy("batch_id").parquet(bandsPath(dir))
   }
+
+  /** Append one batch's SURVIVOR shingles derived by restriction: the
+    * delta's tracked shingle relation minus the rejected doc ids — the
+    * one shingle derivation pass serves the admission (signatures +
+    * verification) AND the append (r19; previously the append
+    * re-derived survivor shingles from the raw text the admission had
+    * already shingled). */
+  private def appendSurvivorShingles(s: SparkSession, deltaSh: DataFrame,
+      pairs: DataFrame, dir: String, batchId: Long): Unit =
+    writeBatchShingles(s,
+      deltaSh.join(pairs.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"),
+      dir, batchId, dynamic = true)
 
   /** Admit a delta batch against the STORED corpus: returns the verified
     * near-dup pairs (doc_a = delta, doc_b = stored corpus, jaccard ≥
@@ -200,12 +223,16 @@ object SignatureStore {
       // CORPUS, exactly as the oracle's NOT IN delta computes it
       build(s, docs.filter(!(col("source") <=> "src0")), dir)
       val delta = docs.filter(col("source") === "src0")
+      // ONE shingle derivation serves admission AND append (r19): the
+      // admission's tracked delta shingles, restricted to survivors,
+      // replace the append's re-derivation from the survivor text
+      val deltaSh = Dedup.trackedShingles(s, delta)
       // pairs persist (session-tracked): the survivor append below and
       // the returned relation would otherwise each execute the full
       // admission subplan (round-10 review finding)
       val pairs = graft.PersistTracker.tracked("sigstore",
-        admit(s, delta, dir, beforeBatch = 0L))
-      append(s, survivors(delta, pairs), dir, 0L)
+        admitShingles(s, deltaSh, dir, beforeBatch = 0L))
+      appendSurvivorShingles(s, deltaSh, pairs, dir, 0L)
       pairs.orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -228,9 +255,12 @@ object SignatureStore {
       val deltaA = docs.filter(col("source") === "src0" && col("doc_id") % 40 === 0)
       val deltaB = docs.filter(col("source") === "src0" && col("doc_id") % 40 =!= 0)
       build(s, corpus, dir)
+      // shared shingle derivation for wave A (r19 — see q129): admit
+      // and append read one tracked shingle relation
+      val deltaASh = Dedup.trackedShingles(s, deltaA)
       val pairsA = graft.PersistTracker.tracked("sigstore",
-        admit(s, deltaA, dir, beforeBatch = 0L))
-      append(s, survivors(deltaA, pairsA), dir, 0L)
+        admitShingles(s, deltaASh, dir, beforeBatch = 0L))
+      appendSurvivorShingles(s, deltaASh, pairsA, dir, 0L)
       compact(s, dir, gen2, throughBatch = 0L)
       // the compacted generation is all partition -1, so beforeBatch = 0
       // admits against everything rolled into it
