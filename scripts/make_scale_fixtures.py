@@ -44,9 +44,33 @@ Usage: make_scale_fixtures.py [outRoot] [scales] [bands] [mode]
            q242/q231 sweep, the tight-band recall leg), where a 100x
            lineitem would cost minutes and drive nothing.
 """
-import duckdb, os, shutil, sys
+import duckdb, math, os, shutil, sys
 
 SRC = "/root/testdata/sf0.1"
+
+# r19: split every generated table into SPLIT_FILES part files (a
+# directory with the same .parquet name — Spark reads it identically).
+# A single parquet file is ONE scan task regardless of core count
+# (5.7 MB << maxPartitionBytes), and the doc queries' dominant per-doc
+# map work runs in the scan stage — the r18 core-scaling leg measured
+# "no query faster on 32 cores than 8" largely because every fixture
+# table was one file: after splitting, q27/q242 at x10 dropped ~3x at
+# 32 cores and the x100 doc paths show the expected ~2x on 4x cores.
+SPLIT_FILES = 32
+
+def split_parquet(path):
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path)
+    chunk = math.ceil(max(1, tbl.num_rows) / SPLIT_FILES)
+    tmp = path + ".dir"
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(SPLIT_FILES):
+        sl = tbl.slice(i * chunk, chunk)
+        if sl.num_rows == 0:
+            break
+        pq.write_table(sl, f"{tmp}/part-{i:05d}.parquet")
+    os.remove(path)
+    os.rename(tmp, path)
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/scratch/scale"
 LETTERS = "abcdefghij"
 
@@ -92,6 +116,7 @@ for scale in SCALES:
                 f"FROM '{SRC}/documents.parquet'")
     con.execute(
         f"COPY ({' UNION ALL '.join(doc_parts)}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    split_parquet(f"{out}/documents.parquet")
     vec_parts = []
     for k in range(scale):
         if k == 0:
@@ -114,6 +139,7 @@ for scale in SCALES:
                 f"  FROM '{SRC}/embeddings.parquet')")
     con.execute(
         f"COPY ({' UNION ALL '.join(vec_parts)}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    split_parquet(f"{out}/embeddings.parquet")
     # Relational tables scale as DISJOINT key-space replicas (round-11
     # verdict ask #2: the expensive tail — ANALYZE stats, pagerank,
     # triangles, label prop, BFS, z-order — is driven by lineitem/
@@ -167,6 +193,7 @@ for scale in SCALES:
             for k in range(1, scale)]
         con.execute(f"COPY ({' UNION ALL '.join(parts)}) "
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        split_parquet(f"{out}/{t}.parquet")
     for t in ["region", "nation"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     nd = con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
