@@ -209,10 +209,10 @@ object KnnDescent {
     // single aggregate over a left_outer probe — exact is unique on
     // (src, nbr) (a top-K cut) and so is the graph side, so each exact
     // edge yields exactly one output row and count(__hit) IS the old
-    // left_semi count. With the lazily-truncated stages, this one
-    // action also materializes the whole descent chain it measures —
-    // the cold build's per-stage eager checkpoint jobs and the separate
-    // exact.count() fold into it (5 jobs → 1 per measured graph).
+    // left_semi count. The separate exact.count() and the standalone
+    // g2/g3 materialization counts fold into it: one audit action per
+    // measured graph, which also materializes the audit relation and
+    // (on the escalation legs) the chain it measures.
     def recallMicro(g: DataFrame): Long = {
       val m = exact.join(
         g.filter(col("src") % stride === 0).select(col("src"), col("nbr"))
@@ -581,31 +581,22 @@ object KnnDescent {
     * materialized RDD: the plan every consumer analyzes is one round
     * deep regardless of radius, warm-start, or Iters — a
     * corpus-size-independent driver cost that matters identically at
-    * 100 TB. EAGER deliberately for the CORPUS-SIZED build chain: a
-    * lazy variant was tried in r19 and reverted — the ~5 downstream
-    * references race to compute the unmaterialized stage concurrently
-    * inside one job, re-running its corpus-sized upstream per branch
-    * (measured: q248 cold 18 s → 30 s, q231 cold 9.7 → 13.4 s).
-    * Reliable checkpoint when the session has a checkpoint dir
-    * (survives executor loss — the production setting), eager
-    * localCheckpoint otherwise. */
+    * 100 TB. EAGER deliberately, everywhere it is used: a lazy
+    * (`eager = false`) variant was tried in r19 and reverted — the ~5
+    * downstream references race to compute the unmaterialized stage
+    * concurrently inside one job, re-running its corpus-sized upstream
+    * per branch (measured: q248 cold 18 s → 30 s, q231 cold
+    * 9.7 → 13.4 s); dropping the per-round truncation outright instead
+    * blew up DRIVER-side Catalyst on the unanchored ~5^rounds plan
+    * (q248 warm 60-80 s). The one stage that could safely lose its
+    * checkpoint ACTION was the delta admission's seed cut (delta-sized,
+    * its seed relation separately persisted) — it is now a plain
+    * tracked persist. Reliable checkpoint when the session has a
+    * checkpoint dir (survives executor loss — the production setting),
+    * eager localCheckpoint otherwise. */
   private def truncate(s: SparkSession, df: DataFrame): DataFrame =
     if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
-
-  /** LAZY lineage truncation (r19, guide §1/§5): same plan rebase as
-    * [[truncate]] — the returned Dataset is a LogicalRDD either way, so
-    * every consumer's analyzed plan stays one round deep — but the
-    * materialization folds into the FIRST consumer's job instead of
-    * paying its own eager job per stage. Used ONLY by the
-    * delta-admission rounds, where every relation below the truncation
-    * point is DELTA-sized: the branch-race recompute that makes the
-    * lazy form wrong for the corpus-sized build chain (see
-    * [[truncate]]) costs at most a few duplicate ~50-row computations
-    * here, far less than the three eager checkpoint jobs it replaces. */
-  private def truncateLazy(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
 
   /** ONE descent round from graph `g` over corpus `emb`: candidates =
     * neighbors-of-neighbors through the undirected graph ∪ current
